@@ -1,13 +1,22 @@
 package graft.core
 
+import java.time.{Duration, Instant, LocalDate}
+import java.time.format.DateTimeFormatter
+import java.time.ZoneOffset
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Canonical access to the test corpus tables (TESTDATA.md) and the
   * role-mapping from the reference's OLTP schema onto the star schema
   * (FIXTURES.md §C):
-  *   customer → users, orders → orders, lineitem → payments/txn legs,
-  *   supplier/part → merchant dims, events → streaming events,
-  *   documents/embeddings → training-data corpus.
+  *   customer → users, orders → orders/transactions, lineitem ⋈ orders →
+  *   payments, events → user_logins / velocity_alerts / credit_reports /
+  *   risk_scores, supplier/part → merchant dims, documents/embeddings →
+  *   training-data corpus (additional tables beyond TESTDATA.md's listed
+  *   set — they exist at every sf but TESTDATA.md only lists the 8
+  *   star-schema tables).
   *
   * All readers take the sf directory explicitly; schemas are fixed by the
   * parquet footers (driver-generated, deterministic), so no inference
@@ -29,17 +38,49 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "events")
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's reader
+    * rejects. Sessions set spark.sql.legacy.parquet.nanosAsLong=true, so the
+    * column arrives as nano-epoch LongType and is truncated to microsecond
+    * TimestampType here (sub-µs precision is below every window boundary and
+    * tie-break the engine uses). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => df
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }
 
-/** Deterministic "as of" instants (SURVEY §7.4.4: jobs never call now()).
-  * Orders/lineitem span 1995-01-01..2001-11-04; events span 2024-01-01..
-  * 2024-01-30. The anchors sit just past the data max so relative windows
-  * ("last 365d") select stable, non-empty slices.
+/** Deterministic "as of" instants (SURVEY §7.4.4: jobs never call now();
+  * every relative window — "last 30 days" — is anchored here, mirroring the
+  * reference's CURRENT_DATE stamping, e.g. sql/transaction_features.sql:8).
+  *
+  * Three anchors because the corpus has three timelines:
+  *   - orders:   o_orderdate spans 1995-01-01..2001-08-01 → anchor next day.
+  *   - lineitem: l_shipdate spans ..2001-11-04, i.e. ~3 months PAST the
+  *     orders anchor (shipments trail orders). Payment-delay windows over
+  *     l_shipdate must anchor here, not at AsOf.orders, or the window
+  *     silently treats late shipments as future data.
+  *   - events:   ts spans 2024-01-01..2024-01-30 → anchor next day.
   */
 object AsOf {
-  val orders = "2001-08-02 00:00:00" // day after max(o_orderdate)
-  val events = "2024-01-31 00:00:00" // day after max(events.ts)
+  val orders: Instant   = Instant.parse("2001-08-02T00:00:00Z")
+  val lineitem: Instant = Instant.parse("2001-11-05T00:00:00Z")
+  val events: Instant   = Instant.parse("2024-01-31T00:00:00Z")
+
+  private val fmt =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss").withZone(ZoneOffset.UTC)
+
+  /** "yyyy-MM-dd HH:mm:ss" UTC rendering, shared by Spark lit()s and the
+    * DuckDB oracle SQL so both engines see the identical literal. */
+  def ts(i: Instant): String = fmt.format(i)
+
+  /** Anchor shifted back by `days`, rendered for literals. */
+  def minusDays(i: Instant, days: Long): String = ts(i.minus(Duration.ofDays(days)))
+
+  /** LocalDate view of an anchor (for datediff-style arithmetic). */
+  def date(i: Instant): LocalDate = i.atZone(ZoneOffset.UTC).toLocalDate
 }

@@ -1,0 +1,38 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The canonical one-row-per-user wide serving view — spec
+  * sql/migration_queries.sql:143-166 and the user_risk_summary view
+  * (sql/bigquery_schema.sql:75-94): user_features LEFT JOIN
+  * transaction_features LEFT JOIN risk_features on user_id (J7), plus the
+  * Low/Medium/High risk bucketing CASE (F2, sql/bigquery_schema.sql:86-89).
+  *
+  * Scale: all three inputs are already one-row-per-user aggregates hashed on
+  * user_id; the 3-way join re-uses that partitioning (no fan-out possible —
+  * each side is unique on the key). This is the table the serving layer
+  * caches; at 100 TB it would be written bucketed by user_id so point lookups
+  * prune to a single bucket.
+  */
+object FeatureViewJob {
+
+  def apply(spark: SparkSession, dir: String): DataFrame =
+    compute(
+      UserFeaturesJob(spark, dir),
+      TransactionFeaturesJob(spark, dir),
+      RiskFeaturesJob(spark, dir))
+
+  def compute(uf: DataFrame, tf: DataFrame, rf: DataFrame): DataFrame =
+    uf.select("user_id", "age", "location_country", "total_orders", "avg_order_value",
+        "days_since_first_order", "preferred_payment_method", "account_verified")
+      .join(tf.select("user_id", "total_transactions_30d", "total_amount_30d",
+        "avg_transaction_amount", "transactions_declined_30d",
+        "weekend_transaction_ratio"), Seq("user_id"), "left")
+      .join(rf.select("user_id", "risk_score", "credit_utilization_ratio",
+        "payment_delays_30d", "velocity_alerts_30d"), Seq("user_id"), "left")
+      .withColumn("risk_category",
+        when(col("risk_score") <= 0.3, "Low")
+          .when(col("risk_score") <= 0.7, "Medium")
+          .otherwise("High"))
+}
