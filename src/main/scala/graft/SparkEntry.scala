@@ -37,7 +37,36 @@ object SparkEntry {
     "user_features"        -> ((s, dir) => canon(UserFeaturesJob(s, dir))),
     "risk_features"        -> ((s, dir) => canon(RiskFeaturesJob(s, dir))),
     "feature_view"         -> ((s, dir) => canon(FeatureViewJob(s, dir))),
+    "migration_checks"     -> ((s, dir) => MigrationValidationJob.checks(s, dir)),
+    "count_reconciliation" -> ((s, dir) => MigrationValidationJob.countReconciliation(s, dir)),
+    "sample_compare"       -> ((s, dir) => MigrationValidationJob.sampleCompare(s, dir)),
+    "dq_completeness"      -> ((s, dir) => DataQualityJob.completeness(s, dir)),
+    "dq_freshness"         -> ((s, dir) => DataQualityJob.freshness(s, dir)),
+    "dq_profile"           -> ((s, dir) => DataQualityJob.profile(s, dir)),
+    "dq_outliers"          -> ((s, dir) => DataQualityJob.outliers(s, dir)),
+    "dq_row_validation"    -> ((s, dir) => DataQualityJob.rowValidation(s, dir)),
+    "point_lookup"         -> ((s, dir) => canon(serving.Lookups.pointLookup(s, dir, LookupIds.point))),
+    "batch_lookup"         -> ((s, dir) => canon(serving.Lookups.batchLookup(s, dir, LookupIds.batch))),
+    "ordered_export"       -> ((s, dir) => serving.Lookups.orderedExport(s, dir)),
+    "percentiles"          -> ((s, dir) => serving.Lookups.percentiles(s, dir)),
+    "dedup_exact"          -> ((s, dir) => ext.Dedup.exact(core.Tables.documents(s, dir))),
+    "dedup_jaccard"        -> ((s, dir) => ext.Dedup.jaccardPairs(core.Tables.documents(s, dir), 0.5)),
+    "dedup_minhash_pairs"  -> ((s, dir) => ext.Dedup.minhashPairs(core.Tables.documents(s, dir))),
+    "dedup_simhash"        -> ((s, dir) => ext.Dedup.simhash(core.Tables.documents(s, dir))),
+    "similarity_topk"      -> ((s, dir) => ext.Similarity.bruteTopK(core.Tables.embeddings(s, dir), 5, 10)),
+    "ann_buckets"          -> ((s, dir) => ext.Similarity.lshBuckets(core.Tables.embeddings(s, dir))),
+    "text_stats"           -> ((s, dir) => ext.TextAnalysis.textStats(core.Tables.documents(s, dir))),
+    "lang_id"              -> ((s, dir) => ext.TextAnalysis.langId(core.Tables.documents(s, dir))),
+    "doc_fingerprints"     -> ((s, dir) => ext.TextAnalysis.fingerprints(core.Tables.documents(s, dir))),
+    "media_stats"          -> ((s, dir) => ext.Multimodal.mediaStats(core.Tables.documents(s, dir))),
   )
+
+  /** Deterministic probe-id sets for the lookup queries (S2/S3): a handful
+    * of points, and a 100-id batch at the reference's API cap. */
+  private object LookupIds {
+    val point: Seq[Long] = Seq(4L, 5L, 9L, 14L, 27L)
+    val batch: Seq[Long] = (0L until 1500L by 15).take(100)
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +75,27 @@ object SparkEntry {
     "user_features"        -> OracleSql.userFeatures(),
     "risk_features"        -> OracleSql.riskFeatures(),
     "feature_view"         -> OracleSql.featureView(),
+    "migration_checks"     -> OracleSql.migrationChecks,
+    "count_reconciliation" -> OracleSql.countReconciliation,
+    "sample_compare"       -> OracleSql.sampleCompare(),
+    "dq_completeness"      -> OracleSql.dqCompleteness,
+    "dq_freshness"         -> OracleSql.dqFreshness(),
+    "dq_profile"           -> OracleSql.dqProfile,
+    "dq_outliers"          -> OracleSql.dqOutliers,
+    "dq_row_validation"    -> OracleSql.dqRowValidation(),
+    "point_lookup"         -> OracleSql.pointLookup(LookupIds.point),
+    "batch_lookup"         -> OracleSql.pointLookup(LookupIds.batch),
+    "ordered_export"       -> OracleSql.orderedExport,
+    "percentiles"          -> OracleSql.percentiles,
+    "dedup_exact"          -> OracleSql.dedupExact,
+    "dedup_jaccard"        -> OracleSql.dedupJaccard(0.5),
+    "dedup_minhash_pairs"  -> OracleSql.dedupMinhashPairs,
+    "dedup_simhash"        -> OracleSql.dedupSimhash,
+    "similarity_topk"      -> OracleSql.similarityTopK(5, 10),
+    "ann_buckets"          -> OracleSql.annBuckets,
+    "text_stats"           -> OracleSql.textStats,
+    "lang_id"              -> OracleSql.langId,
+    "doc_fingerprints"     -> OracleSql.docFingerprints,
+    "media_stats"          -> OracleSql.mediaStats,
   )
 }

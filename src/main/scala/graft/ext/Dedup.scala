@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication operators over the `documents` corpus —
+  * the LLM-pipeline surface beyond the reference's own operators (SURVEY
+  * §7.1 ext/). Four families: exact (content hash), n-gram Jaccard
+  * (verified pairs), MinHash banding (candidate generation at scale), and
+  * SimHash (near-dup signatures).
+  *
+  * Scale design: nothing here is all-pairs. Jaccard pairs are blocked by
+  * (lang, length band); MinHash candidates come from an equi-join on
+  * (band, signature) — the classic LSH bucket join that holds at 100 TB
+  * because band collisions, not n², drive the shuffle volume. Skewed buckets
+  * (a signature shared by millions of docs) are the known hazard: AQE skew
+  * splitting plus a bucket-size cap (drop pathological buckets, they are
+  * boilerplate anyway) is the production posture.
+  *
+  * Cross-engine determinism: hashes are md5 hex strings (identical in every
+  * engine), mins over them are lexicographic, counts are exact.
+  */
+object Dedup {
+
+  /** Distinct 3-token shingles of `text` (guarded for short docs). */
+  def shingles(text: Column): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ",
+          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))))
+      .otherwise(array(text))
+  }
+
+  /** Exact dedup: hash-group on content (md5), keep the smallest doc_id as
+    * canonical. One shuffle on the hash; at scale the groupBy is map-side
+    * combinable because the hash is computed pre-shuffle. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("keeper_doc_id"))
+
+  /** Verified near-dup pairs by shingle Jaccard, blocked on (lang, ±40
+    * chars). The intersect/union sizes are computed on pre-distinct shingle
+    * arrays so both engines count identically. */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+      shingles(col("text")).as("sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = size(filter(col("a.sh"), x => array_contains(col("b.sh"), x)))
+    val union = size(col("a.sh")) + size(col("b.sh")) - inter
+    a.join(b,
+        col("a.lang") === col("b.lang") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        abs(col("a.n_chars") - col("b.n_chars")) <= 40)
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(inter.cast("double") / union, 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  private val NumBands = 4
+
+  /** Per-doc MinHash signature: for band i, min over shingles of
+    * md5("i|" + shingle). Explode → groupBy, map-side combinable. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val aggs = (0 until NumBands).map(i =>
+      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"h$i"))
+    toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: unpivot the signature to (doc_id, band, h) and
+    * equi-join on (band, h) — the scale-safe bucket join. */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs)
+    val bands = (0 until NumBands).map(i =>
+      sig.select(col("doc_id"), lit(i).as("band"), col(s"h$i").as("h")))
+      .reduce(_ unionByName _)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash: bit j votes with the high bit of nibble j of each
+    * token's md5; majority sign wins. Emitted as a 32-char bit string (no
+    * cross-engine integer-parsing hazards). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val highNibble = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val votes = (0 until 32).map(j =>
+      sum(when(substring(md5(col("tok")), j + 1, 1).isin(highNibble: _*), 1)
+        .otherwise(-1)).as(s"v$j"))
+    val bits = (0 until 32).map(j => when(col(s"v$j") > 0, "1").otherwise("0"))
+    toks.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), concat(bits: _*).as("simhash"))
+  }
+}

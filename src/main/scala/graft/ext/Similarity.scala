@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float], dim 64).
+  *
+  * Two paths, per the standard ANN architecture:
+  *   - `bruteTopK`: exact cosine top-k — the correctness baseline. A
+  *     broadcast join of the (small) query set against the corpus, one pass,
+  *     no shuffle of the corpus itself: this is the shape that scales to
+  *     100 TB when the query set is bounded (the corpus side streams).
+  *   - `lshBuckets` / `lshCandidates`: random-hyperplane LSH — the scale
+  *     path. Hyperplane signs are derived from md5 so every engine (and
+  *     every executor, with no broadcast of a plane matrix) computes the
+  *     identical bucket; candidates come from an equi-join on the bucket id.
+  *
+  * All vector math is done in double precision with a sequential fold (Spark
+  * `aggregate`/`zip_with` over the cast array), matching DuckDB's list
+  * functions element order, so cosines agree across engines to the ulp.
+  */
+object Similarity {
+
+  private def toDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Σ aᵢ·bᵢ as a sequential double fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y), lit(0.0), _ + _)
+
+  /** cosine(a,b) = dot / sqrt(dot(a,a) * dot(b,b)) — single formula shared
+    * with the oracle (sqrt(x*y), NOT sqrt(x)*sqrt(y), which differs in ulps). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** Exact top-k neighbors for a bounded query set (vec_id < numQueries).
+    * Ranking key is the rounded cosine with vec_id tiebreak, so ordering is
+    * stable under floating accumulation noise. */
+  def bruteTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val cand = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("e"))
+    val scored = cand.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q"), col("e")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  private val NumPlanes = 8
+  private val Dim = 64
+
+  /** ±1 sign of hyperplane `p` at dimension `d` (1-based), from md5 — the
+    * deterministic stand-in for a seeded gaussian plane matrix. */
+  private def planeSign(p: Int, d: Column): Column = {
+    val highNibble = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    when(substring(md5(concat(lit(s"$p|"), d.cast("string"))), 1, 1)
+      .isin(highNibble: _*), 1.0).otherwise(-1.0)
+  }
+
+  /** 8-bit LSH bucket id per vector (bit p = sign of the projection onto
+    * pseudo-plane p), as a bit string. */
+  def withBucket(embeddings: DataFrame): DataFrame = {
+    val e = toDouble(col("embedding"))
+    val bits = (0 until NumPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(e, sequence(lit(1), lit(Dim)), (x, d) => x * planeSign(p, d)),
+        lit(0.0), _ + _)
+      when(proj > 0, "1").otherwise("0")
+    }
+    embeddings.withColumn("bucket", concat(bits: _*))
+  }
+
+  /** Bucket occupancy — the IVF-style partition map of the corpus. */
+  def lshBuckets(embeddings: DataFrame): DataFrame =
+    withBucket(embeddings).groupBy("bucket")
+      .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec_id"))
+
+  /** Candidate pairs from shared buckets (equi-join, never all-pairs). */
+  def lshCandidates(embeddings: DataFrame): DataFrame = {
+    val b = withBucket(embeddings).select("vec_id", "bucket")
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("x.bucket"))
+  }
+}

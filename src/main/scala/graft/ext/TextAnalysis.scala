@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token statistics,
+  * quality scoring, n-gram-heuristic language ID, and content
+  * fingerprinting. All pure column expressions (codegen-friendly, no UDFs);
+  * every score is integer-count arithmetic in a fixed order so the DuckDB
+  * oracle reproduces it exactly.
+  */
+object TextAnalysis {
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  private def toks(text: Column): Column = split(text, " ")
+
+  private def countIn(arr: Column, words: Seq[String]): Column =
+    size(filter(arr, x => x.isin(words.map(lit): _*)))
+
+  /** Per-document token stats + composite quality score
+    * (length / stopword / diversity mix — the standard pretraining-filter
+    * shape; weights are fixed and documented, not learned). */
+  def textStats(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val tokenCount = size(t)
+    val distinctCount = size(array_distinct(t))
+    val stopCount = countIn(t, enStop)
+    val charSum = aggregate(transform(t, x => length(x)), lit(0), _ + _)
+    docs.select(
+      col("doc_id"),
+      col("lang"),
+      tokenCount.as("token_count"),
+      distinctCount.as("distinct_tokens"),
+      round(charSum.cast("double") / tokenCount, 4).as("avg_token_len"),
+      round(stopCount.cast("double") / tokenCount, 4).as("stopword_ratio"),
+      round(
+        least(lit(1.0), tokenCount.cast("double") / 100) * 0.4
+          + (lit(1.0) - stopCount.cast("double") / tokenCount) * 0.3
+          + distinctCount.cast("double") / tokenCount * 0.3,
+        4).as("quality_score"))
+  }
+
+  /** Language-ID heuristic: stopword-marker hit ratios per language family,
+    * aggregated as a (label, detected) confusion count. The corpus text is
+    * synthetic English-ish for every label, so the interesting output is the
+    * confusion structure, not accuracy. */
+  def langId(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val en = countIn(t, enStop)
+    val es = countIn(t, Seq("el", "la", "de", "que", "y"))
+    val detected = when(en > es && en > 0, "en")
+      .when(es > en, "es")
+      .otherwise("und")
+    docs.select(col("lang"), detected.as("detected"))
+      .groupBy("lang", "detected")
+      .agg(count(lit(1)).as("doc_count"))
+  }
+
+  /** Content fingerprints: a positional prefix hash (first five tokens) and
+    * the min-shingle-hash (winnowing-style rolling fingerprint — the k=1
+    * MinHash band). */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val prefix = md5(concat_ws(" ",
+      element_at(t, 1), element_at(t, 2), element_at(t, 3),
+      element_at(t, 4), element_at(t, 5)))
+    val sh = Dedup.shingles(col("text"))
+    val minShingle = array_min(transform(sh, x => md5(x)))
+    docs.select(col("doc_id"), prefix.as("prefix_fp"), minShingle.as("min_shingle_fp"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.jobs
+
+import java.time.{Duration, Instant}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{AsOf, Roles, Tables}
+import graft.ops.Ops._
+
+/** Data-quality suite — spec src/pipelines/data_quality.py:120-324,457-588:
+  * per-column completeness ratios (A14), freshness (A15), statistical
+  * profiling (A9), the nested-aggregate outlier count rewritten as the legal
+  * two-pass form (A10), and rule-based row validation (P7).
+  *
+  * Scale: completeness/profile/outliers are single-pass aggregates with
+  * map-side partial aggregation; the outlier second pass joins a 1-row stats
+  * frame (broadcast) against the fact scan — never a driver-side loop.
+  */
+object DataQualityJob {
+
+  /** Non-null completeness ratios, one row (data_quality.py:213-233). All
+    * counts are exact longs, so the ratios are cross-engine deterministic. */
+  def completeness(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    def ratio(c: String) = (count(col(c)).cast("double") / count(lit(1))).as(s"${c}_completeness")
+    orders.agg(
+      ratio("o_custkey"), ratio("o_totalprice"), ratio("o_orderdate"),
+      ratio("o_orderstatus"), ratio("o_orderpriority"),
+      count(lit(1)).as("row_count"))
+  }
+
+  /** Freshness: newest event + count within the 2h alert window before the
+    * anchor (data_quality.py:140-146; 2h threshold data_quality.py:45). */
+  def freshness(spark: SparkSession, dir: String,
+                asOf: Instant = AsOf.events): DataFrame = {
+    val twoHoursAgo = to_timestamp(lit(AsOf.ts(asOf.minus(Duration.ofHours(2)))))
+    Tables.events(spark, dir).agg(
+      date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("latest_event"),
+      countIf(col("ts") >= twoHoursAgo).as("fresh_events_2h"),
+      count(lit(1)).as("total_events"))
+  }
+
+  /** Statistical profile by return flag/line status (data_quality.py:273-284
+    * mean/σ/min/max shape): quantity sums are integer-valued doubles (exact),
+    * money goes through decimal, stddev is rounded to absorb accumulation
+    * order. */
+  def profile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("line_count"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sumMoney(lit(true), col("l_extendedprice")).as("sum_price"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (sumMoney(lit(true), col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        round(stddev_samp(col("l_quantity")), 2).as("stddev_qty"))
+
+  /** Outlier count, two-pass (A10). The reference emits an illegal nested
+    * aggregate — COUNT(*) FILTER (WHERE x < AVG(x) - 3σ ...) inside the same
+    * SELECT (data_quality.py:280-281); the legal, scale-safe rewrite computes
+    * the 1-row stats frame first and broadcasts it against the scan. */
+  def outliers(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val stats = orders.agg(
+      (sumMoney(lit(true), col("o_totalprice")) / count(lit(1))).as("mean_amount"),
+      stddev_samp(col("o_totalprice")).as("sd_amount"))
+    orders.crossJoin(broadcast(stats))
+      .agg(
+        round(first(col("mean_amount")), 2).as("mean_amount"),
+        round(first(col("sd_amount")), 2).as("stddev_amount"),
+        countIf(col("o_totalprice") < col("mean_amount") - col("sd_amount") * 3 ||
+                col("o_totalprice") > col("mean_amount") + col("sd_amount") * 3)
+          .as("outlier_count"),
+        count(lit(1)).as("total_count"))
+  }
+
+  /** Rule-based row validation (P7; data_quality.py:457-588 + the CHECK
+    * constraints of sql/postgresql_schema.sql): violation counts per rule,
+    * one row. Rules mirror the reference's validators: age ∈ [18,100],
+    * ratios ∈ [0,1], declined ≤ total, delays_30d ≤ delays_90d, amounts ≥ 0. */
+  def rowValidation(spark: SparkSession, dir: String): DataFrame = {
+    val users = Roles.users(spark, dir)
+      .agg(countIf(col("age") < 18 || col("age") > 100).as("age_out_of_range"))
+    val tx = Roles.transactions(spark, dir)
+      .agg(countIf(col("amount") < 0).as("negative_amounts"))
+    val tf = TransactionFeaturesJob(spark, dir).agg(
+      countIf(col("weekend_transaction_ratio") < 0 || col("weekend_transaction_ratio") > 1)
+        .as("ratio_out_of_range"),
+      countIf(col("transactions_declined_30d") > col("total_transactions_30d"))
+        .as("declined_gt_total"))
+    val rf = RiskFeaturesJob(spark, dir)
+      .agg(countIf(col("payment_delays_30d") > col("payment_delays_90d"))
+        .as("delays_30d_gt_90d"))
+    users.crossJoin(tx).crossJoin(tf).crossJoin(rf)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.Ops._
+
+/** Migration-validation checks — spec sql/migration_queries.sql:8-137 and
+  * src/pipelines/migration.py:287-319,480-525: duplicate-PK detection (A11),
+  * orphaned-row anti-joins (J5), null-key scans (P4), scalar count
+  * reconciliation (A17), and a deterministic sample comparison (J6).
+  *
+  * Scale: each check is an independent aggregate/anti-join; the anti-joins
+  * hash on the FK and broadcast nothing (both sides are fact-sized), which
+  * is the shape that survives 100 TB — a driver-side id diff would not.
+  */
+object MigrationValidationJob {
+
+  /** Stacked named checks, one row per check (U2 union-all of counts —
+    * sql/migration_queries.sql:8-45 stacks per-table results the same way). */
+  def checks(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val orders   = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+
+    def cnt(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("violation_count"))
+        .select(lit(name).as("check_name"), col("violation_count"))
+
+    Seq(
+      cnt("dup_user_pk",
+        customer.groupBy("c_custkey").count().filter(col("count") > 1)),
+      cnt("dup_order_pk",
+        orders.groupBy("o_orderkey").count().filter(col("count") > 1)),
+      cnt("multi_line_orders",
+        lineitem.groupBy("l_orderkey").count().filter(col("count") > 1)),
+      cnt("orphan_orders",
+        orders.join(customer, col("o_custkey") === col("c_custkey"), "left_anti")),
+      cnt("orphan_lineitems",
+        lineitem.join(orders, col("l_orderkey") === col("o_orderkey"), "left_anti")),
+      cnt("null_user_orders", orders.filter(col("o_custkey").isNull)),
+    ).reduce(_ unionByName _)
+  }
+
+  /** Scalar count reconciliation — one row, one count per table
+    * (sql/migration_queries.sql:110-113,206-210's scalar subqueries). */
+  def countReconciliation(spark: SparkSession, dir: String): DataFrame = {
+    def c(name: String, table: String) =
+      Tables.load(spark, dir, table).agg(count(lit(1)).as(name))
+    c("users_count", "customer")
+      .crossJoin(c("orders_count", "orders"))
+      .crossJoin(c("payments_count", "lineitem"))
+      .crossJoin(c("events_count", "events"))
+      .crossJoin(c("documents_count", "documents"))
+      .crossJoin(c("embeddings_count", "embeddings"))
+  }
+
+  /** Sample-based validation (sql/migration_queries.sql:117-137): a
+    * deterministic pseudo-random user sample (custkey % 37 — the reference's
+    * ORDER BY RANDOM() LIMIT is not cross-engine reproducible) inner-joined
+    * to the user dimension, left-joined to order stats and the computed
+    * user-features table, flagging feature presence. */
+  def sampleCompare(spark: SparkSession, dir: String): DataFrame = {
+    val sample = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 37 === 0)
+      .select(col("c_custkey").as("user_id"))
+    val users = graft.core.Roles.users(spark, dir)
+    val stats = graft.core.Roles.transactions(spark, dir)
+      .groupBy("user_id").agg(
+        count(lit(1)).as("order_count"),
+        sumMoney(lit(true), col("amount")).as("total_spend"))
+    val uf = UserFeaturesJob(spark, dir)
+      .select(col("user_id"), lit(true).as("has_user_features"))
+    sample
+      .join(users, Seq("user_id"))
+      .join(stats, Seq("user_id"), "left")
+      .join(uf, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        col("location_country"),
+        orZero(col("order_count")).as("order_count"),
+        orZeroD(col("total_spend")).as("total_spend"),
+        coalesce(col("has_user_features"), lit(false)).as("has_user_features"))
+  }
+}

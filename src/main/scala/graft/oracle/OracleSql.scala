@@ -207,6 +207,252 @@ object OracleSql {
        |LEFT JOIN latest_scores ls ON a.user_id = ls.user_id""".stripMargin
   }
 
+  // ---- migration validation (sql/migration_queries.sql:8-137) ----
+
+  val migrationChecks: String =
+    """SELECT 'dup_user_pk' AS check_name, COUNT(*) AS violation_count
+      |  FROM (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1)
+      |UNION ALL SELECT 'dup_order_pk', COUNT(*)
+      |  FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+      |UNION ALL SELECT 'multi_line_orders', COUNT(*)
+      |  FROM (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1)
+      |UNION ALL SELECT 'orphan_orders', COUNT(*)
+      |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_custkey IS NULL
+      |UNION ALL SELECT 'orphan_lineitems', COUNT(*)
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderkey IS NULL
+      |UNION ALL SELECT 'null_user_orders', COUNT(*)
+      |  FROM orders WHERE o_custkey IS NULL""".stripMargin
+
+  val countReconciliation: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM customer) AS users_count,
+      |  (SELECT COUNT(*) FROM orders) AS orders_count,
+      |  (SELECT COUNT(*) FROM lineitem) AS payments_count,
+      |  (SELECT COUNT(*) FROM events) AS events_count,
+      |  (SELECT COUNT(*) FROM documents) AS documents_count,
+      |  (SELECT COUNT(*) FROM embeddings) AS embeddings_count""".stripMargin
+
+  def sampleCompare(): String =
+    s"""WITH uf AS (${userFeatures()}),
+       |tx AS ($roleTx),
+       |smp AS (SELECT c_custkey AS user_id FROM customer WHERE c_custkey % 37 = 0),
+       |st AS (SELECT user_id, COUNT(*) AS order_count,
+       |         ${sumMoney("TRUE", "amount")} AS total_spend
+       |       FROM tx GROUP BY user_id),
+       |u AS ($roleUsers)
+       |SELECT s.user_id, u.location_country,
+       |  COALESCE(st.order_count, 0) AS order_count,
+       |  COALESCE(st.total_spend, 0.0) AS total_spend,
+       |  COALESCE(uf.user_id IS NOT NULL, FALSE) AS has_user_features
+       |FROM smp s
+       |JOIN u ON s.user_id = u.user_id
+       |LEFT JOIN st ON s.user_id = st.user_id
+       |LEFT JOIN uf ON s.user_id = uf.user_id""".stripMargin
+
+  // ---- data quality (src/pipelines/data_quality.py) ----
+
+  val dqCompleteness: String =
+    """SELECT
+      |  CAST(COUNT(o_custkey) AS DOUBLE) / COUNT(*) AS o_custkey_completeness,
+      |  CAST(COUNT(o_totalprice) AS DOUBLE) / COUNT(*) AS o_totalprice_completeness,
+      |  CAST(COUNT(o_orderdate) AS DOUBLE) / COUNT(*) AS o_orderdate_completeness,
+      |  CAST(COUNT(o_orderstatus) AS DOUBLE) / COUNT(*) AS o_orderstatus_completeness,
+      |  CAST(COUNT(o_orderpriority) AS DOUBLE) / COUNT(*) AS o_orderpriority_completeness,
+      |  COUNT(*) AS row_count
+      |FROM orders""".stripMargin
+
+  def dqFreshness(asOf: Instant = AsOf.events): String = {
+    val twoHoursAgo = T(AsOf.ts(asOf.minus(java.time.Duration.ofHours(2))))
+    s"""SELECT strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS latest_event,
+       |  ${cntIf(s"ts >= $twoHoursAgo")} AS fresh_events_2h,
+       |  COUNT(*) AS total_events
+       |FROM events""".stripMargin
+  }
+
+  val dqProfile: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  COUNT(*) AS line_count,
+      |  SUM(l_quantity) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |  SUM(l_quantity) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  MIN(l_extendedprice) AS min_price,
+      |  MAX(l_extendedprice) AS max_price,
+      |  ROUND(STDDEV_SAMP(l_quantity), 2) AS stddev_qty
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  val dqOutliers: String =
+    """WITH stats AS (
+      |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS m,
+      |         STDDEV_SAMP(o_totalprice) AS sd
+      |  FROM orders)
+      |SELECT ROUND(s.m, 2) AS mean_amount, ROUND(s.sd, 2) AS stddev_amount,
+      |  COUNT(CASE WHEN o.o_totalprice < s.m - 3 * s.sd
+      |               OR o.o_totalprice > s.m + 3 * s.sd THEN 1 END) AS outlier_count,
+      |  COUNT(*) AS total_count
+      |FROM orders o, stats s GROUP BY s.m, s.sd""".stripMargin
+
+  def dqRowValidation(): String =
+    s"""WITH u AS ($roleUsers),
+       |tx AS ($roleTx),
+       |tf AS (${transactionFeatures()}),
+       |rf AS (${riskFeatures()})
+       |SELECT
+       |  (SELECT ${cntIf("age < 18 OR age > 100")} FROM u) AS age_out_of_range,
+       |  (SELECT ${cntIf("amount < 0")} FROM tx) AS negative_amounts,
+       |  (SELECT ${cntIf("weekend_transaction_ratio < 0 OR weekend_transaction_ratio > 1")}
+       |     FROM tf) AS ratio_out_of_range,
+       |  (SELECT ${cntIf("transactions_declined_30d > total_transactions_30d")}
+       |     FROM tf) AS declined_gt_total,
+       |  (SELECT ${cntIf("payment_delays_30d > payment_delays_90d")}
+       |     FROM rf) AS delays_30d_gt_90d""".stripMargin
+
+  // ---- serving lookups / export / percentiles ----
+
+  def pointLookup(ids: Seq[Long]): String =
+    s"""WITH fv AS (${featureView()})
+       |SELECT * FROM fv WHERE user_id IN (${ids.mkString(", ")})""".stripMargin
+
+  val orderedExport: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin
+
+  val percentiles: String =
+    """SELECT o_orderstatus,
+      |  ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50_amount,
+      |  ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95_amount,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  // ---- ext/: dedup, similarity, text analysis, multimodal ----
+
+  /** Distinct 3-token shingles of a pre-split token list column `t`
+    * (mirror of graft.ext.Dedup.shingles). */
+  private def shingleExpr(t: String, text: String): String =
+    s"""CASE WHEN len($t) >= 3 THEN list_distinct(list_transform(
+       |  generate_series(1, len($t) - 2),
+       |  i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2]))
+       |ELSE [$text] END""".stripMargin
+
+  val dedupExact: String =
+    """SELECT md5(text) AS content_hash, COUNT(*) AS dup_count,
+      |  MIN(doc_id) AS keeper_doc_id
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  def dedupJaccard(threshold: Double): String = {
+    val inter = "len(list_filter(a.sh, x -> list_contains(b.sh, x)))"
+    s"""WITH sh AS (SELECT doc_id, lang, n_chars,
+       |    ${shingleExpr("string_split(text, ' ')", "text")} AS sh
+       |  FROM documents)
+       |SELECT * FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    ROUND(CAST($inter AS DOUBLE) / (len(a.sh) + len(b.sh) - $inter), 4) AS jaccard
+       |  FROM sh a JOIN sh b
+       |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |    AND abs(a.n_chars - b.n_chars) <= 40)
+       |WHERE jaccard >= $threshold""".stripMargin
+  }
+
+  val dedupMinhashPairs: String = {
+    val sigs = (0 until 4).map(i => s"min(md5('$i|' || sh)) AS h$i").mkString(", ")
+    val bands = (0 until 4).map(i => s"SELECT doc_id, $i AS band, h$i AS h FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH t AS (SELECT doc_id,
+       |    unnest(${shingleExpr("string_split(text, ' ')", "text")}) AS sh
+       |  FROM documents),
+       |sig AS (SELECT doc_id, $sigs FROM t GROUP BY doc_id),
+       |bands AS ($bands)
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id""".stripMargin
+  }
+
+  val dedupSimhash: String = {
+    val hi = "('8','9','a','b','c','d','e','f')"
+    val votes = (0 until 32).map(j =>
+      s"SUM(CASE WHEN substr(md5(tok), ${j + 1}, 1) IN $hi THEN 1 ELSE -1 END) AS v$j")
+      .mkString(", ")
+    val bits = (0 until 32).map(j => s"(CASE WHEN v$j > 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    s"""WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM documents),
+       |v AS (SELECT doc_id, $votes FROM t GROUP BY doc_id)
+       |SELECT doc_id, $bits AS simhash FROM v""".stripMargin
+  }
+
+  def similarityTopK(numQueries: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < $numQueries),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    ROUND(list_dot_product(qe, emb)
+       |      / sqrt(list_dot_product(qe, qe) * list_dot_product(emb, emb)), 6) AS cosine
+       |  FROM e, q WHERE e.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= $k""".stripMargin
+
+  val annBuckets: String = {
+    val hi = "('8','9','a','b','c','d','e','f')"
+    def proj(p: Int) =
+      s"""list_sum(list_transform(generate_series(1, 64),
+         |  j -> emb[j] * (CASE WHEN substr(md5('$p|' || j), 1, 1) IN $hi
+         |                 THEN 1.0 ELSE -1.0 END)))""".stripMargin
+    val bits = (0 until 8).map(p => s"(CASE WHEN ${proj(p)} > 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |b AS (SELECT vec_id, $bits AS bucket FROM e)
+       |SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+       |FROM b GROUP BY bucket""".stripMargin
+  }
+
+  val textStats: String = {
+    val stop = "('the','a','of','and','to','in','is')"
+    s"""WITH d AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents)
+       |SELECT doc_id, lang,
+       |  len(t) AS token_count,
+       |  len(list_distinct(t)) AS distinct_tokens,
+       |  ROUND(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t), 4)
+       |    AS avg_token_len,
+       |  ROUND(CAST(len(list_filter(t, x -> x IN $stop)) AS DOUBLE) / len(t), 4)
+       |    AS stopword_ratio,
+       |  ROUND(LEAST(1.0, CAST(len(t) AS DOUBLE) / 100) * 0.4
+       |    + (1.0 - CAST(len(list_filter(t, x -> x IN $stop)) AS DOUBLE) / len(t)) * 0.3
+       |    + CAST(len(list_distinct(t)) AS DOUBLE) / len(t) * 0.3, 4) AS quality_score
+       |FROM d""".stripMargin
+  }
+
+  val langId: String = {
+    val en = "('the','a','of','and','to','in','is')"
+    val es = "('el','la','de','que','y')"
+    s"""WITH d AS (SELECT lang,
+       |    len(list_filter(string_split(text, ' '), x -> x IN $en)) AS en_hits,
+       |    len(list_filter(string_split(text, ' '), x -> x IN $es)) AS es_hits
+       |  FROM documents)
+       |SELECT lang,
+       |  CASE WHEN en_hits > es_hits AND en_hits > 0 THEN 'en'
+       |       WHEN es_hits > en_hits THEN 'es' ELSE 'und' END AS detected,
+       |  COUNT(*) AS doc_count
+       |FROM d GROUP BY 1, 2""".stripMargin
+  }
+
+  val docFingerprints: String =
+    s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+       |SELECT doc_id,
+       |  md5(concat_ws(' ', t[1], t[2], t[3], t[4], t[5])) AS prefix_fp,
+       |  list_min(list_transform(${shingleExpr("t", "text")}, x -> md5(x)))
+       |    AS min_shingle_fp
+       |FROM d""".stripMargin
+
+  val mediaStats: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+      |  'text/plain' AS mime, CAST(n_chars AS BIGINT) AS content_length
+      |FROM documents""".stripMargin
+
   // ---- feature_view (sql/migration_queries.sql:143-166 + risk bucketing) ----
 
   def featureView(): String =
