@@ -59,6 +59,10 @@ object SparkEntry {
     "lang_id"              -> ((s, dir) => ext.TextAnalysis.langId(core.Tables.documents(s, dir))),
     "doc_fingerprints"     -> ((s, dir) => ext.TextAnalysis.fingerprints(core.Tables.documents(s, dir))),
     "media_stats"          -> ((s, dir) => ext.Multimodal.mediaStats(core.Tables.documents(s, dir))),
+    "event_parse_stats"    -> ((s, dir) => StreamAnalogJobs.eventParseStats(s, dir)),
+    "velocity_windows"     -> ((s, dir) => StreamAnalogJobs.velocityWindows(s, dir)),
+    "merge_upsert"         -> ((s, dir) => canon(StreamAnalogJobs.mergeUpsert(s, dir))),
+    "approx_distinct"      -> ((s, dir) => StreamAnalogJobs.approxDistinct(s, dir)),
   )
 
   /** Deterministic probe-id sets for the lookup queries (S2/S3): a handful
@@ -97,5 +101,10 @@ object SparkEntry {
     "lang_id"              -> OracleSql.langId,
     "doc_fingerprints"     -> OracleSql.docFingerprints,
     "media_stats"          -> OracleSql.mediaStats,
+    "event_parse_stats"    -> OracleSql.eventParseStats,
+    "velocity_windows"     -> OracleSql.velocityWindows(),
+    "merge_upsert"         -> OracleSql.mergeUpsert(),
+    // approx_distinct: intentionally no oracle — HLL sketches are
+    // engine-specific; the driver records a rows-only check (A16).
   )
 }

@@ -1,0 +1,74 @@
+package graft.jobs
+
+import java.time.{Duration, Instant}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{AsOf, Roles, Tables}
+import graft.ops.Ops._
+import graft.sinks.MergeByKey
+
+/** Batch-shaped analogs of the streaming operators, for the correctness
+  * gate: the streaming path (graft.streaming.*) is exercised by ScalaTest
+  * with MemoryStream; these queries pin the same semantics to DuckDB oracles
+  * over the static events table.
+  */
+object StreamAnalogJobs {
+
+  /** ST1/ST2 analog: per-type parse/validity stats of the event envelope
+    * (valid = JSON props parses; the router's input census). */
+  def eventParseStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countIf(get_json_object(col("props"), "$.k").isNotNull).as("valid_props"),
+        count_distinct(col("user_id")).as("n_users"))
+
+  /** ST6 analog: exact rolling 5m/1h/24h windows at the anchor, per user —
+    * the same formulas VelocityFeatures computes statefully
+    * (docs/ADVANCED.md:894-925). */
+  def velocityWindows(spark: SparkSession, dir: String,
+                      asOf: Instant = AsOf.events): DataFrame = {
+    def backLit(d: Duration) = to_timestamp(lit(AsOf.ts(asOf.minus(d))))
+    val in5m  = col("ts") >= backLit(Duration.ofMinutes(5))
+    val in1h  = col("ts") >= backLit(Duration.ofHours(1))
+    Tables.events(spark, dir)
+      .filter(col("ts") >= backLit(Duration.ofHours(24)))
+      .groupBy("user_id")
+      .agg(
+        countIf(in5m).as("transaction_velocity_5m"),
+        orZeroD(sumMoney(in5m, col("value"))).as("spending_velocity_5m"),
+        countIf(in1h).as("transactions_last_hour"),
+        countDistinctIf(in1h, get_json_object(col("props"), "$.k"))
+          .as("unique_merchants_last_hour"),
+        ratio(countIf(col("event_type") =!= "error"), count(lit(1)))
+          .as("payment_success_rate_24h"))
+  }
+
+  /** S9/ST4 analog: merge last-7d risk-score updates into the prior
+    * snapshot — updates win, untouched users survive. */
+  def mergeUpsert(spark: SparkSession, dir: String,
+                  asOf: Instant = AsOf.events): DataFrame = {
+    val cut = to_timestamp(lit(AsOf.minusDays(asOf, 7)))
+    val scores = Roles.riskScores(spark, dir)
+    def latest(df: DataFrame) = topOnePerKey(df,
+      Seq(col("user_id")), Seq(col("computed_at").desc, col("score_id").desc))
+      .select("user_id", "risk_score", "computed_at")
+    val old     = latest(scores.filter(col("computed_at") < cut))
+    val updates = latest(scores.filter(col("computed_at") >= cut))
+    MergeByKey.merge(old, updates, Seq("user_id"))
+  }
+
+  /** A16: approximate distinct counts next to their exact counterparts.
+    * No oracle entry — HLL sketches are engine-specific by construction;
+    * the ScalaTest suite bounds the relative error instead. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        approx_count_distinct(col("o_custkey")).as("approx_users"),
+        count_distinct(col("o_custkey")).as("exact_users"),
+        count(lit(1)).as("n_orders"))
+}

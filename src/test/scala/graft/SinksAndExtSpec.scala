@@ -1,0 +1,101 @@
+package graft
+
+import graft.sinks.MergeByKey
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Merge-by-key upsert semantics (S9) and the ext/ operator sanity beyond
+  * what the DuckDB oracles already pin. */
+class SinksAndExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MergeByKey: updates win, untouched rows survive, new keys insert (S9)") {
+    val current = Seq((1L, "old1"), (2L, "old2")).toDF("user_id", "v")
+    val updates = Seq((2L, "new2"), (3L, "new3")).toDF("user_id", "v")
+    val merged = MergeByKey.merge(current, updates, Seq("user_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged == Map(1L -> "old1", 2L -> "new2", 3L -> "new3"))
+  }
+
+  test("exact dedup keeps the smallest doc_id per content hash") {
+    val docs = Seq((10L, "same text"), (3L, "same text"), (7L, "unique"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs).collect()
+      .map(r => r.getAs[Long]("dup_count") -> r.getAs[Long]("keeper_doc_id")).toSet
+    assert(out == Set(2L -> 3L, 1L -> 7L))
+  }
+
+  test("jaccard pairs detect planted near-dups; minhash candidates cover them") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val verified = Dedup.jaccardPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assume(verified.nonEmpty, "corpus plants near-duplicates")
+    val candidates = Dedup.minhashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.subsetOf(candidates),
+      s"LSH candidates must cover verified pairs; missing ${verified -- candidates}")
+  }
+
+  test("simhash signatures of near-dup pairs are close in Hamming distance") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val pairs = Dedup.jaccardPairs(docs, 0.5).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assume(pairs.nonEmpty)
+    val sig = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (a, b) = pairs.head
+    val ham = sig(a).zip(sig(b)).count { case (x, y) => x != y }
+    assert(ham <= 6, s"near-dup simhash hamming=$ham of 32")
+  }
+
+  test("brute-force top-k is k rows per query, self excluded, ranks contiguous") {
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    val topk = Similarity.bruteTopK(emb, 3, 5).collect()
+    assert(topk.length == 15)
+    val byQuery = topk.groupBy(_.getAs[Long]("query_id"))
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 5))
+      rows.foreach(r => assert(r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+    }
+  }
+
+  test("LSH candidates only pair vectors sharing a bucket") {
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    val buckets = Similarity.withBucket(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("bucket")).toMap
+    val cands = Similarity.lshCandidates(emb).collect()
+    assert(cands.nonEmpty)
+    cands.foreach { r =>
+      assert(buckets(r.getAs[Long]("vec_a")) == buckets(r.getAs[Long]("vec_b")))
+    }
+  }
+
+  test("text quality score is bounded and language-ID emits a confusion census") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val qs = TextAnalysis.textStats(docs).select("quality_score").as[Double].collect()
+    assert(qs.forall(q => q >= 0.0 && q <= 1.0))
+    assert(TextAnalysis.langId(docs).count() > 0)
+  }
+
+  test("multimodal decode stub: deterministic, one row per media, positive norms") {
+    val docs = graft.core.Tables.documents(spark, sf0001).limit(50)
+    val media = Multimodal.asMediaTable(docs)
+    val d1 = Multimodal.decodeFeatures(spark, media).collect().sortBy(_.getLong(0))
+    val d2 = Multimodal.decodeFeatures(spark, media).collect().sortBy(_.getLong(0))
+    assert(d1.length == 50)
+    assert(d1.map(_.getDouble(2)).forall(_ > 0.0))
+    assert(d1.map(_.toString).sameElements(d2.map(_.toString)), "stub decode is deterministic")
+  }
+
+  test("ML face: vectorized features + seeded segments + MLlib LSH near-dup") {
+    val fv = jobs.FeatureViewJob(spark, sf0001)
+    val vec = ml.FeaturePipeline.vectorize(fv)
+    assert(vec.schema.fieldNames.contains("features") && vec.schema.fieldNames.contains("risk_bucket"))
+    val seg = ml.FeaturePipeline.segment(vec)
+    assert(seg.select("segment").distinct().count() <= 3)
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val lshPairs = ml.FeaturePipeline.lshNearDup(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Dedup.jaccardPairs(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.subsetOf(lshPairs), "MLlib MinHashLSH finds the planted near-dups")
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{EventPipeline, VelocityFeatures}
+import graft.streaming.VelocityFeatures.TxnEvent
+
+/** Streaming operators ST1-ST9 driven through MemoryStream — parse/validate,
+  * routing, invalidation sets, point-update merge, and the stateful
+  * velocity-window path cross-checked against the batch formulas. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("ST1: parse keeps malformed rows with valid=false") {
+    val raw = Seq(
+      """{"event_id":1,"ts":"2024-01-01T10:00:00Z","user_id":5,"event_type":"purchase","value":10.0,"props":"{}"}""",
+      """not json at all""",
+      """{"event_id":2,"ts":"2024-01-01T10:01:00Z","user_id":null,"event_type":"click","value":1.0,"props":"{}"}"""
+    ).toDF("value")
+    val parsed = EventPipeline.parse(raw).collect()
+    assert(parsed.length == 3)
+    assert(parsed.count(_.getAs[Boolean]("valid")) == 1)
+  }
+
+  test("ST2: router maps corpus event types onto the four handlers + dead letter") {
+    val evs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 5L, "signup", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:00:00"), 5L, "purchase", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:00:00"), 5L, "error", 1.0, "{}"),
+      (4L, ts("2024-01-01 10:00:00"), 5L, "view", 1.0, "{}"),
+      (5L, ts("2024-01-01 10:00:00"), 5L, "mystery", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val routes = EventPipeline.route(evs).select("event_type", "route").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(routes == Map(
+      "signup" -> "user_features", "purchase" -> "transaction_features",
+      "error" -> "risk_features", "view" -> "cache_touch", "mystery" -> "dead_letter"))
+  }
+
+  test("ST3/ST4/ST9: run() with checkpoint delivers batches; invalidation set and point-merge work") {
+    val input = MemoryStream[String](spark)
+    input.addData(
+      """{"event_id":1,"ts":"2024-01-01T10:00:00Z","user_id":5,"event_type":"purchase","value":250.0,"props":"{}"}""",
+      """{"event_id":2,"ts":"2024-01-01T11:00:00Z","user_id":5,"event_type":"purchase","value":400.0,"props":"{}"}""",
+      """{"event_id":3,"ts":"2024-01-01T10:30:00Z","user_id":8,"event_type":"signup","value":1.0,"props":"{}"}""")
+    val checkpoint = Files.createTempDirectory("graft-ckpt").toString
+    var invalidations = Set.empty[(Long, String)]
+    var merged: Map[Long, Double] = Map.empty
+    val current = Seq((5L, 0.1, ts("2023-12-01 00:00:00")), (9L, 0.9, ts("2023-12-01 00:00:00")))
+      .toDF("user_id", "risk_score", "computed_at")
+    val q = EventPipeline.run(input.toDF(), checkpoint) { (batch, _) =>
+      invalidations ++= EventPipeline.invalidationSet(batch).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      merged = EventPipeline.applyPointUpdates(current, batch).collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("risk_score")).toMap
+    }
+    q.awaitTermination(60000)
+    assert(invalidations == Set((5L, "transaction_features"), (8L, "user_features")))
+    // latest purchase for user 5 = 400.0/500 = 0.8 (update wins); user 9 untouched
+    assert(merged == Map(5L -> 0.8, 9L -> 0.9))
+  }
+
+  test("ST6: stateful velocity windows match the exact rolling formulas") {
+    val input = MemoryStream[TxnEvent](spark)
+    val events = Seq(
+      TxnEvent(1L, ts("2024-01-01 10:00:00"), 100.0, 1, success = true),
+      TxnEvent(1L, ts("2024-01-01 10:03:00"), 50.0, 2, success = false),
+      TxnEvent(1L, ts("2024-01-01 10:59:00"), 25.0, 1, success = true))
+    input.addData(events: _*)
+    val q = VelocityFeatures.stream(input.toDS()).writeStream
+      .format("memory").queryName("velocity").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("velocity").as[VelocityFeatures.VelocityRow]
+      .collect().sortBy(_.as_of.getTime)
+    assert(rows.length == 3)
+    val last = rows.last // at 10:59: 5m window has only the 10:59 event
+    assert(last.transaction_velocity_5m == 1L)
+    assert(last.spending_velocity_5m == 25.0)
+    assert(last.transactions_last_hour == 3L)
+    assert(last.unique_merchants_last_hour == 2L)
+    assert(last.payment_success_rate_24h == 2.0 / 3.0)
+    // cross-check against the batch formulas at the same instant
+    val batchRow = VelocityFeatures.featuresAt(1L, ts("2024-01-01 10:59:00"), events.reverse.toList)
+    assert(batchRow == last)
+  }
+
+  test("ST7: events beyond the 24h horizon are evicted from state") {
+    val input = MemoryStream[TxnEvent](spark)
+    input.addData(TxnEvent(2L, ts("2024-01-01 10:00:00"), 10.0, 1, success = true))
+    val q = VelocityFeatures.stream(input.toDS()).writeStream
+      .format("memory").queryName("velocity2").outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(TxnEvent(2L, ts("2024-01-03 10:00:01"), 20.0, 2, success = true))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("velocity2").as[VelocityFeatures.VelocityRow]
+      .collect().sortBy(_.as_of.getTime)
+    // second emission sees only itself in every window (day-old event pruned)
+    assert(rows.last.transactions_last_hour == 1L)
+    assert(rows.last.payment_success_rate_24h == 1.0)
+  }
+}
