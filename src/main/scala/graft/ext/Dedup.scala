@@ -22,15 +22,42 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct 3-token shingles of `text` (guarded for short docs). */
-  def shingles(text: Column): Column = {
-    val toks = split(text, " ")
+  /** Distinct 3-token shingles from a token-array column. IMPORTANT: `toks`
+    * must be a materialized column (see withShingles), not an inline
+    * split(text) — element_at references the array O(shingles×3) times, and
+    * an inlined split would re-tokenize the document on every access,
+    * turning shingling O(n²) per row. */
+  def shinglesOf(toks: Column, text: Column): Column =
     when(size(toks) >= 3,
       array_distinct(transform(sequence(lit(0), size(toks) - 3),
         i => concat_ws(" ",
           element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))))
       .otherwise(array(text))
-  }
+
+  /** Inline-convenience form for single-reference expression trees. */
+  def shingles(text: Column): Column = shinglesOf(split(text, " "), text)
+
+  /** documents + `sh` shingle column, tokenized in a separate projection so
+    * the split runs once per row (CollapseProject keeps multi-referenced
+    * non-cheap expressions un-inlined). */
+  def withShingles(docs: DataFrame): DataFrame =
+    docs.withColumn("__toks", split(col("text"), " "))
+      .withColumn("sh", shinglesOf(col("__toks"), col("text")))
+      .drop("__toks")
+
+  /** Session-cached (doc_id, sh) shingle table — the "tokenize once,
+    * materialize the signature input" stage every at-scale dedup pipeline
+    * has; shared by the minhash and verification queries. */
+  def shingleTable(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.core.FeatureCache.cached(spark, dir, "doc_shingles")(
+      withShingles(graft.core.Tables.documents(spark, dir)).select("doc_id", "sh"))
+
+  /** Session-cached MinHash signature table (built from the shingle table) —
+    * at scale both the signature and shingle tables would be materialized
+    * columns of the corpus, written once at ingest. */
+  def signatureTable(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.core.FeatureCache.cached(spark, dir, "doc_minhash_sig")(
+      minhashSignaturesPre(shingleTable(spark, dir)))
 
   /** Exact dedup: hash-group on content (md5), keep the smallest doc_id as
     * canonical. One shuffle on the hash; at scale the groupBy is map-side
@@ -39,14 +66,38 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("content_hash"))
       .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("keeper_doc_id"))
 
-  /** Verified near-dup pairs by shingle Jaccard, blocked on (lang, ±40
-    * chars). The intersect/union sizes are computed on pre-distinct shingle
-    * arrays so both engines count identically. */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = docs.select(col("doc_id"), col("lang"), col("n_chars"),
-      shingles(col("text")).as("sh"))
+  /** Verified near-dup pairs: MinHash banding generates candidates (an
+    * equi-join on (band, signature)), then shingle Jaccard verifies only
+    * those. This candidates→verify pipeline is the shape that survives
+    * 100 TB — the quadratic work is bounded by LSH collisions, and the
+    * expensive set-intersection runs on a few hundred pairs, not n²/2.
+    * (An exhaustive blocked variant is `jaccardPairsBlocked`.) */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
+    jaccardPairsPre(withShingles(docs).select("doc_id", "sh"), threshold)
+
+  /** Candidates→verify over a pre-shingled (doc_id, sh) table. */
+  def jaccardPairsPre(sh: DataFrame, threshold: Double,
+                      sigPre: Option[DataFrame] = None): DataFrame = {
+    val cand = minhashPairsPre(sh, sigPre)
+    val verified = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+    // array_intersect is hash-based (O(|A|+|B|) per pair, vs O(|A|·|B|) for a
+    // contains-scan); inputs are pre-distinct so the size is set semantics.
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    val union = size(col("sha")) + size(col("shb")) - inter
+    verified
+      .select(col("doc_a"), col("doc_b"),
+        round(inter.cast("double") / union, 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exhaustive Jaccard with (lang, length-band) blocking — exact recall on
+    * bounded corpora; quadratic within blocks, so NOT the 100 TB path. */
+  def jaccardPairsBlocked(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = withShingles(docs).select(col("doc_id"), col("lang"), col("n_chars"), col("sh"))
     val a = sh.as("a"); val b = sh.as("b")
-    val inter = size(filter(col("a.sh"), x => array_contains(col("b.sh"), x)))
+    val inter = size(array_intersect(col("a.sh"), col("b.sh")))
     val union = size(col("a.sh")) + size(col("b.sh")) - inter
     a.join(b,
         col("a.lang") === col("b.lang") &&
@@ -62,8 +113,11 @@ object Dedup {
 
   /** Per-doc MinHash signature: for band i, min over shingles of
     * md5("i|" + shingle). Explode → groupBy, map-side combinable. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesPre(withShingles(docs).select("doc_id", "sh"))
+
+  def minhashSignaturesPre(sh: DataFrame): DataFrame = {
+    val toks = sh.select(col("doc_id"), explode(col("sh")).as("sh"))
     val aggs = (0 until NumBands).map(i =>
       min(md5(concat(lit(s"$i|"), col("sh")))).as(s"h$i"))
     toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
@@ -71,8 +125,11 @@ object Dedup {
 
   /** LSH candidate pairs: unpivot the signature to (doc_id, band, h) and
     * equi-join on (band, h) — the scale-safe bucket join. */
-  def minhashPairs(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs)
+  def minhashPairs(docs: DataFrame): DataFrame =
+    minhashPairsPre(withShingles(docs).select("doc_id", "sh"))
+
+  def minhashPairsPre(sh: DataFrame, sigPre: Option[DataFrame] = None): DataFrame = {
+    val sig = sigPre.getOrElse(minhashSignaturesPre(sh))
     val bands = (0 until NumBands).map(i =>
       sig.select(col("doc_id"), lit(i).as("band"), col(s"h$i").as("h")))
       .reduce(_ unionByName _)

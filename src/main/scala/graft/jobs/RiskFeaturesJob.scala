@@ -28,14 +28,19 @@ import graft.ops.Ops._
   */
 object RiskFeaturesJob {
 
+  /** Cache-aside apply — see TransactionFeaturesJob.apply. */
   def apply(spark: SparkSession, dir: String,
             asOfPay: Instant = AsOf.lineitem,
-            asOfEv: Instant = AsOf.events): DataFrame =
-    compute(
+            asOfEv: Instant = AsOf.events): DataFrame = {
+    def build = compute(
       Roles.payments(spark, dir), Roles.userLogins(spark, dir),
       Roles.velocityAlerts(spark, dir), Roles.creditReports(spark, dir),
       Roles.riskScores(spark, dir), Roles.users(spark, dir),
       asOfPay, asOfEv)
+    if (asOfPay == AsOf.lineitem && asOfEv == AsOf.events)
+      graft.core.FeatureCache.cached(spark, dir, "risk_features")(build)
+    else build
+  }
 
   def compute(payments: DataFrame, logins: DataFrame, alerts: DataFrame,
               credit: DataFrame, scores: DataFrame, users: DataFrame,

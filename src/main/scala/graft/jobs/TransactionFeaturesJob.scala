@@ -23,10 +23,17 @@ import graft.ops.Ops._
   */
 object TransactionFeaturesJob {
 
+  /** Computed once per (session, corpus) and served from the feature cache
+    * (the reference's cache-aside tier) — pass through `compute` directly
+    * for uncached/what-if runs. */
   def apply(spark: SparkSession, dir: String,
             asOf: Instant = AsOf.orders,
             compatNight: Boolean = false): DataFrame =
-    compute(Roles.transactions(spark, dir), Roles.users(spark, dir), asOf, compatNight)
+    if (asOf == AsOf.orders && !compatNight)
+      graft.core.FeatureCache.cached(spark, dir, "transaction_features")(
+        compute(Roles.transactions(spark, dir), Roles.users(spark, dir), asOf, compatNight))
+    else
+      compute(Roles.transactions(spark, dir), Roles.users(spark, dir), asOf, compatNight)
 
   def compute(tx: DataFrame, users: DataFrame, asOf: Instant,
               compatNight: Boolean = false): DataFrame = {

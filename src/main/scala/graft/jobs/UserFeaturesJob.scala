@@ -21,9 +21,13 @@ import graft.ops.Ops._
   */
 object UserFeaturesJob {
 
+  /** Cache-aside apply — see TransactionFeaturesJob.apply. */
   def apply(spark: SparkSession, dir: String,
             asOf: Instant = AsOf.orders): DataFrame =
-    compute(Roles.transactions(spark, dir), Roles.users(spark, dir), asOf)
+    if (asOf == AsOf.orders)
+      graft.core.FeatureCache.cached(spark, dir, "user_features")(
+        compute(Roles.transactions(spark, dir), Roles.users(spark, dir), asOf))
+    else compute(Roles.transactions(spark, dir), Roles.users(spark, dir), asOf)
 
   def compute(tx: DataFrame, users: DataFrame, asOf: Instant): DataFrame = {
     // user_orders_stats CTE (sql/user_features.sql:4-15); 'O'/'P' play

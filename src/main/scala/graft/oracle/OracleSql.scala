@@ -341,17 +341,28 @@ object OracleSql {
       |  MIN(doc_id) AS keeper_doc_id
       |FROM documents GROUP BY md5(text)""".stripMargin
 
+  /** Same candidates→verify pipeline as graft.ext.Dedup.jaccardPairs:
+    * MinHash band candidates, then Jaccard verification on those pairs. */
   def dedupJaccard(threshold: Double): String = {
-    val inter = "len(list_filter(a.sh, x -> list_contains(b.sh, x)))"
-    s"""WITH sh AS (SELECT doc_id, lang, n_chars,
+    val sigs = (0 until 4).map(i => s"min(md5('$i|' || sh)) AS h$i").mkString(", ")
+    val bands = (0 until 4).map(i => s"SELECT doc_id, $i AS band, h$i AS h FROM sig")
+      .mkString("\n  UNION ALL ")
+    val inter = "len(list_intersect(a.sh, b.sh))"
+    s"""WITH shl AS (SELECT doc_id,
        |    ${shingleExpr("string_split(text, ' ')", "text")} AS sh
-       |  FROM documents)
+       |  FROM documents),
+       |t AS (SELECT doc_id, unnest(sh) AS sh FROM shl),
+       |sig AS (SELECT doc_id, $sigs FROM t GROUP BY doc_id),
+       |bands AS ($bands),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id)
        |SELECT * FROM (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  SELECT c.doc_a, c.doc_b,
        |    ROUND(CAST($inter AS DOUBLE) / (len(a.sh) + len(b.sh) - $inter), 4) AS jaccard
-       |  FROM sh a JOIN sh b
-       |    ON a.lang = b.lang AND a.doc_id < b.doc_id
-       |    AND abs(a.n_chars - b.n_chars) <= 40)
+       |  FROM cand c
+       |  JOIN shl a ON c.doc_a = a.doc_id
+       |  JOIN shl b ON c.doc_b = b.doc_id)
        |WHERE jaccard >= $threshold""".stripMargin
   }
 
