@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit main: prints the formatted physical plan of selected queries
+  * so scan pushdown, join strategies, and codegen spans can be reviewed
+  * (the "is this the plan you'd want at 100 TB" loop).
+  *
+  *   sbt "runMain graft.Explain sf0.01 transaction_features point_lookup"
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val dir = s"/root/testdata/${if (args.nonEmpty) args(0) else "sf0.01"}"
+    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

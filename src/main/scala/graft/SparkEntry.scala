@@ -65,6 +65,9 @@ object SparkEntry {
     "velocity_windows"     -> ((s, dir) => StreamAnalogJobs.velocityWindows(s, dir)),
     "merge_upsert"         -> ((s, dir) => canon(StreamAnalogJobs.mergeUpsert(s, dir))),
     "approx_distinct"      -> ((s, dir) => StreamAnalogJobs.approxDistinct(s, dir)),
+    "keyset_page"          -> ((s, dir) => serving.Lookups.keysetPage(s, dir, 5000L, 100)),
+    "feature_bundles"      -> ((s, dir) => serving.Lookups.featureBundles(s, dir)),
+    "random_sample"        -> ((s, dir) => serving.Lookups.randomSample(s, dir, 100)),
   )
 
   /** Deterministic probe-id sets for the lookup queries (S2/S3): a handful
@@ -106,7 +109,11 @@ object SparkEntry {
     "event_parse_stats"    -> OracleSql.eventParseStats,
     "velocity_windows"     -> OracleSql.velocityWindows(),
     "merge_upsert"         -> OracleSql.mergeUpsert(),
+    "keyset_page"          -> OracleSql.keysetPage(5000L, 100),
+    "feature_bundles"      -> OracleSql.featureBundles(),
     // approx_distinct: intentionally no oracle — HLL sketches are
     // engine-specific; the driver records a rows-only check (A16).
+    // random_sample: rand(seed) is not cross-engine reproducible (O2/F15)
+    // — rows-only check.
   )
 }

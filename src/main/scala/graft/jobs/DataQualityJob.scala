@@ -38,7 +38,10 @@ object DataQualityJob {
     Tables.events(spark, dir).agg(
       date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("latest_event"),
       countIf(col("ts") >= twoHoursAgo).as("fresh_events_2h"),
-      count(lit(1)).as("total_events"))
+      count(lit(1)).as("total_events"),
+      // F7: EXTRACT(EPOCH FROM t2 - t1) — staleness at the anchor in seconds
+      (lit(asOf.getEpochSecond) - unix_timestamp(max(col("ts"))))
+        .as("staleness_seconds"))
   }
 
   /** Statistical profile by return flag/line status (data_quality.py:273-284

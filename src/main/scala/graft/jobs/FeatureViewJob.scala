@@ -23,6 +23,22 @@ object FeatureViewJob {
       TransactionFeaturesJob(spark, dir),
       RiskFeaturesJob(spark, dir))
 
+  /** Dynamic join assembly (J8 — docs/ADVANCED.md:321-391's per-request
+    * query builder): only the requested feature groups are joined; Catalyst
+    * prunes and plans the reduced tree, replacing the reference's manual
+    * materialized-view-vs-inline heuristic. */
+  def assemble(spark: SparkSession, dir: String, groups: Set[String]): DataFrame = {
+    require(groups.nonEmpty && groups.subsetOf(Set("user", "transaction", "risk")))
+    val parts = Seq(
+      "user"        -> (() => UserFeaturesJob(spark, dir)),
+      "transaction" -> (() => TransactionFeaturesJob(spark, dir)
+        .drop("created_at", "updated_at")),
+      "risk"        -> (() => RiskFeaturesJob(spark, dir)
+        .drop("created_at", "updated_at")))
+    parts.collect { case (g, build) if groups(g) => build() }
+      .reduce(_.join(_, Seq("user_id"), "left"))
+  }
+
   def compute(uf: DataFrame, tf: DataFrame, rf: DataFrame): DataFrame =
     uf.select("user_id", "age", "location_country", "total_orders", "avg_order_value",
         "days_since_first_order", "preferred_payment_method", "account_verified")

@@ -267,7 +267,9 @@ object OracleSql {
     val twoHoursAgo = T(AsOf.ts(asOf.minus(java.time.Duration.ofHours(2))))
     s"""SELECT strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS latest_event,
        |  ${cntIf(s"ts >= $twoHoursAgo")} AS fresh_events_2h,
-       |  COUNT(*) AS total_events
+       |  COUNT(*) AS total_events,
+       |  ${asOf.getEpochSecond} - CAST(epoch(date_trunc('second', MAX(ts))) AS BIGINT)
+       |    AS staleness_seconds
        |FROM events""".stripMargin
   }
 
@@ -318,6 +320,21 @@ object OracleSql {
   val orderedExport: String =
     """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
       |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin
+
+  def keysetPage(afterKey: Long, pageSize: Int): String =
+    s"""SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+       |FROM orders WHERE o_orderkey > $afterKey
+       |ORDER BY o_orderkey LIMIT $pageSize""".stripMargin
+
+  def featureBundles(): String =
+    s"""WITH fv AS (${featureView()})
+       |SELECT user_id, to_json(struct_pack(
+       |  user_id := user_id,
+       |  total_orders := total_orders,
+       |  total_transactions_30d := total_transactions_30d,
+       |  preferred_payment_method := COALESCE(preferred_payment_method, 'none'),
+       |  risk_category := risk_category))::VARCHAR AS bundle
+       |FROM fv""".stripMargin
 
   val percentiles: String =
     """SELECT o_orderstatus,

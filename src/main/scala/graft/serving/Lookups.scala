@@ -37,6 +37,43 @@ object Lookups {
       .orderBy("o_orderkey")
       .limit(limit)
 
+  /** Keyset pagination (the scale-correct replacement for the reference's
+    * LIMIT/OFFSET batch copy, src/pipelines/migration.py:439-448 — OFFSET
+    * re-scans skipped rows; a keyset predicate pushes down and seeks). */
+  def keysetPage(spark: SparkSession, dir: String,
+                 afterKey: Long, pageSize: Int): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .filter(col("o_orderkey") > afterKey)
+      .orderBy("o_orderkey")
+      .limit(pageSize)
+
+  /** Seeded random validation sample (O2/F15 — the reference's ORDER BY
+    * RANDOM() LIMIT 1000, sql/migration_queries.sql:117-122). rand(seed) is
+    * deterministic within Spark but not across engines → rows-only check. */
+  def randomSample(spark: SparkSession, dir: String, n: Int): DataFrame =
+    Tables.customer(spark, dir)
+      .orderBy(rand(42L), col("c_custkey"))
+      .limit(n)
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  /** JSON feature bundle (F11 — the jsonb_build_object optimization path,
+    * docs/PERFORMANCE.md:66-103): one JSON blob per user from the serving
+    * view, exactly the cache value the reference stores per user. Bundle
+    * fields are integer/string so both engines render identical JSON. */
+  def featureBundles(spark: SparkSession, dir: String): DataFrame =
+    FeatureViewJob(spark, dir).select(
+      col("user_id"),
+      to_json(struct(
+        col("user_id"),
+        col("total_orders"),
+        col("total_transactions_30d"),
+        // null-coalesced: Spark's to_json OMITS null fields while other
+        // engines render them — bundles must be null-free to be portable
+        coalesce(col("preferred_payment_method"), lit("none"))
+          .as("preferred_payment_method"),
+        col("risk_category"))).as("bundle"))
+
   /** Percentile profile per status group (O4 — the reference computes p95
     * client-side over sorted latencies, scripts/benchmark.py:101; here it is
     * a distributed exact percentile). */

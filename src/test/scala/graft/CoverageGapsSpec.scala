@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.core.DataGen
+import graft.ops.ModeAggregator
+import graft.sinks.MergeByKey
+
+/** The remaining SURVEY §2 surface: typed mode Aggregator (§2.10), seeded
+  * data generation (S13/F15/F16), partitioned warehouse writes + retention
+  * (S10/S11), dynamic join assembly (J8). */
+class CoverageGapsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ModeAggregator (typed, single-pass) agrees with the two-aggregate idiom") {
+    val df = Seq((1L, "b"), (1L, "a"), (1L, "a"), (1L, "b"), (2L, "z"), (2L, "z"))
+      .toDF("k", "v")
+    val viaAgg = df.groupBy("k").agg(ModeAggregator.column(col("v")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaIdiom = graft.ops.Ops.deterministicMode(df, "k", "v")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaAgg == viaIdiom && viaAgg == Map(1L -> "a", 2L -> "z"))
+  }
+
+  test("DataGen: seeded, deterministic, weighted segments, uuid per row (S13/F15/F16)") {
+    val u1 = DataGen.users(spark, 1000)
+    val u2 = DataGen.users(spark, 1000)
+    val seg1 = u1.groupBy("segment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val seg2 = u2.groupBy("segment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(seg1 == seg2, "same seed → same distribution")
+    assert(seg1("regular") > seg1("premium"), "weights applied")
+    assert(u1.select("registration_token").distinct().count() == 1000L, "uuid unique")
+    val o = DataGen.orders(spark, 100, 5)
+    assert(o.count() == 500)
+    assert(o.agg(min("amount")).collect()(0).getDouble(0) > 0.0)
+  }
+
+  test("partitioned warehouse write + dynamic overwrite + retention (S10/S11)") {
+    val base = Files.createTempDirectory("graft-warehouse").toString
+    val day1 = Seq((1L, 10.0, "2024-01-01"), (2L, 20.0, "2024-01-02"))
+      .toDF("user_id", "v", "partition_date")
+    MergeByKey.overwritePartitions(day1, base, "partition_date")
+    // dynamic overwrite: replace only 2024-01-02, keep 2024-01-01
+    val day2 = Seq((2L, 99.0, "2024-01-02")).toDF("user_id", "v", "partition_date")
+    MergeByKey.overwritePartitions(day2, base, "partition_date")
+    val after = spark.read.parquet(base)
+    assert(after.count() == 2)
+    assert(after.filter($"partition_date" === "2024-01-02").select("v")
+      .collect()(0).getDouble(0) == 99.0)
+    // retention (730-day expiry analog, bigquery_schema.sql:23): drop old partitions
+    val kept = spark.read.parquet(base).filter($"partition_date" >= "2024-01-02")
+    MergeByKey.overwritePartitions(kept, base + "-retained", "partition_date")
+    assert(spark.read.parquet(base + "-retained").count() == 1)
+  }
+
+  test("J8: dynamic join assembly only joins requested groups") {
+    val userOnly = jobs.FeatureViewJob.assemble(spark, sf0001, Set("user"))
+    assert(userOnly.columns.contains("age") && !userOnly.columns.contains("risk_score"))
+    val two = jobs.FeatureViewJob.assemble(spark, sf0001, Set("user", "risk"))
+    assert(two.columns.contains("risk_score") && !two.columns.contains("total_amount_30d"))
+    assert(two.count() == userOnly.count(), "left joins keep the user base")
+    intercept[IllegalArgumentException](
+      jobs.FeatureViewJob.assemble(spark, sf0001, Set("bogus")))
+  }
+}
