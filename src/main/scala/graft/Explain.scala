@@ -13,6 +13,7 @@ object Explain {
     val dir = s"/root/testdata/${if (args.nonEmpty) args(0) else "sf0.01"}"
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq
     val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -28,10 +28,16 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y), lit(0.0), _ + _)
 
+  /** Same sum via the native codegen'd expression (graft.plans.FloatVectorDot,
+    * registered by GraftExtensions) — identical numerics (sequential double
+    * accumulation), zero intermediate allocation; the hot-path form. */
+  def dotNative(a: Column, b: Column): Column =
+    call_function("float_vector_dot", a, b)
+
   /** cosine(a,b) = dot / sqrt(dot(a,a) * dot(b,b)) — single formula shared
     * with the oracle (sqrt(x*y), NOT sqrt(x)*sqrt(y), which differs in ulps). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+    dotNative(a, b) / sqrt(dotNative(a, a) * dotNative(b, b))
 
   /** Exact top-k neighbors for a bounded query set (vec_id < numQueries).
     * Ranking key is the rounded cosine with vec_id tiebreak, so ordering is

@@ -46,6 +46,16 @@ class SinksAndExtSpec extends SparkSpec {
     assert(ham <= 6, s"near-dup simhash hamming=$ham of 32")
   }
 
+  test("FloatVectorDot (codegen) is bit-identical to the higher-order fold") {
+    val emb = graft.core.Tables.embeddings(spark, sf0001).limit(100)
+    import org.apache.spark.sql.functions.col
+    val both = emb.select(
+      Similarity.dot(col("embedding"), col("embedding")).as("fold"),
+      Similarity.dotNative(col("embedding"), col("embedding")).as("native"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("brute-force top-k is k rows per query, self excluded, ranks contiguous") {
     val emb = graft.core.Tables.embeddings(spark, sf0001)
     val topk = Similarity.bruteTopK(emb, 3, 5).collect()

@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * fast; suites must not mutate global state). */
 object SparkSpec {
   lazy val session: SparkSession = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
