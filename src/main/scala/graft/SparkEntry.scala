@@ -68,6 +68,10 @@ object SparkEntry {
     "keyset_page"          -> ((s, dir) => serving.Lookups.keysetPage(s, dir, 5000L, 100)),
     "feature_bundles"      -> ((s, dir) => serving.Lookups.featureBundles(s, dir)),
     "random_sample"        -> ((s, dir) => serving.Lookups.randomSample(s, dir, 100)),
+    "asof_risk"            -> ((s, dir) => StreamAnalogJobs.asOfRisk(s, dir)),
+    "tumbling_counts"      -> ((s, dir) => StreamAnalogJobs.tumblingCounts(s, dir)),
+    "transaction_features_compat" -> ((s, dir) =>
+      canon(TransactionFeaturesJob(s, dir, compatNight = true))),
   )
 
   /** Deterministic probe-id sets for the lookup queries (S2/S3): a handful
@@ -115,5 +119,8 @@ object SparkEntry {
     // engine-specific; the driver records a rows-only check (A16).
     // random_sample: rand(seed) is not cross-engine reproducible (O2/F15)
     // — rows-only check.
+    "asof_risk"            -> OracleSql.asOfRisk,
+    "tumbling_counts"      -> OracleSql.tumblingCounts,
+    "transaction_features_compat" -> OracleSql.transactionFeaturesCompat(),
   )
 }

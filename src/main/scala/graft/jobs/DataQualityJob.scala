@@ -80,6 +80,19 @@ object DataQualityJob {
         count(lit(1)).as("total_count"))
   }
 
+  /** observe()-based inline quality counters — the engine-side stand-in for
+    * the reference's Prometheus counters (store.py:23-33, cache.py:19-29;
+    * SURVEY §7.3b): metrics ride the job's own pass over the data, no second
+    * scan. Returns the instrumented frame and the Observation handle; the
+    * caller reads `obs.get` after any action. */
+  def withObservedCounts(df: DataFrame, name: String = "quality")
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    (df.observe(obs,
+      count(lit(1)).as("rows_seen"),
+      countIf(col("user_id").isNull).as("null_keys")), obs)
+  }
+
   /** Rule-based row validation (P7; data_quality.py:457-588 + the CHECK
     * constraints of sql/postgresql_schema.sql): violation counts per rule,
     * one row. Rules mirror the reference's validators: age ∈ [18,100],

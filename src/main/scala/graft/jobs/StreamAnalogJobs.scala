@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{AsOf, Roles, Tables}
+import graft.ops.{AsOfJoin, Ops}
 import graft.ops.Ops._
 import graft.sinks.MergeByKey
 
@@ -60,6 +61,32 @@ object StreamAnalogJobs {
     val updates = latest(scores.filter(col("computed_at") >= cut))
     MergeByKey.merge(old, updates, Seq("user_id"))
   }
+
+  /** Point-in-time-correct feature lookup (SURVEY §7.5): the risk score in
+    * force at each click event — the leakage-free training-set join. */
+  def asOfRisk(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("probe_id"), col("user_id"), col("ts").as("probe_ts"))
+    val scores = Roles.riskScores(spark, dir)
+    AsOfJoin.asOf(scores, clicks, "user_id", "computed_at", "probe_ts", "score_id")
+      .select(
+        col("probe_id"), col("p.user_id").as("user_id"),
+        date_format(col("probe_ts"), "yyyy-MM-dd HH:mm:ss").as("probe_ts"),
+        coalesce(col("risk_score"), lit(0.0)).as("risk_score_asof"))
+  }
+
+  /** ST6(a): aligned tumbling windows — the window() batch counterpart of
+    * the exact rolling horizons (1h buckets; sliding is the same op with a
+    * step < width). */
+  def tumblingCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        orZeroD(sumMoney(lit(true), col("value"))).as("total_value"))
+      .select(col("user_id"),
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
+        col("n_events"), col("total_value"))
 
   /** A16: approximate distinct counts next to their exact counterparts.
     * No oracle entry — HLL sketches are engine-specific by construction;

@@ -81,4 +81,18 @@ object Ops {
     * Spark union is UNION ALL, so distinct() is mandatory (SURVEY §7.4.9). */
   def unionDistinct(dfs: DataFrame*): DataFrame =
     dfs.reduce(_ unionByName _).distinct()
+
+  /** Two-phase salted aggregation for skewed grouping keys: a hot key's rows
+    * are spread over `salts` partial groups (breaking the single-reducer
+    * bottleneck), then merged. The 100 TB answer when one user_id holds a
+    * disproportionate share of a fact table and AQE's skew handling isn't
+    * available (e.g. pre-AQE writers, or aggregation rather than join skew).
+    * Works for any commutative re-aggregable function — here sum. */
+  def saltedSum(df: DataFrame, key: String, value: Column, salts: Int,
+                as: String): DataFrame =
+    df.withColumn("__salt", pmod(hash(value), lit(salts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(value).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as(as))
 }

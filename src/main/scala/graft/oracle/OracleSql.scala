@@ -523,6 +523,42 @@ object OracleSql {
        |      WHERE u.user_id IS NULL)""".stripMargin
   }
 
+  /** As-of join emulated with the identical window idiom (DuckDB's native
+    * ASOF JOIN would also work; the row_number form guarantees the same
+    * tie-break as the Spark implementation). */
+  val asOfRisk: String =
+    s"""WITH sc AS ($roleScores),
+       |probes AS (SELECT event_id AS probe_id, user_id, ts AS probe_ts
+       |  FROM events WHERE event_type = 'click'),
+       |j AS (SELECT p.probe_id, p.user_id, p.probe_ts,
+       |    s.risk_score, s.computed_at, s.score_id
+       |  FROM probes p LEFT JOIN sc s
+       |  ON p.user_id = s.user_id AND s.computed_at <= p.probe_ts),
+       |r AS (SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY user_id, probe_ts
+       |    ORDER BY computed_at DESC NULLS LAST, score_id DESC NULLS LAST) AS rn
+       |  FROM j)
+       |SELECT probe_id, user_id,
+       |  strftime(probe_ts, '%Y-%m-%d %H:%M:%S') AS probe_ts,
+       |  COALESCE(risk_score, 0.0) AS risk_score_asof
+       |FROM r WHERE rn = 1""".stripMargin
+
+  val tumblingCounts: String =
+    s"""SELECT user_id,
+       |  strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       |  COUNT(*) AS n_events,
+       |  COALESCE(${sumMoney("TRUE", "value")}, 0.0) AS total_value
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Compat-mode transaction features: replicates the reference's vacuous
+    * night predicate (BETWEEN 22 AND 6 ⇒ always false) byte-for-byte. */
+  def transactionFeaturesCompat(asOf: Instant = AsOf.orders): String = {
+    val base = transactionFeatures(asOf)
+    base.replace(
+      "(EXTRACT(hour FROM created_at) >= 22 OR EXTRACT(hour FROM created_at) < 6)",
+      "(EXTRACT(hour FROM created_at) >= 22 AND EXTRACT(hour FROM created_at) <= 6)")
+  }
+
   // ---- feature_view (sql/migration_queries.sql:143-166 + risk bucketing) ----
 
   def featureView(): String =

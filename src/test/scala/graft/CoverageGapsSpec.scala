@@ -57,6 +57,41 @@ class CoverageGapsSpec extends SparkSpec {
     assert(spark.read.parquet(base + "-retained").count() == 1)
   }
 
+  test("as-of join is point-in-time correct (no future leakage)") {
+    val facts = Seq(
+      (1L, "2024-01-01 10:00:00", 0.2, 1L),
+      (1L, "2024-01-05 10:00:00", 0.8, 2L), // future relative to the probe
+      (2L, "2024-01-02 00:00:00", 0.5, 3L))
+      .toDF("user_id", "computed_at", "risk_score", "score_id")
+      .withColumn("computed_at", to_timestamp($"computed_at"))
+    val probes = Seq((10L, 1L, "2024-01-03 00:00:00"), (11L, 2L, "2024-01-01 00:00:00"))
+      .toDF("probe_id", "user_id", "probe_ts")
+      .withColumn("probe_ts", to_timestamp($"probe_ts"))
+    val out = graft.ops.AsOfJoin
+      .asOf(facts, probes, "user_id", "computed_at", "probe_ts", "score_id")
+      .select($"probe_id", $"risk_score").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(10L).contains(0.2), "future score 0.8 must NOT leak into the 01-03 probe")
+    assert(out(11L).isEmpty, "no score existed before user 2's probe")
+  }
+
+  test("salted aggregation equals direct aggregation on a skewed key") {
+    val skewed = (1L to 10000L).map(i => ("hot", i)) ++ Seq(("cold", 5L))
+    val df = skewed.toDF("k", "v")
+    val salted = graft.ops.Ops.saltedSum(df, "k", col("v"), 16, "total")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = df.groupBy("k").agg(sum("v").as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+  }
+
+  test("observe() counters ride the job's own pass") {
+    val (df, obs) = jobs.DataQualityJob.withObservedCounts(
+      graft.core.Roles.transactions(spark, sf0001))
+    val n = df.count()
+    assert(obs.get("rows_seen") == n && obs.get("null_keys") == 0L)
+  }
+
   test("J8: dynamic join assembly only joins requested groups") {
     val userOnly = jobs.FeatureViewJob.assemble(spark, sf0001, Set("user"))
     assert(userOnly.columns.contains("age") && !userOnly.columns.contains("risk_score"))
