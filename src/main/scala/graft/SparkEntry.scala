@@ -57,6 +57,7 @@ object SparkEntry {
     "dedup_simhash"        -> ((s, dir) => ext.Dedup.simhash(core.Tables.documents(s, dir))),
     "similarity_topk"      -> ((s, dir) => ext.Similarity.bruteTopK(core.Tables.embeddings(s, dir), 5, 10)),
     "ann_buckets"          -> ((s, dir) => ext.Similarity.lshBuckets(core.Tables.embeddings(s, dir))),
+    "dedup_embedding"      -> ((s, dir) => ext.Similarity.cosineNearDups(core.Tables.embeddings(s, dir), 20)),
     "text_stats"           -> ((s, dir) => ext.TextAnalysis.textStats(core.Tables.documents(s, dir))),
     "lang_id"              -> ((s, dir) => ext.TextAnalysis.langId(core.Tables.documents(s, dir))),
     "doc_fingerprints"     -> ((s, dir) => ext.TextAnalysis.fingerprints(core.Tables.documents(s, dir))),
@@ -106,6 +107,7 @@ object SparkEntry {
     "dedup_simhash"        -> OracleSql.dedupSimhash,
     "similarity_topk"      -> OracleSql.similarityTopK(5, 10),
     "ann_buckets"          -> OracleSql.annBuckets,
+    "dedup_embedding"      -> OracleSql.cosineNearDups(20),
     "text_stats"           -> OracleSql.textStats,
     "lang_id"              -> OracleSql.langId,
     "doc_fingerprints"     -> OracleSql.docFingerprints,

@@ -86,6 +86,24 @@ object Similarity {
     withBucket(embeddings).groupBy("bucket")
       .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec_id"))
 
+  /** Embedding-cosine near-dup detection: LSH-bucket candidates scored by
+    * cosine, globally ranked — the embedding-space member of the dedup
+    * family (complementing text MinHash/SimHash). `topN` keeps the output
+    * deterministic and bounded whether or not the corpus plants duplicates;
+    * a production run would threshold (cosine >= 0.95) instead. */
+  def cosineNearDups(embeddings: DataFrame, topN: Int): DataFrame = {
+    val b = withBucket(embeddings).select(col("vec_id"), col("embedding"), col("bucket"))
+    val scored = b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(
+        col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        round(cosine(col("x.embedding"), col("y.embedding")), 6).as("cosine"))
+    scored
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("cosine").desc, col("vec_a").asc, col("vec_b").asc)))
+      .filter(col("rank") <= topN)
+  }
+
   /** Candidate pairs from shared buckets (equi-join, never all-pairs). */
   def lshCandidates(embeddings: DataFrame): DataFrame = {
     val b = withBucket(embeddings).select("vec_id", "bucket")

@@ -437,6 +437,27 @@ object OracleSql {
        |FROM b GROUP BY bucket""".stripMargin
   }
 
+  def cosineNearDups(topN: Int): String = {
+    val hi = "('8','9','a','b','c','d','e','f')"
+    def proj(p: Int) =
+      s"""list_sum(list_transform(generate_series(1, 64),
+         |  j -> emb[j] * (CASE WHEN substr(md5('$p|' || j), 1, 1) IN $hi
+         |                 THEN 1.0 ELSE -1.0 END)))""".stripMargin
+    val bits = (0 until 8).map(p => s"(CASE WHEN ${proj(p)} > 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |b AS (SELECT vec_id, emb, $bits AS bucket FROM e),
+       |scored AS (
+       |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |    ROUND(list_dot_product(x.emb, y.emb)
+       |      / sqrt(list_dot_product(x.emb, x.emb) * list_dot_product(y.emb, y.emb)), 6)
+       |      AS cosine
+       |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |r AS (SELECT vec_a, vec_b, cosine, ROW_NUMBER() OVER (
+       |    ORDER BY cosine DESC, vec_a ASC, vec_b ASC) AS rank FROM scored)
+       |SELECT vec_a, vec_b, cosine, rank FROM r WHERE rank <= $topN""".stripMargin
+  }
+
   val textStats: String = {
     val stop = "('the','a','of','and','to','in','is')"
     s"""WITH d AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents)
