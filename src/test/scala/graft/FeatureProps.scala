@@ -1,0 +1,77 @@
+package graft
+
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property-based invariants (SURVEY §5.3): the reference's own validator
+  * rules hold for ARBITRARY inputs, not just the corpus — declined ≤ total,
+  * ratios ∈ [0,1], COALESCE totality, decimal-sum partition invariance,
+  * merge keyset algebra. Case counts are capped: each case is a Spark job.
+  */
+object FeatureProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val asOf = Instant.parse("2024-02-01T00:00:00Z")
+
+  private val orderGen = for {
+    user   <- Gen.choose(0L, 5L)
+    amount <- Gen.choose(1, 100000).map(_ / 100.0)
+    status <- Gen.oneOf(0, 1, 2)
+    dayOff <- Gen.choose(0, 44) // straddles the 30/31d boundary
+  } yield (user, amount, status, dayOff)
+
+  property("transaction features: validator invariants for arbitrary orders") =
+    forAll(Gen.nonEmptyListOf(orderGen)) { rows =>
+      // derive valid values inside the property so shrunk cases stay valid
+      val statuses = Array("O", "P", "F")
+      val tx = rows.zipWithIndex
+        .map { case ((u, a, s, dayOff), i) =>
+          val d = java.time.LocalDate.of(2023, 12, 18)
+            .plusDays(math.abs(dayOff) % 45).toString + " 00:00:00"
+          (i.toLong, u, i.toLong % 5, math.abs(a),
+            statuses(math.abs(s) % 3), "pm", d)
+        }
+        .toDF("order_id", "user_id", "merchant_id", "amount", "status", "payment_method", "created_at")
+        .withColumn("created_at", to_timestamp($"created_at"))
+      val users = Seq.empty[(Long, Boolean)].toDF("user_id", "recently_updated")
+        .select($"user_id", lit(30).as("age"), lit("X").as("location_country"),
+          lit("Y").as("location_city"), lit(true).as("account_verified"),
+          $"recently_updated")
+      val out = jobs.TransactionFeaturesJob.compute(tx, users, asOf).collect()
+      out.forall { r =>
+        val total = r.getAs[Long]("total_transactions_30d")
+        val declined = r.getAs[Long]("transactions_declined_30d")
+        val wr = r.getAs[Double]("weekend_transaction_ratio")
+        val nr = r.getAs[Double]("night_transaction_ratio")
+        declined <= total && wr >= 0.0 && wr <= 1.0 && nr >= 0.0 && nr <= 1.0 &&
+          !r.anyNull // COALESCE totality: feature rows are fully defined
+      }
+    }
+
+  property("exact decimal sums are partition-invariant") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(1, 10000000).map(_ / 100.0))) { xs =>
+      val df = xs.toDF("amount")
+      def sumWith(parts: Int) = df.repartition(parts)
+        .agg(graft.ops.Ops.sumMoney(lit(true), $"amount")).collect()(0).getDouble(0)
+      sumWith(1) == sumWith(7)
+    }
+
+  property("merge-by-key: keyset is the union, updates win") =
+    forAll(Gen.listOf(Gen.choose(0L, 9L)), Gen.listOf(Gen.choose(0L, 9L))) { (o, n) =>
+      val old = o.distinct.map(k => (k, s"old$k")).toDF("k", "v")
+      val upd = n.distinct.map(k => (k, s"new$k")).toDF("k", "v")
+      val merged = graft.sinks.MergeByKey.merge(old, upd, Seq("k"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      merged.keySet == (o.toSet ++ n.toSet) &&
+        n.distinct.forall(k => merged(k) == s"new$k") &&
+        (o.toSet -- n.toSet).forall(k => merged(k) == s"old$k")
+    }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-shape evidence: the plans that matter at 100 TB, asserted at
+  * sf0.001 — bucketed co-partitioned joins (exchange elision) and the
+  * sliding-window streaming variant. */
+class ScaleShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed feature tables join with no shuffle exchange (co-partitioning)") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      jobs.UserFeaturesJob(spark, sf0001)
+        .write.mode("overwrite").bucketBy(8, "user_id").sortBy("user_id")
+        .saveAsTable("uf_bucketed")
+      jobs.TransactionFeaturesJob(spark, sf0001)
+        .write.mode("overwrite").bucketBy(8, "user_id").sortBy("user_id")
+        .saveAsTable("tf_bucketed")
+      val joined = spark.table("uf_bucketed")
+        .join(spark.table("tf_bucketed"), Seq("user_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle; plan was:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      spark.sql("DROP TABLE IF EXISTS uf_bucketed")
+      spark.sql("DROP TABLE IF EXISTS tf_bucketed")
+    }
+  }
+
+  test("ST6(a): sliding window() aggregation in a real stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    val input = MemoryStream[(Long, Timestamp, Double)](spark)
+    input.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:02:00"), 10.0),
+      (1L, Timestamp.valueOf("2024-01-01 10:07:00"), 20.0),
+      (1L, Timestamp.valueOf("2024-01-01 10:12:00"), 30.0))
+    val q = input.toDF().toDF("user_id", "ts", "amount")
+      .withWatermark("ts", "1 minute")
+      .groupBy($"user_id", window($"ts", "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"), sum($"amount").as("total"))
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sliding")
+      .select(date_format($"window.start", "HH:mm").as("s"), $"n", $"total")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // 10:02 lands in [09:55,10:05) and [10:00,10:10); 10:07 in [10:00,10:10)
+    // and [10:05,10:15); 10:12 in [10:05,10:15) and [10:10,10:20)
+    assert(rows("09:55") == (1L, 10.0))
+    assert(rows("10:00") == (2L, 30.0))
+    assert(rows("10:05") == (2L, 50.0))
+    assert(rows("10:10") == (1L, 30.0))
+  }
+}
