@@ -45,6 +45,7 @@ object SparkEntry {
     "dq_profile"           -> ((s, dir) => DataQualityJob.profile(s, dir)),
     "dq_outliers"          -> ((s, dir) => DataQualityJob.outliers(s, dir)),
     "dq_row_validation"    -> ((s, dir) => DataQualityJob.rowValidation(s, dir)),
+    "dq_alerts"            -> ((s, dir) => DataQualityJob.alerts(s, dir)),
     "point_lookup"         -> ((s, dir) => canon(serving.Lookups.pointLookup(s, dir, LookupIds.point))),
     "batch_lookup"         -> ((s, dir) => canon(serving.Lookups.batchLookup(s, dir, LookupIds.batch))),
     "ordered_export"       -> ((s, dir) => serving.Lookups.orderedExport(s, dir)),
@@ -97,6 +98,7 @@ object SparkEntry {
     "dq_profile"           -> OracleSql.dqProfile,
     "dq_outliers"          -> OracleSql.dqOutliers,
     "dq_row_validation"    -> OracleSql.dqRowValidation(),
+    "dq_alerts"            -> OracleSql.dqAlerts(),
     "point_lookup"         -> OracleSql.pointLookup(LookupIds.point),
     "batch_lookup"         -> OracleSql.pointLookup(LookupIds.batch),
     "ordered_export"       -> OracleSql.orderedExport,

@@ -80,6 +80,33 @@ object DataQualityJob {
         count(lit(1)).as("total_count"))
   }
 
+  /** Alert generation (data_quality.py:354-413): quality metrics against
+    * their thresholds → one alert row each, stacked. Thresholds mirror the
+    * reference: 2h freshness (data_quality.py:45), 95% completeness, 1%
+    * outlier share. */
+  def alerts(spark: SparkSession, dir: String,
+             asOf: Instant = AsOf.events): DataFrame = {
+    val fresh = freshness(spark, dir, asOf).select(
+      lit("data_freshness").as("alert_type"),
+      lit("critical").as("severity"),
+      col("staleness_seconds").cast("double").as("metric_value"),
+      lit(7200.0).as("threshold"),
+      (col("staleness_seconds") > 7200).as("triggered"))
+    val comp = completeness(spark, dir).select(
+      lit("completeness_custkey").as("alert_type"),
+      lit("warning").as("severity"),
+      col("o_custkey_completeness").as("metric_value"),
+      lit(0.95).as("threshold"),
+      (col("o_custkey_completeness") < 0.95).as("triggered"))
+    val out = outliers(spark, dir).select(
+      lit("amount_outliers").as("alert_type"),
+      lit("warning").as("severity"),
+      (col("outlier_count").cast("double") / col("total_count")).as("metric_value"),
+      lit(0.01).as("threshold"),
+      (col("outlier_count").cast("double") / col("total_count") > 0.01).as("triggered"))
+    fresh.unionByName(comp).unionByName(out)
+  }
+
   /** observe()-based inline quality counters — the engine-side stand-in for
     * the reference's Prometheus counters (store.py:23-33, cache.py:19-29;
     * SURVEY §7.3b): metrics ride the job's own pass over the data, no second

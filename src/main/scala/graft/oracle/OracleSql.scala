@@ -296,6 +296,19 @@ object OracleSql {
       |  COUNT(*) AS total_count
       |FROM orders o, stats s GROUP BY s.m, s.sd""".stripMargin
 
+  def dqAlerts(asOf: Instant = AsOf.events): String =
+    s"""WITH f AS (${dqFreshness(asOf)}), c AS ($dqCompleteness), o AS ($dqOutliers)
+       |SELECT 'data_freshness' AS alert_type, 'critical' AS severity,
+       |  CAST(staleness_seconds AS DOUBLE) AS metric_value, 7200.0 AS threshold,
+       |  staleness_seconds > 7200 AS triggered FROM f
+       |UNION ALL
+       |SELECT 'completeness_custkey', 'warning', o_custkey_completeness, 0.95,
+       |  o_custkey_completeness < 0.95 FROM c
+       |UNION ALL
+       |SELECT 'amount_outliers', 'warning',
+       |  CAST(outlier_count AS DOUBLE) / total_count, 0.01,
+       |  CAST(outlier_count AS DOUBLE) / total_count > 0.01 FROM o""".stripMargin
+
   def dqRowValidation(): String =
     s"""WITH u AS ($roleUsers),
        |tx AS ($roleTx),

@@ -74,6 +74,14 @@ class FeatureStoreService(spark: SparkSession, dir: String) {
     }
   }
 
+  /** Batch response envelope stats — the reference's cache_hit_ratio
+    * (store.py:112-141, models.py:109-116). */
+  def batchSummary(results: Seq[FeatureResult]): (Int, Int, Double) = {
+    val hits = results.count(_.cacheHit)
+    (hits, results.size,
+      if (results.isEmpty) 0.0 else hits.toDouble / results.size)
+  }
+
   /** Cache invalidation (the streaming pipeline's ST3 target): drop and
     * recompute the named groups — the Spark analogue of Redis DELETE +
     * recompute-on-next-read (cache.py:167-196). */

@@ -92,6 +92,38 @@ class CoverageGapsSpec extends SparkSpec {
     assert(obs.get("rows_seen") == n && obs.get("null_keys") == 0L)
   }
 
+  test("daily batch runner: volume gates, upsert store, partitioned view export") {
+    val out = java.nio.file.Files.createTempDirectory("graft-daily").toString
+    val res = jobs.DailyBatchRunner.run(spark, sf0001, out,
+      jobs.DailyBatchRunner.Thresholds(user = 10, transaction = 10, risk = 10))
+    assert(res.userRows >= 10 && res.riskRows >= 10)
+    assert(spark.read.parquet(s"$out/user_features").count() == res.userRows)
+    assert(spark.read.parquet(s"$out/feature_view")
+      .select("partition_date").distinct().count() == 1)
+    // second run is an idempotent upsert (same keys → same row count)
+    val res2 = jobs.DailyBatchRunner.run(spark, sf0001, out,
+      jobs.DailyBatchRunner.Thresholds(10, 10, 10))
+    assert(spark.read.parquet(s"$out/user_features").count() == res2.userRows)
+    // the validation gate aborts before writing when floors aren't met
+    intercept[IllegalArgumentException] {
+      jobs.DailyBatchRunner.run(spark, sf0001, out + "-gated",
+        jobs.DailyBatchRunner.Thresholds(user = 1000000, transaction = 1, risk = 1))
+    }
+    assert(!new java.io.File(out + "-gated/user_features").exists(),
+      "failed validation must not write")
+  }
+
+  test("batch serving summary reports the cache_hit_ratio envelope") {
+    val svc = new graft.serving.FeatureStoreService(spark, sf0001)
+    val building = graft.core.Roles.users(spark, sf0001)
+      .filter(col("recently_updated")).select("user_id")
+      .as[Long].collect().take(3)
+    val results = svc.getBatch(building :+ 999999L, Seq("user"),
+      java.time.Instant.parse("2001-08-02T01:00:00Z"))
+    val (hits, total, ratio) = svc.batchSummary(results)
+    assert(total == 4 && hits == 3 && ratio == 0.75)
+  }
+
   test("J8: dynamic join assembly only joins requested groups") {
     val userOnly = jobs.FeatureViewJob.assemble(spark, sf0001, Set("user"))
     assert(userOnly.columns.contains("age") && !userOnly.columns.contains("risk_score"))
