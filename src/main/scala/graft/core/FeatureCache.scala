@@ -14,14 +14,48 @@ import org.apache.spark.storage.StorageLevel
   */
 object FeatureCache {
 
-  private val memo = TrieMap.empty[(Int, String, String), DataFrame]
+  // Sessions are identified by a generated UUID held in a weak map — an
+  // identity hash could be reused after GC of a stopped session and alias a
+  // stale entry; the weak key also lets dead sessions' ids (and with the
+  // sweep below, their cached frames) be reclaimed.
+  private val sessionIds =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
+  private def idOf(spark: SparkSession): String =
+    sessionIds.synchronized {
+      Option(sessionIds.get(spark)).getOrElse {
+        val id = java.util.UUID.randomUUID().toString
+        sessionIds.put(spark, id)
+        id
+      }
+    }
+
+  private val memo = TrieMap.empty[(String, String, String), DataFrame]
 
   def cached(spark: SparkSession, dir: String, name: String)
-            (build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((System.identityHashCode(spark), dir, name),
+            (build: => DataFrame): DataFrame = {
+    sweep()
+    memo.getOrElseUpdate((idOf(spark), dir, name),
       build.persist(StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** Invalidate (TTL expiry / upstream change): unpersist + forget. */
   def invalidate(spark: SparkSession, dir: String, name: String): Unit =
-    memo.remove((System.identityHashCode(spark), dir, name)).foreach(_.unpersist())
+    memo.remove((idOf(spark), dir, name)).foreach(_.unpersist())
+
+  /** Drop every entry of a session (call when stopping it). */
+  def invalidateSession(spark: SparkSession): Unit = {
+    val id = idOf(spark)
+    memo.keys.filter(_._1 == id).foreach(k => memo.remove(k))
+  }
+
+  /** Forget entries whose session has been garbage collected. */
+  private def sweep(): Unit = {
+    val live = sessionIds.synchronized {
+      import scala.jdk.CollectionConverters._
+      sessionIds.values.asScala.toSet
+    }
+    memo.keys.filterNot(k => live(k._1)).foreach(k => memo.remove(k))
+  }
 }

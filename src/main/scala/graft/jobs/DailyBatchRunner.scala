@@ -49,14 +49,18 @@ object DailyBatchRunner {
       .foreach { case (name, df) =>
         val path = s"$outputPath/$name"
         val merged =
-          if (new java.io.File(path).exists())
+          if (new java.io.File(path).exists()) // local-FS store; object stores need a listing probe
             MergeByKey.merge(spark.read.parquet(path), df, Seq("user_id"))
           else df
-        // write via temp then swap is the production pattern; local overwrite
-        // suffices here because merge already carried the old rows forward
-        merged.cache().count()
-        merged.write.mode("overwrite").parquet(path)
-        merged.unpersist()
+        // Never overwrite the path being read: a recomputed partition after
+        // cache eviction would re-scan deleted files mid-write. Write to a
+        // temp dir, then swap — the same pattern a transactional format
+        // automates.
+        val tmp = s"$path.tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val target = java.nio.file.Paths.get(path)
+        org.apache.commons.io.FileUtils.deleteDirectory(target.toFile)
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target)
       }
     val view = FeatureViewJob.compute(uf, tf, rf)
       .withColumn("partition_date", lit(runDate.toString)) // injected, never now()

@@ -35,7 +35,9 @@ object DataQualityJob {
   def freshness(spark: SparkSession, dir: String,
                 asOf: Instant = AsOf.events): DataFrame = {
     val twoHoursAgo = to_timestamp(lit(AsOf.ts(asOf.minus(Duration.ofHours(2)))))
-    Tables.events(spark, dir).agg(
+    Tables.events(spark, dir)
+      .filter(col("ts") < to_timestamp(lit(AsOf.ts(asOf)))) // no future events
+      .agg(
       date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("latest_event"),
       countIf(col("ts") >= twoHoursAgo).as("fresh_events_2h"),
       count(lit(1)).as("total_events"),

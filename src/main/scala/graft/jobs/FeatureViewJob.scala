@@ -47,6 +47,11 @@ object FeatureViewJob {
         "weekend_transaction_ratio"), Seq("user_id"), "left")
       .join(rf.select("user_id", "risk_score", "credit_utilization_ratio",
         "payment_delays_30d", "velocity_alerts_30d"), Seq("user_id"), "left")
+      // NULL risk_score (no risk row for the user) falls to the ELSE branch
+      // and is labeled High — deliberately mirroring the reference view's
+      // CASE (sql/bigquery_schema.sql:86-89), which has the same fail-unsafe
+      // default; in the canonical pipeline rf's active set covers uf's base,
+      // so the branch is unreachable there.
       .withColumn("risk_category",
         when(col("risk_score") <= 0.3, "Low")
           .when(col("risk_score") <= 0.7, "Medium")

@@ -33,10 +33,12 @@ object StreamAnalogJobs {
   def velocityWindows(spark: SparkSession, dir: String,
                       asOf: Instant = AsOf.events): DataFrame = {
     def backLit(d: Duration) = to_timestamp(lit(AsOf.ts(asOf.minus(d))))
+    val upper = to_timestamp(lit(AsOf.ts(asOf)))
     val in5m  = col("ts") >= backLit(Duration.ofMinutes(5))
     val in1h  = col("ts") >= backLit(Duration.ofHours(1))
     Tables.events(spark, dir)
-      .filter(col("ts") >= backLit(Duration.ofHours(24)))
+      // both bounds: an asOf inside the data range must not count future events
+      .filter(col("ts") >= backLit(Duration.ofHours(24)) && col("ts") < upper)
       .groupBy("user_id")
       .agg(
         countIf(in5m).as("transaction_velocity_5m"),
@@ -69,7 +71,8 @@ object StreamAnalogJobs {
       .filter(col("event_type") === "click")
       .select(col("event_id").as("probe_id"), col("user_id"), col("ts").as("probe_ts"))
     val scores = Roles.riskScores(spark, dir)
-    AsOfJoin.asOf(scores, clicks, "user_id", "computed_at", "probe_ts", "score_id")
+    AsOfJoin.asOf(scores, clicks, "user_id", "computed_at", "probe_ts", "score_id",
+        probeId = "probe_id")
       .select(
         col("probe_id"), col("p.user_id").as("user_id"),
         date_format(col("probe_ts"), "yyyy-MM-dd HH:mm:ss").as("probe_ts"),

@@ -2,7 +2,7 @@ package graft.ml
 
 import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.feature.{Bucketizer, HashingTF, MinHashLSH, VectorAssembler}
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, VectorAssembler}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -30,12 +30,16 @@ object FeaturePipeline {
       .setInputCols(numericCols)
       .setOutputCol("features")
       .setHandleInvalid("keep")
-    val bucketizer = new Bucketizer()
-      .setInputCol("risk_score")
-      .setOutputCol("risk_bucket")
-      .setSplits(Array(Double.NegativeInfinity, 0.3, 0.7, Double.PositiveInfinity))
+    // NOT a Bucketizer: its intervals are left-inclusive ([0.3,0.7) would
+    // put risk_score = 0.3 in Medium), contradicting the F2 CASE's
+    // right-inclusive <= 0.3 / <= 0.7 boundaries. The when-chain matches
+    // FeatureViewJob.risk_category exactly.
     val filled = featureView.na.fill(0.0, numericCols).na.fill(0L, numericCols)
-    new Pipeline().setStages(Array(assembler, bucketizer))
+      .withColumn("risk_bucket",
+        when(col("risk_score") <= 0.3, 0.0)
+          .when(col("risk_score") <= 0.7, 1.0)
+          .otherwise(2.0))
+    new Pipeline().setStages(Array(assembler))
       .fit(filled).transform(filled)
   }
 

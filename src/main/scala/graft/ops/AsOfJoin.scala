@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** `probeId` must be unique per probe row — the top-1 window partitions on
+    * it, so probes sharing (key, timestamp) each keep their row (partitioning
+    * on (key, probeTs) alone would silently merge and drop such ties). */
   def asOf(facts: DataFrame, probes: DataFrame, key: String,
            factTs: String, probeTs: String, tiebreak: String,
+           probeId: String,
            maxLookback: Option[Column] = None): DataFrame = {
     val f = facts.as("f")
     val p = probes.as("p")
@@ -34,7 +38,7 @@ object AsOfJoin {
     val joined = p.join(f,
       col(s"p.$key") === col(s"f.$key") && timeCond, "left")
     Ops.topOnePerKey(joined,
-      Seq(col(s"p.$key"), col(s"p.$probeTs")),
+      Seq(col(s"p.$probeId")),
       Seq(col(s"f.$factTs").desc_nulls_last, col(s"f.$tiebreak").desc_nulls_last))
   }
 }

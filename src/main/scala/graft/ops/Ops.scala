@@ -90,7 +90,10 @@ object Ops {
     * Works for any commutative re-aggregable function — here sum. */
   def saltedSum(df: DataFrame, key: String, value: Column, salts: Int,
                 as: String): DataFrame =
-    df.withColumn("__salt", pmod(hash(value), lit(salts)))
+    // salt from row position, NOT from the value: a hot key with a constant
+    // value (the common skew case) would otherwise hash to ONE salt and the
+    // spreading would silently do nothing
+    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts)))
       .groupBy(col(key), col("__salt"))
       .agg(sum(value).as("__partial"))
       .groupBy(col(key))

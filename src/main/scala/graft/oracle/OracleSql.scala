@@ -270,7 +270,7 @@ object OracleSql {
        |  COUNT(*) AS total_events,
        |  ${asOf.getEpochSecond} - CAST(epoch(date_trunc('second', MAX(ts))) AS BIGINT)
        |    AS staleness_seconds
-       |FROM events""".stripMargin
+       |FROM events WHERE ts < ${T(AsOf.ts(asOf))}""".stripMargin
   }
 
   val dqProfile: String =
@@ -536,7 +536,8 @@ object OracleSql {
        |  COUNT(DISTINCT CASE WHEN ts >= $h1
        |    THEN json_extract_string(props, '$$.k') END) AS unique_merchants_last_hour,
        |  ${ratio(cntIf("event_type <> 'error'"), "COUNT(*)")} AS payment_success_rate_24h
-       |FROM events WHERE ts >= $h24 GROUP BY user_id""".stripMargin
+       |FROM events WHERE ts >= $h24 AND ts < ${T(AsOf.ts(asOf))}
+       |GROUP BY user_id""".stripMargin
   }
 
   def mergeUpsert(asOf: Instant = AsOf.events): String = {
@@ -569,7 +570,7 @@ object OracleSql {
        |  FROM probes p LEFT JOIN sc s
        |  ON p.user_id = s.user_id AND s.computed_at <= p.probe_ts),
        |r AS (SELECT *, ROW_NUMBER() OVER (
-       |    PARTITION BY user_id, probe_ts
+       |    PARTITION BY probe_id
        |    ORDER BY computed_at DESC NULLS LAST, score_id DESC NULLS LAST) AS rn
        |  FROM j)
        |SELECT probe_id, user_id,

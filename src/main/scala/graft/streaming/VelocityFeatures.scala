@@ -41,7 +41,11 @@ object VelocityFeatures {
   /** Feature row at `now` from a 24h-pruned buffer — the exact formulas of
     * ADVANCED.md:894-925. */
   def featuresAt(userId: Long, now: Timestamp, buf: List[TxnEvent]): VelocityRow = {
-    def within(ms: Long) = buf.filter(e => now.getTime - e.ts.getTime < ms)
+    // lower bound matters for late data: a row emitted for an out-of-order
+    // event must not count events from its future (age ∈ [0, horizon))
+    def within(ms: Long) = buf.filter { e =>
+      val age = now.getTime - e.ts.getTime; age >= 0 && age < ms
+    }
     val w5 = within(M5); val w1h = within(H1); val w24 = within(H24)
     VelocityRow(
       user_id = userId,

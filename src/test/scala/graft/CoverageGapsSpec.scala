@@ -68,7 +68,7 @@ class CoverageGapsSpec extends SparkSpec {
       .toDF("probe_id", "user_id", "probe_ts")
       .withColumn("probe_ts", to_timestamp($"probe_ts"))
     val out = graft.ops.AsOfJoin
-      .asOf(facts, probes, "user_id", "computed_at", "probe_ts", "score_id")
+      .asOf(facts, probes, "user_id", "computed_at", "probe_ts", "score_id", probeId = "probe_id")
       .select($"probe_id", $"risk_score").collect()
       .map(r => r.getLong(0) -> Option(r.get(1))).toMap
     assert(out(10L).contains(0.2), "future score 0.8 must NOT leak into the 01-03 probe")

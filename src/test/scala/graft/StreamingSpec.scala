@@ -90,6 +90,24 @@ class StreamingSpec extends SparkSpec {
     assert(batchRow == last)
   }
 
+  test("ST6 late data: a row emitted for an out-of-order event must not count future events") {
+    val input = MemoryStream[TxnEvent](spark)
+    input.addData(TxnEvent(3L, ts("2024-01-01 10:00:00"), 100.0, 1, success = true))
+    val q = VelocityFeatures.stream(input.toDS()).writeStream
+      .format("memory").queryName("velocity3").outputMode("append").start()
+    q.processAllAvailable()
+    // late event: 09:30 arrives AFTER the 10:00 event is in state
+    input.addData(TxnEvent(3L, ts("2024-01-01 09:30:00"), 50.0, 2, success = false))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("velocity3").as[VelocityFeatures.VelocityRow]
+      .collect().sortBy(_.as_of.getTime)
+    val lateRow = rows.find(_.as_of == ts("2024-01-01 09:30:00")).get
+    assert(lateRow.transactions_last_hour == 1L,
+      "the 10:00 event is the 09:30 row's FUTURE and must not be counted")
+    assert(lateRow.spending_velocity_5m == 50.0)
+    assert(lateRow.payment_success_rate_24h == 0.0)
+  }
+
   test("ST7: events beyond the 24h horizon are evicted from state") {
     val input = MemoryStream[TxnEvent](spark)
     input.addData(TxnEvent(2L, ts("2024-01-01 10:00:00"), 10.0, 1, success = true))
