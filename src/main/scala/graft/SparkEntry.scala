@@ -50,6 +50,7 @@ object SparkEntry {
     "batch_lookup"         -> ((s, dir) => canon(serving.Lookups.batchLookup(s, dir, LookupIds.batch))),
     "ordered_export"       -> ((s, dir) => serving.Lookups.orderedExport(s, dir)),
     "percentiles"          -> ((s, dir) => serving.Lookups.percentiles(s, dir)),
+    "percentiles_approx"   -> ((s, dir) => serving.Lookups.percentilesApprox(s, dir)),
     "dedup_exact"          -> ((s, dir) => ext.Dedup.exact(core.Tables.documents(s, dir))),
     "dedup_jaccard"        -> ((s, dir) => ext.Dedup.jaccardPairsPre(
       ext.Dedup.shingleTable(s, dir), 0.5, Some(ext.Dedup.signatureTable(s, dir)))),

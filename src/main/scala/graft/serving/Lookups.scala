@@ -84,4 +84,15 @@ object Lookups {
         round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50_amount"),
         round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95_amount"),
         count(lit(1)).as("n"))
+
+  /** A16's sketch form: KLL-style approximate quantiles next to the exact
+    * values — the cost-optimization path (docs/PERFORMANCE.md:552-559).
+    * Sketch outputs are engine-specific → rows-only check. */
+  def percentilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx"),
+        percentile_approx(col("o_totalprice"), lit(0.95), lit(1000)).as("p95_approx"),
+        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95_exact"))
 }

@@ -113,6 +113,20 @@ class CoverageGapsSpec extends SparkSpec {
       "failed validation must not write")
   }
 
+  test("migration runner: validate → copy → reconcile → switchover pointer") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mig").toString
+    val source = graft.core.Roles.users(spark, sf0001)
+    val report = jobs.MigrationRunner.migrate(spark, source, root, "v2", "user_id")
+    assert(report.countsMatch && report.sampleMismatches == 0 && report.switched)
+    assert(jobs.MigrationRunner.current(spark, root).count() == report.sourceRows)
+    // a source with duplicate keys is refused before any copy
+    intercept[IllegalArgumentException] {
+      jobs.MigrationRunner.migrate(spark, source.unionAll(source.limit(1)),
+        root, "v3", "user_id")
+    }
+    assert(!new java.io.File(s"$root/v3").exists(), "refused migration must not copy")
+  }
+
   test("batch serving summary reports the cache_hit_ratio envelope") {
     val svc = new graft.serving.FeatureStoreService(spark, sf0001)
     val building = graft.core.Roles.users(spark, sf0001)
