@@ -39,9 +39,16 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dotNative(a, b) / sqrt(dotNative(a, a) * dotNative(b, b))
 
-  /** Exact top-k neighbors for a bounded query set (vec_id < numQueries).
-    * Ranking key is the rounded cosine with vec_id tiebreak, so ordering is
-    * stable under floating accumulation noise. */
+  /** The shared ranking contract of every top-k path: rounded cosine
+    * (stable under accumulation noise) with neighbor-id tiebreak. One
+    * definition so exact and ANN paths can never drift apart. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+
+  /** Exact top-k neighbors for a bounded query set (vec_id < numQueries). */
   def bruteTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
     val q = embeddings.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
@@ -50,11 +57,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("q"), col("e")), 6).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+    rankTopK(scored, k)
   }
 
   private val NumPlanes = 8
@@ -102,6 +105,45 @@ object Similarity {
       .withColumn("rank", row_number().over(Window.orderBy(
         col("cosine").desc, col("vec_a").asc, col("vec_b").asc)))
       .filter(col("rank") <= topN)
+  }
+
+  /** IVF-style ANN: a seeded KMeans coarse quantizer partitions the corpus
+    * into inverted lists; queries probe only the `nprobe` nearest centroids
+    * and rank within those lists. The other half of the ANN scale story next
+    * to LSH: centroids adapt to the data distribution (LSH planes don't), at
+    * the cost of a training pass. At 100 TB the corpus is written
+    * partitioned by centroid id so a probe reads `nprobe/k` of the data.
+    * Model-dependent output → exercised by recall tests, not the oracle. */
+  def ivfTopK(embeddings: DataFrame, numQueries: Int, k: Int,
+              nLists: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = embeddings.withColumn("v", array_to_vector(toDouble(col("embedding"))))
+    val model = new KMeans().setK(nLists).setSeed(42L)
+      .setFeaturesCol("v").setPredictionCol("list_id").fit(withVec)
+    val assigned = model.transform(withVec).select("vec_id", "embedding", "list_id")
+
+    // centroid table is tiny: broadcast to score query→centroid distances
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }.toSeq
+    val centDf = spark.createDataFrame(centroids).toDF("list_id", "centroid")
+    val q = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val probed = q.crossJoin(broadcast(centDf))
+      .withColumn("cdist", -cosine(col("qe"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cdist").asc, col("list_id").asc)))
+      .filter(col("crank") <= nprobe)
+      .select("query_id", "qe", "list_id")
+
+    // search only the probed inverted lists (equi-join on list_id)
+    val scored = probed.join(assigned, Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qe"), col("embedding")), 6).as("cosine"))
+    rankTopK(scored, k)
   }
 
   /** Candidate pairs from shared buckets (equi-join, never all-pairs). */

@@ -1,19 +1,25 @@
 package graft.jobs
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Migration lifecycle — the engine-side form of src/pipelines/migration.py:
   * 136-214 (validate → copy → count-compare → switchover):
   *
-  *   1. pre-validation on the source (dup-PK / orphan checks, migration.py:287-319),
-  *   2. batched copy → here a partitioned distributed write (the reference's
-  *      LIMIT/OFFSET loop, migration.py:439-448, is keyset/whole-set in Spark),
-  *   3. count + sample reconciliation (migration_queries.sql:110-137),
-  *   4. switchover via an atomic pointer swap (migration.py's config flip).
+  *   1. pre-validation on the source (dup-PK check, migration.py:287-319),
+  *      fused with the row count in ONE aggregation pass,
+  *   2. distributed copy (the reference's LIMIT/OFFSET loop,
+  *      migration.py:439-448, is a whole-set write in Spark),
+  *   3. count + symmetric sample reconciliation (migration_queries.sql:
+  *      110-137) — both directions, so extra/duplicated target rows are
+  *      caught, not just missing ones,
+  *   4. switchover via an atomic pointer rename through the Hadoop
+  *      filesystem API, so it works on HDFS/S3A as well as local disk and
+  *      readers never observe a torn pointer.
   *
-  * The "databases" are parquet stores; a CURRENT pointer file names the live
-  * one, so readers never observe a half-copied target.
+  * Refuses to overwrite the live store (targetName must differ from the
+  * CURRENT pointer's value).
   */
 object MigrationRunner {
 
@@ -21,35 +27,70 @@ object MigrationRunner {
     sourceRows: Long, targetRows: Long, countsMatch: Boolean,
     sampleMismatches: Long, switched: Boolean)
 
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readPointer(spark: SparkSession, root: String): Option[String] = {
+    val p = new Path(s"$root/CURRENT")
+    val f = fs(spark, root)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  private def writePointerAtomic(spark: SparkSession, root: String, name: String): Unit = {
+    val f = fs(spark, root)
+    val tmp = new Path(s"$root/CURRENT.tmp")
+    val dst = new Path(s"$root/CURRENT")
+    val out = f.create(tmp, true)
+    try out.write(name.getBytes("UTF-8")) finally out.close()
+    if (f.exists(dst)) f.delete(dst, false)
+    require(f.rename(tmp, dst), s"pointer rename failed for $dst")
+  }
+
+  /** Deterministic ~1/37 sample keyed by hash — works for any key type
+    * (a `key % 37` predicate silently yields an empty sample for strings). */
+  private def sampled(df: DataFrame, key: String): DataFrame =
+    df.filter(pmod(abs(hash(col(key))), lit(37)) === 0)
+
   def migrate(spark: SparkSession, sourceDf: DataFrame, storeRoot: String,
               targetName: String, key: String): MigrationReport = {
-    val targetPath = s"$storeRoot/$targetName"
+    readPointer(spark, storeRoot).foreach(live =>
+      require(live != targetName,
+        s"'$targetName' is the live store — refusing to overwrite it"))
 
-    // 1. pre-validation: refuse to copy a source with duplicate keys
-    val dups = sourceDf.groupBy(col(key)).count().filter(col("count") > 1).count()
-    require(dups == 0, s"source has $dups duplicate '$key' values — aborting migration")
+    // 1. one pass: row count + duplicate-key count together
+    val pre = sourceDf.groupBy(col(key)).count()
+      .agg(sum(col("count")).as("rows"),
+        count(when(col("count") > 1, 1)).as("dups"))
+      .collect()(0)
+    val ns = pre.getAs[Long]("rows")
+    require(pre.getAs[Long]("dups") == 0,
+      s"source has ${pre.getAs[Long]("dups")} duplicate '$key' values — aborting migration")
 
     // 2. distributed copy
+    val targetPath = s"$storeRoot/$targetName"
     sourceDf.write.mode("overwrite").parquet(targetPath)
 
-    // 3. reconciliation: counts + deterministic sample diff
+    // 3. symmetric reconciliation
     val target = spark.read.parquet(targetPath)
-    val (ns, nt) = (sourceDf.count(), target.count())
-    val sample = sourceDf.filter(col(key) % 37 === 0)
-    val mismatches = sample.exceptAll(target.filter(col(key) % 37 === 0)).count()
+    val nt = target.count()
+    val (ss, ts) = (sampled(sourceDf, key), sampled(target, key))
+    val mismatches = ss.exceptAll(ts).count() + ts.exceptAll(ss).count()
 
     // 4. switchover only on full reconciliation
     val ok = ns == nt && mismatches == 0
-    if (ok)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$storeRoot/CURRENT"), targetName)
+    if (ok) writePointerAtomic(spark, storeRoot, targetName)
     MigrationReport(ns, nt, ns == nt, mismatches, ok)
   }
 
   /** The live store per the CURRENT pointer (what readers resolve). */
   def current(spark: SparkSession, storeRoot: String): DataFrame = {
-    val name = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$storeRoot/CURRENT")).trim
+    val name = readPointer(spark, storeRoot)
+      .getOrElse(sys.error(s"no CURRENT pointer under $storeRoot"))
     spark.read.parquet(s"$storeRoot/$name")
   }
 }

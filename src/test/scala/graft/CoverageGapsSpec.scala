@@ -125,6 +125,12 @@ class CoverageGapsSpec extends SparkSpec {
         root, "v3", "user_id")
     }
     assert(!new java.io.File(s"$root/v3").exists(), "refused migration must not copy")
+    // migrating onto the LIVE store name is refused before any write
+    intercept[IllegalArgumentException] {
+      jobs.MigrationRunner.migrate(spark, source.limit(5), root, "v2", "user_id")
+    }
+    assert(jobs.MigrationRunner.current(spark, root).count() == report.sourceRows,
+      "live store untouched after refused overwrite")
   }
 
   test("batch serving summary reports the cache_hit_ratio envelope") {

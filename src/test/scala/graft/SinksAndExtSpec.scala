@@ -67,6 +67,16 @@ class SinksAndExtSpec extends SparkSpec {
     }
   }
 
+  test("IVF top-k recalls most exact neighbors while probing a fraction of lists") {
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    val exact = Similarity.bruteTopK(emb, 5, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivfTopK(emb, 5, 10, nLists = 16, nprobe = 8).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall@10 was $recall (probing half the lists)")
+  }
+
   test("LSH candidates only pair vectors sharing a bucket") {
     val emb = graft.core.Tables.embeddings(spark, sf0001)
     val buckets = Similarity.withBucket(emb).collect()
