@@ -75,6 +75,8 @@ object SparkEntry {
     "tumbling_counts"      -> ((s, dir) => StreamAnalogJobs.tumblingCounts(s, dir)),
     "transaction_features_compat" -> ((s, dir) =>
       canon(TransactionFeaturesJob(s, dir, compatNight = true))),
+    "event_sessions"       -> ((s, dir) => StreamAnalogJobs.eventSessions(s, dir)),
+    "word_counts"          -> ((s, dir) => StreamAnalogJobs.wordCounts(s, dir, 50)),
   )
 
   /** Deterministic probe-id sets for the lookup queries (S2/S3): a handful
@@ -127,5 +129,7 @@ object SparkEntry {
     "asof_risk"            -> OracleSql.asOfRisk,
     "tumbling_counts"      -> OracleSql.tumblingCounts,
     "transaction_features_compat" -> OracleSql.transactionFeaturesCompat(),
+    "event_sessions"       -> OracleSql.eventSessions,
+    "word_counts"          -> OracleSql.wordCounts(50),
   )
 }

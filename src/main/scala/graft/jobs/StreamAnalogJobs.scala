@@ -91,6 +91,44 @@ object StreamAnalogJobs {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
         col("n_events"), col("total_value"))
 
+  /** Gap-based sessionization — the classic training-data segmentation op
+    * (and the analytic-window family W4 the reference never needed): events
+    * more than 30 minutes apart start a new session; per-user session
+    * stats come from a lag + running-sum window, then two aggregations. */
+  def eventSessions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapped = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessions = gapped.groupBy("user_id", "session_id").agg(
+      count(lit(1)).as("n_events"),
+      (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+        .as("duration_secs"))
+    sessions.groupBy("user_id").agg(
+      count(lit(1)).as("n_sessions"),
+      sum(col("n_events")).as("total_events"),
+      max(col("n_events")).as("max_session_events"),
+      sum(col("duration_secs")).as("total_session_secs"))
+  }
+
+  /** Token frequency over the corpus — the canonical distributed word count
+    * (explode → map-side-combinable groupBy), top terms by a total order. */
+  def wordCounts(spark: SparkSession, dir: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("token").asc)))
+      .filter(col("rank") <= topN)
+  }
+
   /** A16: approximate distinct counts next to their exact counterparts.
     * No oracle entry — HLL sketches are engine-specific by construction;
     * the ScalaTest suite bounds the relative error instead. */

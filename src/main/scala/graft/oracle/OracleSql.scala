@@ -585,6 +585,37 @@ object OracleSql {
        |  COALESCE(${sumMoney("TRUE", "value")}, 0.0) AS total_value
        |FROM events GROUP BY 1, 2""".stripMargin
 
+  val eventSessions: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+      |            - CAST(epoch(date_trunc('second', lag(ts) OVER w)) AS BIGINT) > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, event_id, ts,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM g),
+      |per_session AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events,
+      |    CAST(epoch(date_trunc('second', MAX(ts))) AS BIGINT)
+      |      - CAST(epoch(date_trunc('second', MIN(ts))) AS BIGINT) AS duration_secs
+      |  FROM s GROUP BY user_id, session_id)
+      |SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS total_events,
+      |  MAX(n_events) AS max_session_events,
+      |  SUM(duration_secs) AS total_session_secs
+      |FROM per_session GROUP BY user_id""".stripMargin
+
+  def wordCounts(topN: Int): String =
+    s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY token),
+       |r AS (SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rank
+       |      FROM c)
+       |SELECT token, n, rank FROM r WHERE rank <= $topN""".stripMargin
+
   /** Compat-mode transaction features: replicates the reference's vacuous
     * night predicate (BETWEEN 22 AND 6 ⇒ always false) byte-for-byte. */
   def transactionFeaturesCompat(asOf: Instant = AsOf.orders): String = {
