@@ -31,18 +31,34 @@ object FeatureCache {
       }
     }
 
-  private val memo = TrieMap.empty[(String, String, String), DataFrame]
+  private final case class Entry(df: DataFrame, bornAtNanos: Long)
+
+  private val memo = TrieMap.empty[(String, String, String), Entry]
+
+  /** TTL mirroring the reference's Redis expiry (settings.py:64, 3600 s):
+    * entries older than this are rebuilt on next access. The clock is
+    * injectable so tests stay deterministic; query semantics never read it. */
+  @volatile var ttlNanos: Long = 3600L * 1000 * 1000 * 1000
+  @volatile private[graft] var clock: () => Long = () => System.nanoTime()
 
   def cached(spark: SparkSession, dir: String, name: String)
             (build: => DataFrame): DataFrame = {
     sweep()
-    memo.getOrElseUpdate((idOf(spark), dir, name),
-      build.persist(StorageLevel.MEMORY_AND_DISK))
+    val key = (idOf(spark), dir, name)
+    val now = clock()
+    memo.get(key) match {
+      case Some(e) if now - e.bornAtNanos < ttlNanos => e.df
+      case stale =>
+        stale.foreach(_.df.unpersist())
+        val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+        memo.put(key, Entry(df, now))
+        df
+    }
   }
 
-  /** Invalidate (TTL expiry / upstream change): unpersist + forget. */
+  /** Invalidate (explicit expiry / upstream change): unpersist + forget. */
   def invalidate(spark: SparkSession, dir: String, name: String): Unit =
-    memo.remove((idOf(spark), dir, name)).foreach(_.unpersist())
+    memo.remove((idOf(spark), dir, name)).foreach(_.df.unpersist())
 
   /** Drop every entry of a session (call when stopping it). */
   def invalidateSession(spark: SparkSession): Unit = {

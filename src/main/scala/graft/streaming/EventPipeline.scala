@@ -37,6 +37,32 @@ object EventPipeline {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** S7: the production source — Kafka JSON envelope stream. The connector
+    * (spark-sql-kafka) is resolved at RUNTIME by format name; this
+    * environment ships without it, so tests drive the pipeline through
+    * MemoryStream instead — every downstream stage is source-agnostic. */
+  def kafkaSource(spark: SparkSession, bootstrapServers: String,
+                  topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+
+  /** S8: the production sink — republished events back to a Kafka topic
+    * (feature_pipeline.py:268-309's `<topic>-recompute` producer). */
+  def kafkaSink(events: DataFrame, bootstrapServers: String, topic: String,
+                checkpointDir: String): DataStreamWriter[Row] =
+    events
+      .select(to_json(struct(events.columns.map(col): _*)).as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+
   /** ST1: parse a raw JSON `value` column (Kafka wire shape) into the typed
     * envelope; malformed rows survive with valid=false so the stream can
     * count them (the reference drops + counts, feature_pipeline.py:118-131). */

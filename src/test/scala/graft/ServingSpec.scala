@@ -47,6 +47,27 @@ class ServingSpec extends SparkSpec {
     assert(res.freshnessMinutes.contains(150L))
   }
 
+  test("feature cache TTL: an expired entry is rebuilt on next access (settings.py:64)") {
+    var fakeNow = 0L
+    val origClock = graft.core.FeatureCache.clock
+    try {
+      graft.core.FeatureCache.clock = () => fakeNow
+      var builds = 0
+      def get() = graft.core.FeatureCache.cached(spark, sf0001, "ttl-probe") {
+        builds += 1
+        graft.core.Tables.nation(spark, sf0001)
+      }
+      get(); get()
+      assert(builds == 1, "fresh entry served from cache")
+      fakeNow = graft.core.FeatureCache.ttlNanos + 1
+      get()
+      assert(builds == 2, "expired entry rebuilt")
+    } finally {
+      graft.core.FeatureCache.clock = origClock
+      graft.core.FeatureCache.invalidate(spark, sf0001, "ttl-probe")
+    }
+  }
+
   test("batch cap of 100 is enforced (models.py:84-89)") {
     intercept[IllegalArgumentException](
       svc.getBatch((1L to 101L), Seq("user"), now))

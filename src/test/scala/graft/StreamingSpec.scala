@@ -17,6 +17,14 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("S7: kafkaSource names the missing connector clearly in this env") {
+    // the connector resolves at runtime; this image ships without it —
+    // the failure mode a user hits must name the format, not NPE
+    val e = intercept[Exception](
+      EventPipeline.kafkaSource(spark, "localhost:9092", "events"))
+    assert(e.getMessage.toLowerCase.contains("kafka"), e.getMessage.take(200))
+  }
+
   test("ST1: parse keeps malformed rows with valid=false") {
     val raw = Seq(
       """{"event_id":1,"ts":"2024-01-01T10:00:00Z","user_id":5,"event_type":"purchase","value":10.0,"props":"{}"}""",
