@@ -93,7 +93,7 @@ object Roles {
       .select(
         col("event_id").as("report_id"),
         col("user_id"),
-        round(col("value") / 500.0, 4).as("credit_utilization_ratio"),
+        graft.ops.Ops.rnd(col("value") / 500.0, 4).as("credit_utilization_ratio"),
         col("ts").as("report_date"))
 
   /** risk_scores: purchase events; score normalized into [0,1). */
@@ -103,6 +103,6 @@ object Roles {
       .select(
         col("event_id").as("score_id"),
         col("user_id"),
-        round(col("value") / 500.0, 4).as("risk_score"),
+        graft.ops.Ops.rnd(col("value") / 500.0, 4).as("risk_score"),
         col("ts").as("computed_at"))
 }

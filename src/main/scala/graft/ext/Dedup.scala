@@ -88,7 +88,7 @@ object Dedup {
     val union = size(col("sha")) + size(col("shb")) - inter
     verified
       .select(col("doc_a"), col("doc_b"),
-        round(inter.cast("double") / union, 4).as("jaccard"))
+        graft.ops.Ops.rnd(inter.cast("double") / union, 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -105,7 +105,7 @@ object Dedup {
         abs(col("a.n_chars") - col("b.n_chars")) <= 40)
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(inter.cast("double") / union, 4).as("jaccard"))
+        graft.ops.Ops.rnd(inter.cast("double") / union, 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -56,7 +56,7 @@ object Similarity {
     val scored = cand.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("q"), col("e")), 6).as("cosine"))
+        graft.ops.Ops.rnd(cosine(col("q"), col("e")), 6).as("cosine"))
     rankTopK(scored, k)
   }
 
@@ -100,7 +100,7 @@ object Similarity {
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(
         col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        round(cosine(col("x.embedding"), col("y.embedding")), 6).as("cosine"))
+        graft.ops.Ops.rnd(cosine(col("x.embedding"), col("y.embedding")), 6).as("cosine"))
     scored
       .withColumn("rank", row_number().over(Window.orderBy(
         col("cosine").desc, col("vec_a").asc, col("vec_b").asc)))
@@ -142,7 +142,7 @@ object Similarity {
     val scored = probed.join(assigned, Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("qe"), col("embedding")), 6).as("cosine"))
+        graft.ops.Ops.rnd(cosine(col("qe"), col("embedding")), 6).as("cosine"))
     rankTopK(scored, k)
   }
 

@@ -32,9 +32,9 @@ object TextAnalysis {
       col("lang"),
       tokenCount.as("token_count"),
       distinctCount.as("distinct_tokens"),
-      round(charSum.cast("double") / tokenCount, 4).as("avg_token_len"),
-      round(stopCount.cast("double") / tokenCount, 4).as("stopword_ratio"),
-      round(
+      graft.ops.Ops.rnd(charSum.cast("double") / tokenCount, 4).as("avg_token_len"),
+      graft.ops.Ops.rnd(stopCount.cast("double") / tokenCount, 4).as("stopword_ratio"),
+      graft.ops.Ops.rnd(
         least(lit(1.0), tokenCount.cast("double") / 100) * 0.4
           + (lit(1.0) - stopCount.cast("double") / tokenCount) * 0.3
           + distinctCount.cast("double") / tokenCount * 0.3,

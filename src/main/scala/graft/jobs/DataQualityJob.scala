@@ -61,7 +61,7 @@ object DataQualityJob {
         (sumMoney(lit(true), col("l_extendedprice")) / count(lit(1))).as("avg_price"),
         min(col("l_extendedprice")).as("min_price"),
         max(col("l_extendedprice")).as("max_price"),
-        round(stddev_samp(col("l_quantity")), 2).as("stddev_qty"))
+        rnd(stddev_samp(col("l_quantity")), 2).as("stddev_qty"))
 
   /** Outlier count, two-pass (A10). The reference emits an illegal nested
     * aggregate — COUNT(*) FILTER (WHERE x < AVG(x) - 3σ ...) inside the same
@@ -74,8 +74,8 @@ object DataQualityJob {
       stddev_samp(col("o_totalprice")).as("sd_amount"))
     orders.crossJoin(broadcast(stats))
       .agg(
-        round(first(col("mean_amount")), 2).as("mean_amount"),
-        round(first(col("sd_amount")), 2).as("stddev_amount"),
+        rnd(first(col("mean_amount")), 2).as("mean_amount"),
+        rnd(first(col("sd_amount")), 2).as("stddev_amount"),
         countIf(col("o_totalprice") < col("mean_amount") - col("sd_amount") * 3 ||
                 col("o_totalprice") > col("mean_amount") + col("sd_amount") * 3)
           .as("outlier_count"),

@@ -37,6 +37,18 @@ object Ops {
   def ratio(num: Column, den: Column): Column =
     num.cast("double") / nullif(den.cast("double"), lit(0.0))
 
+  /** Cross-engine-exact HALF_UP rounding for non-negative doubles:
+    * floor(x·10ⁿ + 0.5)/10ⁿ — plain IEEE ops every engine computes
+    * identically. Spark's round() rounds the value's SHORTEST DECIMAL
+    * representation (0.59825 stored as ...24999 still rounds UP) while
+    * DuckDB rounds the binary value (DOWN) — a real divergence the oracle
+    * gate caught on rational inputs. Never use builtin round() on a
+    * computed double that feeds the oracle compare. */
+  def rnd(c: Column, digits: Int): Column = {
+    val p = math.pow(10, digits)
+    floor(c * p + 0.5) / p
+  }
+
   /** Postgres EXTRACT(DOW) ∈ (0,6) weekend test (Sunday=0, Saturday=6;
     * sql/transaction_features.sql:21). Spark dayofweek is Sunday=1..
     * Saturday=7 — SURVEY §7.4.2's mapping trap, translated here once. */

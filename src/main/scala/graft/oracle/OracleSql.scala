@@ -62,18 +62,25 @@ object OracleSql {
 
   val roleCredit: String =
     """SELECT event_id AS report_id, user_id,
-      | ROUND(value / 500.0, 4) AS credit_utilization_ratio,
+      | floor((value / 500.0) * 10000.0 + 0.5) / 10000.0 AS credit_utilization_ratio,
       | ts AS report_date FROM events WHERE event_type = 'view'""".stripMargin
 
   val roleScores: String =
     """SELECT event_id AS score_id, user_id,
-      | ROUND(value / 500.0, 4) AS risk_score,
+      | floor((value / 500.0) * 10000.0 + 0.5) / 10000.0 AS risk_score,
       | ts AS computed_at FROM events WHERE event_type = 'purchase'""".stripMargin
 
   // ---- shared SQL idioms ----
 
   /** COUNT(*) FILTER, written as portable conditional count. */
   private def cntIf(cond: String) = s"COUNT(CASE WHEN $cond THEN 1 END)"
+
+  /** Cross-engine-exact HALF_UP rounding (mirror of Ops.rnd — see its
+    * scaladoc for why builtin round() diverges between engines). */
+  private def rnd(expr: String, digits: Int): String = {
+    val p = "1" + ("0" * digits)
+    s"floor(($expr) * $p.0 + 0.5) / $p.0"
+  }
   private def sumMoney(cond: String, x: String) =
     s"CAST(SUM(CASE WHEN $cond THEN CAST($x AS DECIMAL(12,2)) END) AS DOUBLE)"
   private def ratio(num: String, den: String) =
@@ -282,7 +289,7 @@ object OracleSql {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
       |  MIN(l_extendedprice) AS min_price,
       |  MAX(l_extendedprice) AS max_price,
-      |  ROUND(STDDEV_SAMP(l_quantity), 2) AS stddev_qty
+      |  floor(STDDEV_SAMP(l_quantity) * 100.0 + 0.5) / 100.0 AS stddev_qty
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
 
   val dqOutliers: String =
@@ -290,7 +297,7 @@ object OracleSql {
       |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS m,
       |         STDDEV_SAMP(o_totalprice) AS sd
       |  FROM orders)
-      |SELECT ROUND(s.m, 2) AS mean_amount, ROUND(s.sd, 2) AS stddev_amount,
+      |SELECT floor(s.m * 100.0 + 0.5) / 100.0 AS mean_amount, floor(s.sd * 100.0 + 0.5) / 100.0 AS stddev_amount,
       |  COUNT(CASE WHEN o.o_totalprice < s.m - 3 * s.sd
       |               OR o.o_totalprice > s.m + 3 * s.sd THEN 1 END) AS outlier_count,
       |  COUNT(*) AS total_count
@@ -351,8 +358,8 @@ object OracleSql {
 
   val percentiles: String =
     """SELECT o_orderstatus,
-      |  ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50_amount,
-      |  ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95_amount,
+      |  floor(quantile_cont(o_totalprice, 0.5) * 100.0 + 0.5) / 100.0 AS p50_amount,
+      |  floor(quantile_cont(o_totalprice, 0.95) * 100.0 + 0.5) / 100.0 AS p95_amount,
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
@@ -389,7 +396,7 @@ object OracleSql {
        |  ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id)
        |SELECT * FROM (
        |  SELECT c.doc_a, c.doc_b,
-       |    ROUND(CAST($inter AS DOUBLE) / (len(a.sh) + len(b.sh) - $inter), 4) AS jaccard
+       |    floor((CAST($inter AS DOUBLE) / (len(a.sh) + len(b.sh) - $inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
        |  FROM cand c
        |  JOIN shl a ON c.doc_a = a.doc_id
        |  JOIN shl b ON c.doc_b = b.doc_id)
@@ -428,8 +435,8 @@ object OracleSql {
        |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < $numQueries),
        |scored AS (
        |  SELECT q.query_id, e.vec_id AS neighbor_id,
-       |    ROUND(list_dot_product(qe, emb)
-       |      / sqrt(list_dot_product(qe, qe) * list_dot_product(emb, emb)), 6) AS cosine
+       |    floor((list_dot_product(qe, emb)
+       |      / sqrt(list_dot_product(qe, qe) * list_dot_product(emb, emb))) * 1000000.0 + 0.5) / 1000000.0 AS cosine
        |  FROM e, q WHERE e.vec_id <> q.query_id),
        |r AS (SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER (
        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
@@ -462,9 +469,9 @@ object OracleSql {
        |b AS (SELECT vec_id, emb, $bits AS bucket FROM e),
        |scored AS (
        |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-       |    ROUND(list_dot_product(x.emb, y.emb)
-       |      / sqrt(list_dot_product(x.emb, x.emb) * list_dot_product(y.emb, y.emb)), 6)
-       |      AS cosine
+       |    floor((list_dot_product(x.emb, y.emb)
+       |      / sqrt(list_dot_product(x.emb, x.emb) * list_dot_product(y.emb, y.emb)))
+       |      * 1000000.0 + 0.5) / 1000000.0 AS cosine
        |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
        |r AS (SELECT vec_a, vec_b, cosine, ROW_NUMBER() OVER (
        |    ORDER BY cosine DESC, vec_a ASC, vec_b ASC) AS rank FROM scored)
@@ -477,13 +484,13 @@ object OracleSql {
        |SELECT doc_id, lang,
        |  len(t) AS token_count,
        |  len(list_distinct(t)) AS distinct_tokens,
-       |  ROUND(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t), 4)
+       |  floor((CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t)) * 10000.0 + 0.5) / 10000.0
        |    AS avg_token_len,
-       |  ROUND(CAST(len(list_filter(t, x -> x IN $stop)) AS DOUBLE) / len(t), 4)
+       |  floor((CAST(len(list_filter(t, x -> x IN $stop)) AS DOUBLE) / len(t)) * 10000.0 + 0.5) / 10000.0
        |    AS stopword_ratio,
-       |  ROUND(LEAST(1.0, CAST(len(t) AS DOUBLE) / 100) * 0.4
+       |  floor((LEAST(1.0, CAST(len(t) AS DOUBLE) / 100) * 0.4
        |    + (1.0 - CAST(len(list_filter(t, x -> x IN $stop)) AS DOUBLE) / len(t)) * 0.3
-       |    + CAST(len(list_distinct(t)) AS DOUBLE) / len(t) * 0.3, 4) AS quality_score
+       |    + CAST(len(list_distinct(t)) AS DOUBLE) / len(t) * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality_score
        |FROM d""".stripMargin
   }
 

@@ -81,8 +81,8 @@ object Lookups {
     Tables.orders(spark, dir)
       .groupBy("o_orderstatus")
       .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50_amount"),
-        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95_amount"),
+        graft.ops.Ops.rnd(expr("percentile(o_totalprice, 0.5)"), 2).as("p50_amount"),
+        graft.ops.Ops.rnd(expr("percentile(o_totalprice, 0.95)"), 2).as("p95_amount"),
         count(lit(1)).as("n"))
 
   /** A16's sketch form: KLL-style approximate quantiles next to the exact
@@ -94,5 +94,5 @@ object Lookups {
       .agg(
         percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx"),
         percentile_approx(col("o_totalprice"), lit(0.95), lit(1000)).as("p95_approx"),
-        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95_exact"))
+        graft.ops.Ops.rnd(expr("percentile(o_totalprice, 0.95)"), 2).as("p95_exact"))
 }

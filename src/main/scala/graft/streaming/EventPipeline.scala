@@ -101,7 +101,7 @@ object EventPipeline {
     val updates = graft.ops.Ops.topOnePerKey(
       batch.filter(col("valid") && col("event_type") === "purchase"),
       Seq(col("user_id")), Seq(col("ts").desc, col("event_id").desc))
-      .select(col("user_id"), round(col("value") / 500.0, 4).as("risk_score"),
+      .select(col("user_id"), graft.ops.Ops.rnd(col("value") / 500.0, 4).as("risk_score"),
         col("ts").as("computed_at"))
     MergeByKey.merge(current, updates, Seq("user_id"))
   }
