@@ -41,9 +41,13 @@ object FeatureCache {
   @volatile var ttlNanos: Long = 3600L * 1000 * 1000 * 1000
   @volatile private[graft] var clock: () => Long = () => System.nanoTime()
 
+  // memo-wide lock: persist() only MARKS the plan (materialization happens
+  // at the first action, outside the lock), so holding it across build is
+  // cheap — and it closes the race where two concurrent builders both
+  // persist and one marked plan leaks with no surviving handle.
   def cached(spark: SparkSession, dir: String, name: String)
-            (build: => DataFrame): DataFrame = {
-    sweep()
+            (build: => DataFrame): DataFrame = memo.synchronized {
+    sweepLocked()
     val key = (idOf(spark), dir, name)
     val now = clock()
     memo.get(key) match {
@@ -60,14 +64,17 @@ object FeatureCache {
   def invalidate(spark: SparkSession, dir: String, name: String): Unit =
     memo.remove((idOf(spark), dir, name)).foreach(_.df.unpersist())
 
-  /** Drop every entry of a session (call when stopping it). */
-  def invalidateSession(spark: SparkSession): Unit = {
+  /** Drop every entry of a session (call when stopping it) — unpersists
+    * the blocks too, or they'd stay registered with no surviving handle. */
+  def invalidateSession(spark: SparkSession): Unit = memo.synchronized {
     val id = idOf(spark)
-    memo.keys.filter(_._1 == id).foreach(k => memo.remove(k))
+    memo.keys.filter(_._1 == id).foreach(k =>
+      memo.remove(k).foreach(e => scala.util.Try(e.df.unpersist())))
   }
 
-  /** Forget entries whose session has been garbage collected. */
-  private def sweep(): Unit = {
+  /** Forget entries whose session has been garbage collected (their blocks
+    * died with the session's block manager; unpersist would throw). */
+  private def sweepLocked(): Unit = {
     val live = sessionIds.synchronized {
       import scala.jdk.CollectionConverters._
       sessionIds.values.asScala.toSet

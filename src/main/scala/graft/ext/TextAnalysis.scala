@@ -59,14 +59,15 @@ object TextAnalysis {
 
   /** Content fingerprints: a positional prefix hash (first five tokens) and
     * the min-shingle-hash (winnowing-style rolling fingerprint — the k=1
-    * MinHash band). */
+    * MinHash band). Shingles come from the materialized-token path — the
+    * inline form re-tokenizes per element access (Dedup.shinglesOf doc). */
   def fingerprints(docs: DataFrame): DataFrame = {
+    val withSh = Dedup.withShingles(docs)
     val t = toks(col("text"))
     val prefix = md5(concat_ws(" ",
       element_at(t, 1), element_at(t, 2), element_at(t, 3),
       element_at(t, 4), element_at(t, 5)))
-    val sh = Dedup.shingles(col("text"))
-    val minShingle = array_min(transform(sh, x => md5(x)))
-    docs.select(col("doc_id"), prefix.as("prefix_fp"), minShingle.as("min_shingle_fp"))
+    val minShingle = array_min(transform(col("sh"), x => md5(x)))
+    withSh.select(col("doc_id"), prefix.as("prefix_fp"), minShingle.as("min_shingle_fp"))
   }
 }

@@ -45,22 +45,22 @@ object DailyBatchRunner {
 
     // Upsert each group into its store table, then export the wide view
     // date-partitioned (the BigQuery-export step, batch_pipeline.py:314-334).
+    // Each group store is a versioned directory behind an atomic CURRENT
+    // pointer (MigrationRunner's swap): the old version stays intact until
+    // the new one is fully written and reconciled, so a crash mid-write
+    // never leaves a missing or half-merged store (a delete-then-move swap
+    // has exactly that hole).
     Seq("user_features" -> uf, "transaction_features" -> tf, "risk_features" -> rf)
       .foreach { case (name, df) =>
-        val path = s"$outputPath/$name"
-        val merged =
-          if (new java.io.File(path).exists()) // local-FS store; object stores need a listing probe
-            MergeByKey.merge(spark.read.parquet(path), df, Seq("user_id"))
-          else df
-        // Never overwrite the path being read: a recomputed partition after
-        // cache eviction would re-scan deleted files mid-write. Write to a
-        // temp dir, then swap — the same pattern a transactional format
-        // automates.
-        val tmp = s"$path.tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        val target = java.nio.file.Paths.get(path)
-        org.apache.commons.io.FileUtils.deleteDirectory(target.toFile)
-        java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target)
+        val storeRoot = s"$outputPath/$name"
+        val merged = scala.util.Try(MigrationRunner.current(spark, storeRoot))
+          .toOption
+          .map(old => MergeByKey.merge(old, df, Seq("user_id")))
+          .getOrElse(df)
+        val report = MigrationRunner.migrate(spark, merged, storeRoot,
+          MigrationRunner.freshVersionName(spark, storeRoot, s"v$runDate"), "user_id")
+        require(report.switched,
+          s"$name store swap failed reconciliation: $report")
       }
     val view = FeatureViewJob.compute(uf, tf, rf)
       .withColumn("partition_date", lit(runDate.toString)) // injected, never now()

@@ -46,10 +46,21 @@ object DataQualityJob {
         .as("staleness_seconds"))
   }
 
+  /** Sample stddev from exact sums: sqrt((n·Σx² − (Σx)²) / (n(n−1))).
+    * stddev_samp's streaming moment-merge depends on partition order and on
+    * each engine's merge algorithm — the one aggregate that violates the
+    * repo's determinism rules. With Σx and Σx² accumulated exactly (decimal),
+    * every remaining op is plain IEEE arithmetic on identical inputs. */
+  private def exactStddev(x: org.apache.spark.sql.Column) = {
+    val n   = count(lit(1)).cast("double")
+    val s   = sum(x.cast("decimal(20,2)")).cast("double")
+    val ssq = sum((x * x).cast("decimal(30,10)")).cast("double")
+    sqrt((n * ssq - s * s) / (n * (n - lit(1.0))))
+  }
+
   /** Statistical profile by return flag/line status (data_quality.py:273-284
     * mean/σ/min/max shape): quantity sums are integer-valued doubles (exact),
-    * money goes through decimal, stddev is rounded to absorb accumulation
-    * order. */
+    * money goes through decimal, stddev from exact sums (see exactStddev). */
   def profile(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag", "l_linestatus")
@@ -61,7 +72,7 @@ object DataQualityJob {
         (sumMoney(lit(true), col("l_extendedprice")) / count(lit(1))).as("avg_price"),
         min(col("l_extendedprice")).as("min_price"),
         max(col("l_extendedprice")).as("max_price"),
-        rnd(stddev_samp(col("l_quantity")), 2).as("stddev_qty"))
+        rnd(exactStddev(col("l_quantity")), 2).as("stddev_qty"))
 
   /** Outlier count, two-pass (A10). The reference emits an illegal nested
     * aggregate — COUNT(*) FILTER (WHERE x < AVG(x) - 3σ ...) inside the same
@@ -71,7 +82,7 @@ object DataQualityJob {
     val orders = Tables.orders(spark, dir)
     val stats = orders.agg(
       (sumMoney(lit(true), col("o_totalprice")) / count(lit(1))).as("mean_amount"),
-      stddev_samp(col("o_totalprice")).as("sd_amount"))
+      exactStddev(col("o_totalprice")).as("sd_amount"))
     orders.crossJoin(broadcast(stats))
       .agg(
         rnd(first(col("mean_amount")), 2).as("mean_amount"),

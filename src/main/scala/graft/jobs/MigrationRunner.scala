@@ -87,6 +87,19 @@ object MigrationRunner {
     MigrationReport(ns, nt, ns == nt, mismatches, ok)
   }
 
+  /** First version name of the form base / base-1 / base-2… that is neither
+    * the live store nor an existing directory — re-running a batch with the
+    * same base (e.g. the same runDate) gets a fresh version instead of
+    * tripping the live-store guard. */
+  def freshVersionName(spark: SparkSession, storeRoot: String, base: String): String = {
+    val live = readPointer(spark, storeRoot)
+    val f = fs(spark, storeRoot)
+    Iterator.from(0)
+      .map(k => if (k == 0) base else s"$base-$k")
+      .find(n => !live.contains(n) && !f.exists(new Path(s"$storeRoot/$n")))
+      .get
+  }
+
   /** The live store per the CURRENT pointer (what readers resolve). */
   def current(spark: SparkSession, storeRoot: String): DataFrame = {
     val name = readPointer(spark, storeRoot)

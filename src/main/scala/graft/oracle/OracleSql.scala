@@ -83,6 +83,13 @@ object OracleSql {
   }
   private def sumMoney(cond: String, x: String) =
     s"CAST(SUM(CASE WHEN $cond THEN CAST($x AS DECIMAL(12,2)) END) AS DOUBLE)"
+
+  /** Sample stddev from exact decimal sums (mirror of DataQualityJob.
+    * exactStddev — stddev_samp's moment-merge is order/engine-dependent). */
+  private def exactStddev(x: String) =
+    s"""sqrt((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(($x) * ($x) AS DECIMAL(30,10))) AS DOUBLE)
+       |  - CAST(SUM(CAST($x AS DECIMAL(20,2))) AS DOUBLE) * CAST(SUM(CAST($x AS DECIMAL(20,2))) AS DOUBLE))
+       |  / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0)))""".stripMargin
   private def ratio(num: String, den: String) =
     s"CAST($num AS DOUBLE) / NULLIF(CAST($den AS DOUBLE), 0.0)"
 
@@ -281,22 +288,22 @@ object OracleSql {
   }
 
   val dqProfile: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  COUNT(*) AS line_count,
-      |  SUM(l_quantity) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
-      |  SUM(l_quantity) / COUNT(*) AS avg_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-      |  MIN(l_extendedprice) AS min_price,
-      |  MAX(l_extendedprice) AS max_price,
-      |  floor(STDDEV_SAMP(l_quantity) * 100.0 + 0.5) / 100.0 AS stddev_qty
-      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+    s"""SELECT l_returnflag, l_linestatus,
+       |  COUNT(*) AS line_count,
+       |  SUM(l_quantity) AS sum_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+       |  SUM(l_quantity) / COUNT(*) AS avg_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       |  MIN(l_extendedprice) AS min_price,
+       |  MAX(l_extendedprice) AS max_price,
+       |  ${rnd(exactStddev("l_quantity"), 2)} AS stddev_qty
+       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
 
   val dqOutliers: String =
-    """WITH stats AS (
-      |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS m,
-      |         STDDEV_SAMP(o_totalprice) AS sd
-      |  FROM orders)
+    s"""WITH stats AS (
+       |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS m,
+       |         ${exactStddev("o_totalprice")} AS sd
+       |  FROM orders)
       |SELECT floor(s.m * 100.0 + 0.5) / 100.0 AS mean_amount, floor(s.sd * 100.0 + 0.5) / 100.0 AS stddev_amount,
       |  COUNT(CASE WHEN o.o_totalprice < s.m - 3 * s.sd
       |               OR o.o_totalprice > s.m + 3 * s.sd THEN 1 END) AS outlier_count,

@@ -38,8 +38,11 @@ class FeatureStoreService(spark: SparkSession, dir: String) {
   @volatile private var cache: Map[String, DataFrame] =
     featureGroups.map(g => g -> computeGroup(g)).toMap
 
-  /** models.py:71-77 — dedup, preserve order, validate. */
+  /** models.py:71-77 — dedup, preserve order, validate; at least one type
+    * is required (an empty request would score as a vacuous cache hit and
+    * inflate the hit-ratio envelope). */
   def normalizeTypes(types: Seq[String]): Seq[String] = {
+    require(types.nonEmpty, "at least one feature type is required (models.py:65-77)")
     val bad = types.filterNot(featureGroups.contains)
     require(bad.isEmpty, s"invalid feature types: ${bad.mkString(",")}")
     types.distinct

@@ -74,8 +74,14 @@ object VelocityFeatures {
       featuresAt(userId, e.ts, buf)
     }
     state.update(UserBuffer(buf))
-    val horizon = buf.map(_.ts.getTime).max + H24
-    state.setTimeoutTimestamp(horizon) // evict when watermark passes 24h idle
+    // evict when the watermark passes 24h idle; clamp ABOVE the current
+    // watermark — a group replaying events >24h behind the stream head
+    // would otherwise request a timeout in the past, which GroupState
+    // rejects with an exception that kills the whole query
+    val horizon = math.max(
+      buf.map(_.ts.getTime).max + H24,
+      state.getCurrentWatermarkMs() + 1)
+    state.setTimeoutTimestamp(horizon)
     out.iterator
   }
 

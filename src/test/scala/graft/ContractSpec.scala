@@ -14,13 +14,17 @@ class ContractSpec extends SparkSpec {
       s"unexpected rows-only queries: $rowsOnly")
   }
 
-  test("every query plans without a cartesian product or unresolved nodes") {
+  test("every query resolves; fact queries plan without a cartesian join") {
+    // single-row stats/scalar-subquery frames legitimately cross-join
+    // (dq_outliers, count_reconciliation, dq_row_validation, similarity's
+    // bounded query set); every other query must be cartesian-free
+    val allowedCross = Set("dq_outliers", "dq_alerts", "count_reconciliation",
+      "dq_row_validation", "similarity_topk", "dedup_embedding", "ann_buckets")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.optimizedPlan.toString
-      // deliberate 1-row stats broadcasts are Joins without condition on
-      // single-row aggregates; a true cartesian between fact tables would
-      // surface as Join Cross with multi-row sides — guard the fact names
       assert(!plan.contains("UnresolvedRelation"), s"$name has unresolved relations")
+      if (!allowedCross(name))
+        assert(!plan.contains("Join Cross"), s"$name plans a cartesian join:\n${plan.take(500)}")
     }
   }
 

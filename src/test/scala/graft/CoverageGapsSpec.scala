@@ -97,13 +97,14 @@ class CoverageGapsSpec extends SparkSpec {
     val res = jobs.DailyBatchRunner.run(spark, sf0001, out,
       jobs.DailyBatchRunner.Thresholds(user = 10, transaction = 10, risk = 10))
     assert(res.userRows >= 10 && res.riskRows >= 10)
-    assert(spark.read.parquet(s"$out/user_features").count() == res.userRows)
+    // group stores are versioned behind a CURRENT pointer
+    assert(jobs.MigrationRunner.current(spark, s"$out/user_features").count() == res.userRows)
     assert(spark.read.parquet(s"$out/feature_view")
       .select("partition_date").distinct().count() == 1)
     // second run is an idempotent upsert (same keys → same row count)
     val res2 = jobs.DailyBatchRunner.run(spark, sf0001, out,
       jobs.DailyBatchRunner.Thresholds(10, 10, 10))
-    assert(spark.read.parquet(s"$out/user_features").count() == res2.userRows)
+    assert(jobs.MigrationRunner.current(spark, s"$out/user_features").count() == res2.userRows)
     // the validation gate aborts before writing when floors aren't met
     intercept[IllegalArgumentException] {
       jobs.DailyBatchRunner.run(spark, sf0001, out + "-gated",

@@ -116,6 +116,24 @@ class StreamingSpec extends SparkSpec {
     assert(lateRow.payment_success_rate_24h == 0.0)
   }
 
+  test("ST7 late group: a user arriving >24h behind the watermark must not kill the query") {
+    val input = MemoryStream[TxnEvent](spark)
+    // user 10 pushes the watermark to ~Jan 10; user 11 then arrives with
+    // events from Jan 1 — its timeout horizon (ts+24h) sits BEFORE the
+    // watermark and must be clamped, not thrown
+    input.addData(TxnEvent(10L, ts("2024-01-10 12:00:00"), 1.0, 1, success = true))
+    val q = VelocityFeatures.stream(input.toDS()).writeStream
+      .format("memory").queryName("velocity4").outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(TxnEvent(11L, ts("2024-01-01 00:00:00"), 2.0, 1, success = true))
+    q.processAllAvailable()
+    assert(q.exception.isEmpty, s"query died: ${q.exception}")
+    q.stop()
+    val users = spark.table("velocity4").as[VelocityFeatures.VelocityRow]
+      .collect().map(_.user_id).toSet
+    assert(users.contains(10L))
+  }
+
   test("ST7: events beyond the 24h horizon are evicted from state") {
     val input = MemoryStream[TxnEvent](spark)
     input.addData(TxnEvent(2L, ts("2024-01-01 10:00:00"), 10.0, 1, success = true))
