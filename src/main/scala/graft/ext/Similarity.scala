@@ -101,10 +101,17 @@ object Similarity {
       .select(
         col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         graft.ops.Ops.rnd(cosine(col("x.embedding"), col("y.embedding")), 6).as("cosine"))
+    // top-N FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
+    // partial top-N, merged once) — never a global window over every
+    // candidate pair. The global rank window after it sees <= topN rows
+    // (WindowExec's single-partition warning is about THIS bounded tail,
+    // not the corpus; a constant partitionBy key would be folded away by
+    // EliminateWindowPartitions anyway).
     scored
+      .orderBy(col("cosine").desc, col("vec_a").asc, col("vec_b").asc)
+      .limit(topN)
       .withColumn("rank", row_number().over(Window.orderBy(
         col("cosine").desc, col("vec_a").asc, col("vec_b").asc)))
-      .filter(col("rank") <= topN)
   }
 
   /** IVF-style ANN: a seeded KMeans coarse quantizer partitions the corpus

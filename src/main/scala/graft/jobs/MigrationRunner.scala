@@ -41,14 +41,20 @@ object MigrationRunner {
     }
   }
 
+  /** Write-tmp-then-rename with Rename.OVERWRITE: the destination is
+    * replaced in ONE atomic rename (POSIX / HDFS semantics), so a concurrent
+    * readPointer sees either the old pointer or the new one — never a
+    * missing or torn CURRENT. A delete-then-rename pair would open a window
+    * where no pointer exists. */
   private def writePointerAtomic(spark: SparkSession, root: String, name: String): Unit = {
-    val f = fs(spark, root)
     val tmp = new Path(s"$root/CURRENT.tmp")
     val dst = new Path(s"$root/CURRENT")
+    val f = fs(spark, root)
     val out = f.create(tmp, true)
     try out.write(name.getBytes("UTF-8")) finally out.close()
-    if (f.exists(dst)) f.delete(dst, false)
-    require(f.rename(tmp, dst), s"pointer rename failed for $dst")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(root).toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Deterministic ~1/37 sample keyed by hash — works for any key type

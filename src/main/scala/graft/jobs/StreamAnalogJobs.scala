@@ -121,12 +121,17 @@ object StreamAnalogJobs {
     * (explode → map-side-combinable groupBy), top terms by a total order. */
   def wordCounts(spark: SparkSession, dir: String, topN: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // top-N via orderBy+limit (TakeOrderedAndProject) BEFORE the rank
+    // window: a global window over the full vocabulary single-partitions
+    // the whole token table at scale; here the window sees <= topN rows,
+    // so its single partition is bounded by construction.
     Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(topN)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n").desc, col("token").asc)))
-      .filter(col("rank") <= topN)
   }
 
   /** A16: approximate distinct counts next to their exact counterparts.

@@ -99,13 +99,19 @@ object Ops {
     * bottleneck), then merged. The 100 TB answer when one user_id holds a
     * disproportionate share of a fact table and AQE's skew handling isn't
     * available (e.g. pre-AQE writers, or aggregation rather than join skew).
-    * Works for any commutative re-aggregable function — here sum. */
+    * Works for any commutative re-aggregable function — here sum.
+    *
+    * `rowIdCol` must be a stable per-row identifier (PK, event_id): the salt
+    * is derived from its hash, so the partial-sum grouping — and therefore
+    * the result for inexact types like double, where (a+b)+c ≠ a+(b+c) — is
+    * identical run to run regardless of partition layout. Salting from row
+    * POSITION (monotonically_increasing_id) would spread a constant-valued
+    * hot key too, but makes double sums layout-dependent; salting from the
+    * VALUE would collapse a constant hot key onto one salt. A stable unique
+    * column avoids both failure modes. */
   def saltedSum(df: DataFrame, key: String, value: Column, salts: Int,
-                as: String): DataFrame =
-    // salt from row position, NOT from the value: a hot key with a constant
-    // value (the common skew case) would otherwise hash to ONE salt and the
-    // spreading would silently do nothing
-    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts)))
+                as: String, rowIdCol: String): DataFrame =
+    df.withColumn("__salt", pmod(abs(hash(col(rowIdCol))), lit(salts)))
       .groupBy(col(key), col("__salt"))
       .agg(sum(value).as("__partial"))
       .groupBy(col(key))

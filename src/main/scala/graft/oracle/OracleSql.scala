@@ -618,9 +618,10 @@ object OracleSql {
       |    CAST(epoch(date_trunc('second', MAX(ts))) AS BIGINT)
       |      - CAST(epoch(date_trunc('second', MIN(ts))) AS BIGINT) AS duration_secs
       |  FROM s GROUP BY user_id, session_id)
-      |SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS total_events,
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  CAST(SUM(n_events) AS BIGINT) AS total_events,
       |  MAX(n_events) AS max_session_events,
-      |  SUM(duration_secs) AS total_session_secs
+      |  CAST(SUM(duration_secs) AS BIGINT) AS total_session_secs
       |FROM per_session GROUP BY user_id""".stripMargin
 
   def wordCounts(topN: Int): String =

@@ -16,9 +16,12 @@ import graft.sinks.MergeByKey
   *   ST3 invalidate      — per-batch distinct (user_id, group) refresh set
   *   ST4 point update    — key-merge into a feature table (MergeByKey)
   *   ST5 republish       — derived recompute events to a second sink
-  *   ST9 delivery        — checkpointing gives exactly-once-per-sink, strictly
-  *                         stronger than the reference's at-least-once commit
-  *                         loop (feature_pipeline.py:99-114)
+  *   ST9 delivery        — checkpointed at-least-once (a micro-batch can
+  *                         replay after failure, same as the reference's
+  *                         commit loop, feature_pipeline.py:99-114); becomes
+  *                         effectively-exactly-once through idempotent sinks:
+  *                         MergeByKey point updates are key-idempotent, and
+  *                         foreachBatch consumers can dedupe on batchId
   *
   * Sources are pluggable: `.readStream.format("kafka")` in production,
   * MemoryStream in tests — everything below is source-agnostic. Scale: all

@@ -76,9 +76,9 @@ class CoverageGapsSpec extends SparkSpec {
   }
 
   test("salted aggregation equals direct aggregation on a skewed key") {
-    val skewed = (1L to 10000L).map(i => ("hot", i)) ++ Seq(("cold", 5L))
-    val df = skewed.toDF("k", "v")
-    val salted = graft.ops.Ops.saltedSum(df, "k", col("v"), 16, "total")
+    val skewed = (1L to 10000L).map(i => ("hot", i, i)) ++ Seq(("cold", 5L, 10001L))
+    val df = skewed.toDF("k", "v", "row_id")
+    val salted = graft.ops.Ops.saltedSum(df, "k", col("v"), 16, "total", "row_id")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val direct = df.groupBy("k").agg(sum("v").as("total"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
