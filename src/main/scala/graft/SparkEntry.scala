@@ -77,6 +77,9 @@ object SparkEntry {
       canon(TransactionFeaturesJob(s, dir, compatNight = true))),
     "event_sessions"       -> ((s, dir) => StreamAnalogJobs.eventSessions(s, dir)),
     "word_counts"          -> ((s, dir) => StreamAnalogJobs.wordCounts(s, dir, 50)),
+    "token_counts"         -> ((s, dir) => ext.TextAnalysis.tokenCounts(core.Tables.documents(s, dir))),
+    "frame_sample"         -> ((s, dir) => ext.Multimodal.frameSample(
+      ext.Multimodal.asMediaTable(core.Tables.documents(s, dir)), 32, 2)),
   )
 
   /** Deterministic probe-id sets for the lookup queries (S2/S3): a handful
@@ -131,5 +134,7 @@ object SparkEntry {
     "transaction_features_compat" -> OracleSql.transactionFeaturesCompat(),
     "event_sessions"       -> OracleSql.eventSessions,
     "word_counts"          -> OracleSql.wordCounts(50),
+    "token_counts"         -> OracleSql.tokenCounts,
+    "frame_sample"         -> OracleSql.frameSample(32, 2),
   )
 }

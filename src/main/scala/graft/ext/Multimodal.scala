@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -65,4 +65,35 @@ object Multimodal {
     * Replace with a real codec; kept pure so tests are reproducible. */
   private def fakeDecode(bytes: Array[Byte]): Array[Double] =
     Array.tabulate(8)(i => bytes.drop(i).grouped(8).map(g => (g.head & 0xff).toDouble / 255.0).sum)
+
+  /** RESIZE stage (image-resize analogue): nearest-neighbor resampling of a
+    * feature/pixel vector to a fixed dimension, as a pure column expression
+    * — out[i] = in[floor(i*n/dim)]. Partition-local, codegen-friendly; the
+    * interpolation kernel is the only thing a real deployment would swap. */
+  def resizeVector(v: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => element_at(v, ((i * size(v)) / dim).cast("int") + 1))
+
+  /** FRAME-SAMPLE stage (video analogue): the payload is treated as a frame
+    * container and every `stride`-th `frameBytes`-sized chunk becomes one
+    * output row — the Spark shape of sampling frames before a decode stage.
+    * Pure column ops (sequence → filter → explode → substring): the frame
+    * index array is built per row WITHOUT materializing unsampled frames,
+    * and no shuffle — sampling is embarrassingly parallel over media rows.
+    * Each frame carries its checksum so downstream stages can dedupe or
+    * verify without re-reading the payload. */
+  def frameSample(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    val nFrames = ceil(length(col("payload")).cast("double") / frameBytes).cast("long")
+    val sampled = when(nFrames > 0,
+      filter(sequence(lit(0L), nFrames - 1), i => i % stride === 0)
+    ).otherwise(array().cast("array<bigint>"))
+    media.select(col("media_id"), col("payload"), explode(sampled).as("frame_no"))
+      .select(col("media_id"), col("frame_no"),
+        expr(s"substring(payload, cast(frame_no * $frameBytes + 1 as int), $frameBytes)")
+          .as("frame"))
+      .select(col("media_id"), col("frame_no"),
+        length(col("frame")).as("frame_bytes"),
+        md5(col("frame")).as("frame_md5"))
+  }
 }

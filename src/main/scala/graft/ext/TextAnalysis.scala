@@ -57,6 +57,30 @@ object TextAnalysis {
       .agg(count(lit(1)).as("doc_count"))
   }
 
+  /** BPE-ish tokenizer pattern (GPT-2 family shape, ASCII/RE2-portable so
+    * Spark's Java regex and an external engine's RE2 agree): contraction
+    * suffixes, space-prefixed alpha runs capped at 4 chars (the subword
+    * split — "customer" → " cust"+"omer"), digit runs capped at 3, punct
+    * runs, whitespace. No lookarounds/backrefs, so any regex engine used by
+    * a downstream system tokenizes identically. */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]{1,4}| ?[0-9]{1,3}| ?[^a-zA-Z0-9\\s']+|\\s+"
+
+  /** Token counting, both flavors a pretraining pipeline budgets with:
+    * whitespace tokens (corpus accounting) and BPE-ish subword tokens
+    * (model-input accounting), plus the subword inflation ratio. Pure
+    * column expressions — regexp_extract_all is codegen'd, no UDF. */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val ws  = size(split(col("text"), " "))
+    val bpe = size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+    docs.select(
+      col("doc_id"),
+      ws.as("ws_tokens"),
+      bpe.as("bpe_tokens"),
+      graft.ops.Ops.rnd(bpe.cast("double") / ws.cast("double"), 4)
+        .as("subword_ratio"))
+  }
+
   /** Content fingerprints: a positional prefix hash (first five tokens) and
     * the min-shingle-hash (winnowing-style rolling fingerprint — the k=1
     * MinHash band). Shingles come from the materialized-token path — the

@@ -624,6 +624,36 @@ object OracleSql {
       |  CAST(SUM(duration_secs) AS BIGINT) AS total_session_secs
       |FROM per_session GROUP BY user_id""".stripMargin
 
+  /** BPE-ish token counting — mirrors ext/TextAnalysis.tokenCounts. The
+    * pattern is ASCII-only with no lookarounds, so DuckDB's RE2 and Spark's
+    * Java regex tokenize identically; single quotes doubled for the SQL
+    * literal (backslashes are literal in DuckDB single-quoted strings). */
+  val tokenCounts: String = {
+    val pat = graft.ext.TextAnalysis.bpePattern.replace("'", "''")
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' ')) AS ws_tokens,
+       |  len(regexp_extract_all(text, '$pat', 0)) AS bpe_tokens,
+       |  ${rnd(
+        s"CAST(len(regexp_extract_all(text, '$pat', 0)) AS DOUBLE)" +
+          " / CAST(len(string_split(text, ' ')) AS DOUBLE)", 4)} AS subword_ratio
+       |FROM documents""".stripMargin
+  }
+
+  /** Frame sampling over the media table — mirrors
+    * ext/Multimodal.frameSample (payload = utf-8 text bytes; ASCII corpus,
+    * so char-based substring/length here equals Spark's byte-based ones). */
+  def frameSample(frameBytes: Int, stride: Int): String =
+    s"""WITH f AS (SELECT doc_id AS media_id, text,
+       |    CAST(ceil(CAST(length(text) AS DOUBLE) / $frameBytes) AS BIGINT) AS n
+       |  FROM documents),
+       |idx AS (SELECT media_id, text, unnest(range(0, n)) AS frame_no FROM f)
+       |SELECT media_id, frame_no,
+       |  length(substring(text, CAST(frame_no * $frameBytes + 1 AS INT), $frameBytes))
+       |    AS frame_bytes,
+       |  md5(substring(text, CAST(frame_no * $frameBytes + 1 AS INT), $frameBytes))
+       |    AS frame_md5
+       |FROM idx WHERE frame_no % $stride = 0""".stripMargin
+
   def wordCounts(topN: Int): String =
     s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
        |c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY token),

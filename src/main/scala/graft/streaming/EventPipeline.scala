@@ -76,6 +76,17 @@ object EventPipeline {
         col("event_id").isNotNull && col("user_id").isNotNull &&
         col("event_type").isNotNull && col("ts").isNotNull)
 
+  /** Streaming dedup: drops replayed/duplicate event_ids within the
+    * watermark horizon (dropDuplicatesWithinWatermark) — the streaming
+    * member of the dedup family (ext/Dedup covers the batch corpus). This is
+    * what turns the at-least-once source into effectively-exactly-once
+    * BEFORE any non-idempotent sink. State is bounded by the watermark
+    * delay, never by stream history: an event_id older than `delay` can
+    * re-enter, which is the documented at-least-once residue — size the
+    * delay to the source's max redelivery window. */
+  def dedupeEvents(parsed: DataFrame, delay: String = "10 minutes"): DataFrame =
+    parsed.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
   /** ST2: event-type router. The corpus event types map onto the
     * reference's four handlers (feature_pipeline.py:154-177):
     * signup→user_updated, purchase→transaction_completed,

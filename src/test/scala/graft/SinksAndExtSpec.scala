@@ -105,6 +105,47 @@ class SinksAndExtSpec extends SparkSpec {
     assert(d1.map(_.toString).sameElements(d2.map(_.toString)), "stub decode is deterministic")
   }
 
+  test("frame sampling emits every stride-th chunk with a verifiable checksum") {
+    val docs = graft.core.Tables.documents(spark, sf0001).limit(20)
+    val media = Multimodal.asMediaTable(docs)
+    val frames = Multimodal.frameSample(media, 32, 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getLong(1) % 2 == 0), "only every stride-th frame is sampled")
+    val byDoc = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    frames.foreach { r =>
+      val text = byDoc(r.getLong(0))
+      val start = (r.getLong(1) * 32).toInt
+      val chunk = text.substring(start, math.min(start + 32, text.length))
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(chunk.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getInt(2) == chunk.length)
+      assert(r.getString(3) == md5hex)
+    }
+  }
+
+  test("resizeVector is exact nearest-neighbor resampling") {
+    import org.apache.spark.sql.functions.typedLit
+    val v = typedLit(Seq(1.0, 2.0, 3.0, 4.0))
+    val out = spark.range(1).select(
+      Multimodal.resizeVector(v, 4).as("same"),
+      Multimodal.resizeVector(v, 2).as("half"),
+      Multimodal.resizeVector(v, 8).as("dbl")).head
+    assert(out.getSeq[Double](0) == Seq(1.0, 2.0, 3.0, 4.0))
+    assert(out.getSeq[Double](1) == Seq(1.0, 3.0))
+    assert(out.getSeq[Double](2) == Seq(1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 4.0, 4.0))
+  }
+
+  test("BPE-ish token count never undercounts whitespace tokens") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val rows = TextAnalysis.tokenCounts(docs).collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      assert(r.getInt(2) >= r.getInt(1),
+        s"every ws token is >=1 subword token: $r")
+      assert(r.getDouble(3) >= 1.0)
+    }
+  }
+
   test("ML face: vectorized features + seeded segments + MLlib LSH near-dup") {
     val fv = jobs.FeatureViewJob(spark, sf0001)
     val vec = ml.FeaturePipeline.vectorize(fv)

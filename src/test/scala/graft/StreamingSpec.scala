@@ -74,6 +74,26 @@ class StreamingSpec extends SparkSpec {
     assert(merged == Map(5L -> 0.8, 9L -> 0.9))
   }
 
+  test("streaming dedup drops replayed event_ids within the watermark") {
+    def ev(id: Long, t: String) =
+      s"""{"event_id":$id,"ts":"$t","user_id":5,"event_type":"purchase","value":1.0,"props":"{}"}"""
+    val input = MemoryStream[String](spark)
+    val deduped = EventPipeline.dedupeEvents(EventPipeline.parse(input.toDF()))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // duplicate inside one batch AND a replay in the next batch (the
+      // at-least-once redelivery shape) — both must collapse to one row
+      input.addData(ev(1, "2024-01-01T10:00:00Z"), ev(1, "2024-01-01T10:00:00Z"))
+      q.processAllAvailable()
+      input.addData(ev(1, "2024-01-01T10:00:30Z"), ev(2, "2024-01-01T10:01:00Z"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().sorted
+      assert(ids.sameElements(Array(1L, 2L)), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("ST6: stateful velocity windows match the exact rolling formulas") {
     val input = MemoryStream[TxnEvent](spark)
     val events = Seq(
