@@ -80,7 +80,19 @@ object SparkEntry {
     "token_counts"         -> ((s, dir) => ext.TextAnalysis.tokenCounts(core.Tables.documents(s, dir))),
     "frame_sample"         -> ((s, dir) => ext.Multimodal.frameSample(
       ext.Multimodal.asMediaTable(core.Tables.documents(s, dir)), 32, 2)),
+    "repetition_stats"     -> ((s, dir) => ext.TextAnalysis.repetitionStats(core.Tables.documents(s, dir))),
+    "stratified_sample"    -> ((s, dir) => ext.Corpus.stratifiedSample(
+      core.Tables.documents(s, dir), SampleRates.bySource, SampleRates.default)),
+    "corpus_funnel"        -> ((s, dir) => ext.Corpus.cleaningFunnel(core.Tables.documents(s, dir))),
   )
+
+  /** Fixed source-mix rates for the stratified-sample query (a training-mix
+    * weighting: upweight one source, downweight the tail). */
+  private object SampleRates {
+    val bySource: Map[String, Double] =
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.3)
+    val default: Double = 0.15
+  }
 
   /** Deterministic probe-id sets for the lookup queries (S2/S3): a handful
     * of points, and a 100-id batch at the reference's API cap. */
@@ -136,5 +148,9 @@ object SparkEntry {
     "word_counts"          -> OracleSql.wordCounts(50),
     "token_counts"         -> OracleSql.tokenCounts,
     "frame_sample"         -> OracleSql.frameSample(32, 2),
+    "repetition_stats"     -> OracleSql.repetitionStats,
+    "stratified_sample"    -> OracleSql.stratifiedSample(
+      SampleRates.bySource.toSeq.sortBy(_._1), SampleRates.default),
+    "corpus_funnel"        -> OracleSql.corpusFunnel(0.5, 10, 1000),
   )
 }

@@ -1,0 +1,56 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: deterministic stratified sampling and the
+  * quality→dedup cleaning funnel — the composition layer a pretraining
+  * pipeline runs over the per-document signals (TextAnalysis) and the dedup
+  * family (Dedup).
+  */
+object Corpus {
+
+  /** Deterministic per-row uniform in [0,1): Knuth multiplicative hash of
+    * the id — pure 64-bit integer arithmetic, so ANY engine reproduces the
+    * same sample (no reliance on engine-specific murmur/rand). Sequential
+    * ids scatter uniformly; the constant is the golden-ratio multiplier. */
+  def unitHash(id: Column): Column =
+    pmod(id * lit(2654435761L), lit(4294967296L)).cast("double") / lit(4.294967296e9)
+
+  /** Stratified sampling with per-stratum rates (source-mixing: weight
+    * corpora differently in the training mix). Hash-based, not rand():
+    * deterministic under retries and partition relayout, and a row's
+    * membership never changes when OTHER rows appear — the property that
+    * makes incremental corpus refreshes reproducible. One narrow filter,
+    * no shuffle, no sampleBy/collect. */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
+      when(col("source") === src, lit(r)).otherwise(acc)
+    }
+    docs.filter(unitHash(col("doc_id")) < rate)
+      .select(col("doc_id"), col("source"), col("lang"))
+  }
+
+  /** The cleaning funnel: raw → quality-filtered → exact-deduped, reported
+    * as per-stage survivor counts (the acceptance report every corpus
+    * release ships with). Stage 2 gates on the TextAnalysis quality score
+    * and token bounds; stage 3 keeps one doc per content hash among the
+    * survivors. Each stage is a single aggregate over the previous one —
+    * counts come from the distributed plan, never from driver-side loops. */
+  def cleaningFunnel(docs: DataFrame, minQuality: Double = 0.5,
+                     minTokens: Int = 10, maxTokens: Int = 1000): DataFrame = {
+    val stats = TextAnalysis.textStats(docs)
+    val quality = stats.filter(
+      col("quality_score") >= minQuality &&
+        col("token_count").between(minTokens, maxTokens))
+    val qdocs = docs.join(quality.select("doc_id"), Seq("doc_id"))
+    val keepers = qdocs.groupBy(md5(col("text"))).agg(min(col("doc_id")))
+    docs.agg(count(lit(1)).as("docs")).withColumn("stage", lit("1_raw"))
+      .unionByName(quality.agg(count(lit(1)).as("docs"))
+        .withColumn("stage", lit("2_quality")))
+      .unionByName(keepers.agg(count(lit(1)).as("docs"))
+        .withColumn("stage", lit("3_dedup")))
+      .select("stage", "docs")
+  }
+}

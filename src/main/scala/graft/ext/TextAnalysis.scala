@@ -81,6 +81,35 @@ object TextAnalysis {
         .as("subword_ratio"))
   }
 
+  /** Repetition signals (the Gopher-filter family): how much of a document
+    * is the same bigram over and over. Emits the top-bigram concentration
+    * and the distinct-bigram ratio per doc — low distinct ratio / high top
+    * ratio flags boilerplate and degenerate generations. Shape: explode to
+    * one row per bigram, two map-side-combinable groupBys — the same
+    * explode→agg spine as word count, so it scales the same way (no windows,
+    * no per-doc collections larger than the token array itself). */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val withT = docs.select(col("doc_id"), toks(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") >= 2)
+    val bigrams = withT.select(col("doc_id"), col("n_tokens"),
+      explode(transform(sequence(lit(1), col("n_tokens") - 1),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1)))).as("bigram"))
+    bigrams.groupBy("doc_id", "n_tokens", "bigram")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_tokens")
+      .agg(max(col("c")).as("top_c"), count(lit(1)).as("dist"))
+      .select(
+        col("doc_id"),
+        graft.ops.Ops.rnd(
+          col("top_c").cast("double") / (col("n_tokens") - 1), 4)
+          .as("top_bigram_ratio"),
+        graft.ops.Ops.rnd(
+          col("dist").cast("double") / (col("n_tokens") - 1), 4)
+          .as("distinct_bigram_ratio"))
+  }
+
   /** Content fingerprints: a positional prefix hash (first five tokens) and
     * the min-shingle-hash (winnowing-style rolling fingerprint — the k=1
     * MinHash band). Shingles come from the materialized-token path — the

@@ -654,6 +654,43 @@ object OracleSql {
        |    AS frame_md5
        |FROM idx WHERE frame_no % $stride = 0""".stripMargin
 
+  /** Bigram repetition signals — mirrors ext/TextAnalysis.repetitionStats. */
+  val repetitionStats: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |n AS (SELECT doc_id, len(toks) AS n_tokens,
+       |        unnest(list_transform(range(1, len(toks)),
+       |          i -> toks[i] || ' ' || toks[i+1])) AS bigram
+       |      FROM t WHERE len(toks) >= 2),
+       |c AS (SELECT doc_id, n_tokens, bigram, COUNT(*) AS c FROM n GROUP BY 1, 2, 3),
+       |a AS (SELECT doc_id, n_tokens, MAX(c) AS top_c, COUNT(*) AS dist FROM c GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  ${rnd("CAST(top_c AS DOUBLE) / (n_tokens - 1)", 4)} AS top_bigram_ratio,
+       |  ${rnd("CAST(dist AS DOUBLE) / (n_tokens - 1)", 4)} AS distinct_bigram_ratio
+       |FROM a""".stripMargin
+
+  /** Stratified sample — mirrors ext/Corpus.stratifiedSample. The membership
+    * hash is pure 64-bit integer arithmetic (Knuth multiplicative), chosen
+    * exactly so that any engine reproduces the same sample. */
+  def stratifiedSample(rates: Seq[(String, Double)], defaultRate: Double): String = {
+    val cases = rates.map { case (s, r) => s"WHEN '$s' THEN $r" }.mkString(" ")
+    s"""SELECT doc_id, source, lang FROM documents
+       |WHERE CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 <
+       |  (CASE source $cases ELSE $defaultRate END)""".stripMargin
+  }
+
+  /** Cleaning-funnel survivor counts — mirrors ext/Corpus.cleaningFunnel
+    * (quality gate over the textStats score, then exact dedup). */
+  def corpusFunnel(minQuality: Double, minTokens: Int, maxTokens: Int): String =
+    s"""WITH s AS ($textStats),
+       |q AS (SELECT doc_id FROM s
+       |      WHERE quality_score >= $minQuality
+       |        AND token_count BETWEEN $minTokens AND $maxTokens),
+       |qd AS (SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)),
+       |k AS (SELECT md5(text) AS h, MIN(doc_id) AS keeper FROM qd GROUP BY 1)
+       |SELECT '1_raw' AS stage, COUNT(*) AS docs FROM documents
+       |UNION ALL SELECT '2_quality', COUNT(*) FROM q
+       |UNION ALL SELECT '3_dedup', COUNT(*) FROM k""".stripMargin
+
   def wordCounts(topN: Int): String =
     s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
        |c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY token),

@@ -146,6 +146,46 @@ class SinksAndExtSpec extends SparkSpec {
     }
   }
 
+  test("repetition stats flag degenerate docs and pass diverse ones") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),          // 3 bigrams, all "spam spam"
+      (2L, "one two three four five")       // 4 bigrams, all distinct
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((1.0, 0.3333)))
+    assert(out(2L) == ((0.25, 1.0)))
+  }
+
+  test("stratified sample is deterministic, membership-stable, and rate-shaped") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val rates = Map("src0" -> 0.9, "src1" -> 0.05)
+    val s1 = graft.ext.Corpus.stratifiedSample(docs, rates, 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = graft.ext.Corpus.stratifiedSample(docs, rates, 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "hash-based sampling is reproducible")
+    // membership stability: sampling a SUBSET keeps exactly the members
+    // that were sampled from the full corpus (rand()-based sampling breaks this)
+    val subset = graft.ext.Corpus.stratifiedSample(docs.filter($"doc_id" < 100), rates, 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(subset == s1.filter(_ < 100))
+    val bySrc = graft.ext.Corpus.stratifiedSample(docs, rates, 0.3)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.getOrElse("src0", 0L) > bySrc.getOrElse("src1", 0L),
+      s"0.9-rate stratum outdraws the 0.05 one: $bySrc")
+  }
+
+  test("cleaning funnel stages shrink monotonically") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val stages = graft.ext.Corpus.cleaningFunnel(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages("1_raw") >= stages("2_quality"))
+    assert(stages("2_quality") >= stages("3_dedup"))
+    assert(stages("3_dedup") > 0)
+  }
+
   test("ML face: vectorized features + seeded segments + MLlib LSH near-dup") {
     val fv = jobs.FeatureViewJob(spark, sf0001)
     val vec = ml.FeaturePipeline.vectorize(fv)
