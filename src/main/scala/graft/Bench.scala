@@ -36,15 +36,23 @@ object Bench {
       () => { graft.jobs.TransactionFeaturesJob(spark, sfDir).count(): Unit },
       () => { graft.jobs.UserFeaturesJob(spark, sfDir).count(): Unit },
       () => { graft.jobs.RiskFeaturesJob(spark, sfDir).count(): Unit },
+      () => { graft.jobs.FeatureViewJob(spark, sfDir).count(): Unit },
       () => { graft.ext.Dedup.shingleTable(spark, sfDir).count(): Unit },
       () => { graft.ext.Dedup.signatureTable(spark, sfDir).count(): Unit }
     ).foreach(f => try f() catch { case _: Throwable => () })
+    // Median of 3 runs per query: at this sf, single-run timings are
+    // scheduler-noise dominated (sub-second swings round to round); the
+    // median is the number the per-round comparison can trust.
+    val Runs = 3
     var failed = List.empty[String]
     val results = SparkEntry.queries.flatMap { case (name, fn) =>
-      val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
-        Some(name -> (System.nanoTime() - t0) / 1e9)
+        val times = (1 to Runs).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        Some(name -> times.sorted.apply(Runs / 2))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

@@ -75,13 +75,21 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
     jaccardPairsPre(withShingles(docs).select("doc_id", "sh"), threshold)
 
-  /** Candidates→verify over a pre-shingled (doc_id, sh) table. */
+  /** Candidates→verify over a pre-shingled (doc_id, sh) table. The shingle
+    * table is semi-joined down to candidate doc ids BEFORE the pair joins —
+    * candidates are a tiny fraction of the corpus, so the verify stage must
+    * never ship the full shingle arrays of non-candidate docs through a
+    * shuffle (that cost scales with the corpus, not with the collisions). */
   def jaccardPairsPre(sh: DataFrame, threshold: Double,
                       sigPre: Option[DataFrame] = None): DataFrame = {
     val cand = minhashPairsPre(sh, sigPre)
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val shSlim = sh.join(candIds, Seq("doc_id"), "left_semi")
     val verified = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .join(shSlim.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(shSlim.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
     // array_intersect is hash-based (O(|A|+|B|) per pair, vs O(|A|·|B|) for a
     // contains-scan); inputs are pre-distinct so the size is set semantics.
     val inter = size(array_intersect(col("sha"), col("shb")))

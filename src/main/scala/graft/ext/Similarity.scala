@@ -11,10 +11,10 @@ import org.apache.spark.sql.functions._
   *     broadcast join of the (small) query set against the corpus, one pass,
   *     no shuffle of the corpus itself: this is the shape that scales to
   *     100 TB when the query set is bounded (the corpus side streams).
-  *   - `lshBuckets` / `lshCandidates`: random-hyperplane LSH — the scale
-  *     path. Hyperplane signs are derived from md5 so every engine (and
-  *     every executor, with no broadcast of a plane matrix) computes the
-  *     identical bucket; candidates come from an equi-join on the bucket id.
+  *   - `lshBuckets` / `lshCandidates`: banded random-hyperplane LSH (4
+  *     tables × 16 planes) — the scale path. Hyperplane signs are derived
+  *     from md5 so every engine computes the identical bucket; candidates
+  *     come from an equi-join on (table_id, bucket) with a bucket-size cap.
   *
   * All vector math is done in double precision with a sequential fold (Spark
   * `aggregate`/`zip_with` over the cast array), matching DuckDB's list
@@ -60,47 +60,98 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  private val NumPlanes = 8
+  /** Banded multi-table LSH topology: `NumTables` independent hash tables of
+    * `PlanesPerTable` hyperplanes each (2^16 buckets per table). One wide
+    * 8-plane table (the naive form) has only 256 buckets total — a self-join
+    * on bucket equality is O(n²/256) pairs, quadratic at corpus scale. With
+    * banding, a random pair at cosine θ collides with probability
+    * (1−θ/π)^16 per table (≈0.0015 at cosine 0.5) while a true near-dup
+    * (cosine ≥0.99) still lands in ≥1 of the 4 tables w.p. ≈0.93 — the same
+    * bands×rows trade MinHash LSH makes (Dedup.minhashPairsPre). */
+  private[graft] val NumTables = 4
+  private[graft] val PlanesPerTable = 16
   private val Dim = 64
 
-  /** ±1 sign of hyperplane `p` at dimension `d` (1-based), from md5 — the
-    * deterministic stand-in for a seeded gaussian plane matrix. */
-  private def planeSign(p: Int, d: Column): Column = {
-    val highNibble = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    when(substring(md5(concat(lit(s"$p|"), d.cast("string"))), 1, 1)
-      .isin(highNibble: _*), 1.0).otherwise(-1.0)
-  }
+  /** Buckets larger than this are excluded from candidate generation: a
+    * degenerate bucket (boilerplate / zero vectors) contributes O(n²) pairs
+    * on its own. Dropped buckets stay observable via `overflowBuckets`. */
+  val MaxBucketSize = 64
 
-  /** 8-bit LSH bucket id per vector (bit p = sign of the projection onto
-    * pseudo-plane p), as a bit string. */
-  def withBucket(embeddings: DataFrame): DataFrame = {
-    val e = toDouble(col("embedding"))
-    val bits = (0 until NumPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(e, sequence(lit(1), lit(Dim)), (x, d) => x * planeSign(p, d)),
-        lit(0.0), _ + _)
-      when(proj > 0, "1").otherwise("0")
+  /** ±1 signs of global hyperplane `p` across the 64 dims, derived from the
+    * md5 high bit of "p|d" — a deterministic stand-in for a seeded gaussian
+    * plane matrix, computed once on the driver and shipped as a literal (no
+    * per-row hashing, no broadcast variable; every engine derives the
+    * identical matrix). Shared with the DuckDB oracle via OracleSql. */
+  private[graft] def planeSigns(p: Int): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(Dim) { i =>
+      val h = md.digest(s"$p|${i + 1}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if ((h(0) & 0x80) != 0) 1.0f else -1.0f
     }
-    embeddings.withColumn("bucket", concat(bits: _*))
   }
 
-  /** Bucket occupancy — the IVF-style partition map of the corpus. */
+  /** Long-form bucket assignment: one row per (vector, table) with the
+    * table's 16-bit bucket id as a bit string. Slim on purpose (no
+    * embedding column) — candidate generation joins on (table_id, bucket)
+    * and fetches vectors back only for scoring. */
+  def withBuckets(embeddings: DataFrame): DataFrame = {
+    val tables = (0 until NumTables).map { t =>
+      val bits = (0 until PlanesPerTable).map { j =>
+        val p = t * PlanesPerTable + j
+        when(dotNative(col("embedding"), typedLit(planeSigns(p))) > 0, "1").otherwise("0")
+      }
+      struct(lit(t).as("table_id"), concat(bits: _*).as("bucket"))
+    }
+    embeddings
+      .select(col("vec_id"), explode(array(tables: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
+  }
+
+  /** Bucket occupancy per hash table — the corpus partition map. */
   def lshBuckets(embeddings: DataFrame): DataFrame =
-    withBucket(embeddings).groupBy("bucket")
+    withBuckets(embeddings).groupBy("table_id", "bucket")
       .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec_id"))
 
-  /** Embedding-cosine near-dup detection: LSH-bucket candidates scored by
+  /** Bucket rows surviving the size cap (window count reuses the exchange
+    * the downstream (table_id, bucket) equi-join needs anyway). */
+  private def cappedBuckets(embeddings: DataFrame, maxBucket: Int): DataFrame =
+    withBuckets(embeddings)
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("table_id", "bucket")))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
+
+  /** The buckets the cap drops — the overflow accounting a production run
+    * monitors (a sudden spike means degenerate content flooding one bucket). */
+  def overflowBuckets(embeddings: DataFrame, maxBucket: Int = MaxBucketSize): DataFrame =
+    lshBuckets(embeddings).filter(col("n_vectors") > maxBucket)
+
+  /** Candidate pairs from shared buckets in ANY table: equi-join on
+    * (table_id, bucket), never all-pairs; collisions, not n², drive the
+    * shuffle volume, and the size cap bounds the worst bucket. */
+  def lshCandidates(embeddings: DataFrame, maxBucket: Int = MaxBucketSize): DataFrame = {
+    val b = cappedBuckets(embeddings, maxBucket)
+    b.as("x").join(b.as("y"),
+        col("x.table_id") === col("y.table_id") && col("x.bucket") === col("y.bucket") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+  }
+
+  /** Embedding-cosine near-dup detection: banded-LSH candidates scored by
     * cosine, globally ranked — the embedding-space member of the dedup
-    * family (complementing text MinHash/SimHash). `topN` keeps the output
-    * deterministic and bounded whether or not the corpus plants duplicates;
-    * a production run would threshold (cosine >= 0.95) instead. */
-  def cosineNearDups(embeddings: DataFrame, topN: Int): DataFrame = {
-    val b = withBucket(embeddings).select(col("vec_id"), col("embedding"), col("bucket"))
-    val scored = b.as("x").join(b.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .select(
-        col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        graft.ops.Ops.rnd(cosine(col("x.embedding"), col("y.embedding")), 6).as("cosine"))
+    * family (complementing text MinHash/SimHash). Candidates carry only id
+    * pairs; vectors are fetched back by two key joins just for scoring.
+    * `topN` keeps the output deterministic and bounded whether or not the
+    * corpus plants duplicates; a production run would threshold
+    * (cosine >= 0.95) instead. */
+  def cosineNearDups(embeddings: DataFrame, topN: Int,
+                     maxBucket: Int = MaxBucketSize): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val scored = lshCandidates(embeddings, maxBucket)
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        graft.ops.Ops.rnd(cosine(col("ea"), col("eb")), 6).as("cosine"))
     // top-N FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
     // partial top-N, merged once) — never a global window over every
     // candidate pair. The global rank window after it sees <= topN rows
@@ -153,11 +204,4 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** Candidate pairs from shared buckets (equi-join, never all-pairs). */
-  def lshCandidates(embeddings: DataFrame): DataFrame = {
-    val b = withBucket(embeddings).select("vec_id", "bucket")
-    b.as("x").join(b.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("x.bucket"))
-  }
 }

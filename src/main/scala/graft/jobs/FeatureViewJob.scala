@@ -17,11 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object FeatureViewJob {
 
+  /** Session-cached like its three inputs: every serving query (point/batch
+    * lookups, bundles) probes this view, and without the cache each probe
+    * re-plans and re-joins the 3-way tree it sits on. */
   def apply(spark: SparkSession, dir: String): DataFrame =
-    compute(
-      UserFeaturesJob(spark, dir),
-      TransactionFeaturesJob(spark, dir),
-      RiskFeaturesJob(spark, dir))
+    graft.core.FeatureCache.cached(spark, dir, "feature_view")(
+      compute(
+        UserFeaturesJob(spark, dir),
+        TransactionFeaturesJob(spark, dir),
+        RiskFeaturesJob(spark, dir)))
 
   /** Dynamic join assembly (J8 — docs/ADVANCED.md:321-391's per-request
     * query builder): only the requested feature groups are joined; Catalyst

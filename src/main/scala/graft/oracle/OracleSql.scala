@@ -450,40 +450,48 @@ object OracleSql {
        |  FROM scored)
        |SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= $k""".stripMargin
 
-  val annBuckets: String = {
-    val hi = "('8','9','a','b','c','d','e','f')"
-    def proj(p: Int) =
-      s"""list_sum(list_transform(generate_series(1, 64),
-         |  j -> emb[j] * (CASE WHEN substr(md5('$p|' || j), 1, 1) IN $hi
-         |                 THEN 1.0 ELSE -1.0 END)))""".stripMargin
-    val bits = (0 until 8).map(p => s"(CASE WHEN ${proj(p)} > 0 THEN '1' ELSE '0' END)")
-      .mkString(" || ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       |b AS (SELECT vec_id, $bits AS bucket FROM e)
-       |SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
-       |FROM b GROUP BY bucket""".stripMargin
+  // ---- banded hyperplane LSH (keep in sync with graft.ext.Similarity) ----
+  // The plane-sign matrix is the SAME driver-side constant both engines see:
+  // Similarity.planeSigns injected as literal lists (no per-row hashing).
+
+  private def lshBucketExpr(t: Int): String = {
+    import graft.ext.Similarity.{PlanesPerTable => P}
+    (0 until P).map { j =>
+      val signs = graft.ext.Similarity.planeSigns(t * P + j)
+        .map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(emb, $signs) > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
   }
 
-  def cosineNearDups(topN: Int): String = {
-    val hi = "('8','9','a','b','c','d','e','f')"
-    def proj(p: Int) =
-      s"""list_sum(list_transform(generate_series(1, 64),
-         |  j -> emb[j] * (CASE WHEN substr(md5('$p|' || j), 1, 1) IN $hi
-         |                 THEN 1.0 ELSE -1.0 END)))""".stripMargin
-    val bits = (0 until 8).map(p => s"(CASE WHEN ${proj(p)} > 0 THEN '1' ELSE '0' END)")
-      .mkString(" || ")
+  /** Long-form (vec_id, table_id, bucket) CTE body over `e`. */
+  private def lshLongForm: String =
+    (0 until graft.ext.Similarity.NumTables)
+      .map(t => s"SELECT vec_id, $t AS table_id, ${lshBucketExpr(t)} AS bucket FROM e")
+      .mkString("\n  UNION ALL ")
+
+  val annBuckets: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       |b AS (SELECT vec_id, emb, $bits AS bucket FROM e),
+       |b AS (${lshLongForm})
+       |SELECT table_id, bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+       |FROM b GROUP BY table_id, bucket""".stripMargin
+
+  def cosineNearDups(topN: Int, maxBucket: Int = graft.ext.Similarity.MaxBucketSize): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |b AS (${lshLongForm}),
+       |sz AS (SELECT table_id, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2),
+       |capped AS (SELECT b.* FROM b JOIN sz USING (table_id, bucket) WHERE sz.n <= $maxBucket),
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM capped x JOIN capped y
+       |    ON x.table_id = y.table_id AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
        |scored AS (
-       |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-       |    floor((list_dot_product(x.emb, y.emb)
-       |      / sqrt(list_dot_product(x.emb, x.emb) * list_dot_product(y.emb, y.emb)))
+       |  SELECT c.vec_a, c.vec_b,
+       |    floor((list_dot_product(ea.emb, eb.emb)
+       |      / sqrt(list_dot_product(ea.emb, ea.emb) * list_dot_product(eb.emb, eb.emb)))
        |      * 1000000.0 + 0.5) / 1000000.0 AS cosine
-       |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |  FROM cand c JOIN e ea ON c.vec_a = ea.vec_id JOIN e eb ON c.vec_b = eb.vec_id),
        |r AS (SELECT vec_a, vec_b, cosine, ROW_NUMBER() OVER (
        |    ORDER BY cosine DESC, vec_a ASC, vec_b ASC) AS rank FROM scored)
        |SELECT vec_a, vec_b, cosine, rank FROM r WHERE rank <= $topN""".stripMargin
-  }
 
   val textStats: String = {
     val stop = "('the','a','of','and','to','in','is')"

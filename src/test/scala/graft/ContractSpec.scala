@@ -18,8 +18,10 @@ class ContractSpec extends SparkSpec {
     // single-row stats/scalar-subquery frames legitimately cross-join
     // (dq_outliers, count_reconciliation, dq_row_validation, similarity's
     // bounded query set); every other query must be cartesian-free
+    // (ann_buckets/dedup_embedding left this list in round 4: banded LSH
+    // plans pure equi-joins on (table_id, bucket) now)
     val allowedCross = Set("dq_outliers", "dq_alerts", "count_reconciliation",
-      "dq_row_validation", "similarity_topk", "dedup_embedding", "ann_buckets")
+      "dq_row_validation", "similarity_topk")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.optimizedPlan.toString
       assert(!plan.contains("UnresolvedRelation"), s"$name has unresolved relations")

@@ -77,15 +77,49 @@ class SinksAndExtSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall@10 was $recall (probing half the lists)")
   }
 
-  test("LSH candidates only pair vectors sharing a bucket") {
+  test("LSH candidates only pair vectors sharing a bucket in some table") {
     val emb = graft.core.Tables.embeddings(spark, sf0001)
-    val buckets = Similarity.withBucket(emb).collect()
-      .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("bucket")).toMap
+    val buckets = Similarity.withBuckets(emb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("table_id")) -> r.getAs[String]("bucket"))
+      .toMap
     val cands = Similarity.lshCandidates(emb).collect()
     assert(cands.nonEmpty)
     cands.foreach { r =>
-      assert(buckets(r.getAs[Long]("vec_a")) == buckets(r.getAs[Long]("vec_b")))
+      val a = r.getAs[Long]("vec_a"); val b = r.getAs[Long]("vec_b")
+      assert((0 until Similarity.NumTables).exists(t => buckets((a, t)) == buckets((b, t))))
     }
+  }
+
+  test("banded LSH recovers planted near-duplicates (candidate recall)") {
+    import spark.implicits._
+    // 200 gaussian base vectors plus 50 near-dup partners (cosine >= 0.99 by
+    // construction — tiny relative perturbation); the corpus max cosine for
+    // non-planted pairs is ~0.5, so the planted set IS the brute-force truth.
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 200L).map(i => i -> Array.fill(64)(rnd.nextGaussian().toFloat))
+    val dups = base.take(50).map { case (i, v) =>
+      (i + 1000L) -> v.map(x => x + 0.045f * rnd.nextGaussian().toFloat)
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val planted = (0L until 50L).map(i => (i, i + 1000L)).toSet
+    val cands = Similarity.lshCandidates(emb).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val recall = planted.count(cands).toDouble / planted.size
+    assert(recall >= 0.8, s"banded-LSH recall on planted near-dups was $recall")
+  }
+
+  test("bucket-size cap drops degenerate buckets and accounts for them") {
+    import spark.implicits._
+    // 100 identical vectors flood one bucket per table (n=100 > cap=64):
+    // the capped candidate join must emit nothing, the overflow view must
+    // report all four table buckets, and raising the cap restores the pairs.
+    val v = Array.tabulate(64)(i => (i % 7 + 1).toFloat)
+    val emb = (0L until 100L).map(i => i -> v).toDF("vec_id", "embedding")
+    assert(Similarity.lshCandidates(emb).count() == 0)
+    val over = Similarity.overflowBuckets(emb).collect()
+    assert(over.length == Similarity.NumTables)
+    assert(over.forall(_.getAs[Long]("n_vectors") == 100L))
+    assert(Similarity.lshCandidates(emb, maxBucket = 128).count() == 100L * 99 / 2)
   }
 
   test("text quality score is bounded and language-ID emits a confusion census") {
