@@ -41,6 +41,7 @@ object SparkEntry {
     "count_reconciliation" -> ((s, dir) => MigrationValidationJob.countReconciliation(s, dir)),
     "sample_compare"       -> ((s, dir) => MigrationValidationJob.sampleCompare(s, dir)),
     "dq_completeness"      -> ((s, dir) => DataQualityJob.completeness(s, dir)),
+    "dq_feature_completeness" -> ((s, dir) => DataQualityJob.featureCompleteness(s, dir)),
     "dq_freshness"         -> ((s, dir) => DataQualityJob.freshness(s, dir)),
     "dq_profile"           -> ((s, dir) => DataQualityJob.profile(s, dir)),
     "dq_outliers"          -> ((s, dir) => DataQualityJob.outliers(s, dir)),
@@ -112,6 +113,7 @@ object SparkEntry {
     "count_reconciliation" -> OracleSql.countReconciliation,
     "sample_compare"       -> OracleSql.sampleCompare(),
     "dq_completeness"      -> OracleSql.dqCompleteness,
+    "dq_feature_completeness" -> OracleSql.dqFeatureCompleteness,
     "dq_freshness"         -> OracleSql.dqFreshness(),
     "dq_profile"           -> OracleSql.dqProfile,
     "dq_outliers"          -> OracleSql.dqOutliers,

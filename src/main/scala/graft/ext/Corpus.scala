@@ -13,9 +13,22 @@ object Corpus {
   /** Deterministic per-row uniform in [0,1): Knuth multiplicative hash of
     * the id — pure 64-bit integer arithmetic, so ANY engine reproduces the
     * same sample (no reliance on engine-specific murmur/rand). Sequential
-    * ids scatter uniformly; the constant is the golden-ratio multiplier. */
-  def unitHash(id: Column): Column =
-    pmod(id * lit(2654435761L), lit(4294967296L)).cast("double") / lit(4.294967296e9)
+    * ids scatter uniformly; the constant is the golden-ratio multiplier.
+    *
+    * Overflow-safe for the full BIGINT id range: a naive `id * K` overflows
+    * int64 for id ≳ 3.47e9 (ANSI mode throws; wraparound would diverge from
+    * the oracle). The multiply runs on the low 32 bits split into 16-bit
+    * halves, so every intermediate stays ≤ ~1.8e14 — identical values to
+    * the naive form wherever it doesn't overflow. Mirrored term for term in
+    * OracleSql.stratifiedSample. */
+  def unitHash(id: Column): Column = {
+    val K = 2654435761L
+    val a = pmod(id, lit(4294967296L))          // low 32 bits of the id
+    val h = floor(a / lit(65536)).cast("long")  // exact: a < 2^32, /2^16
+    val l = a - h * lit(65536L)
+    val mixed = pmod(h * lit(K), lit(65536L)) * lit(65536L) + l * lit(K)
+    pmod(mixed, lit(4294967296L)).cast("double") / lit(4.294967296e9)
+  }
 
   /** Stratified sampling with per-stratum rates (source-mixing: weight
     * corpora differently in the training mix). Hash-based, not rand():

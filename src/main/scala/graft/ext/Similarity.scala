@@ -174,6 +174,21 @@ object Similarity {
     * Model-dependent output → exercised by recall tests, not the oracle. */
   def ivfTopK(embeddings: DataFrame, numQueries: Int, k: Int,
               nLists: Int = 16, nprobe: Int = 4): DataFrame = {
+    val (assigned, centDf) = assignLists(embeddings, nLists)
+    val q = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val probed = probeLists(q, centDf, nprobe)
+
+    // search only the probed inverted lists (equi-join on list_id)
+    val scored = probed.join(assigned, Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.ops.Ops.rnd(cosine(col("qe"), col("embedding")), 6).as("cosine"))
+    rankTopK(scored, k)
+  }
+
+  /** Seeded coarse quantizer: (corpus with list_id, centroid table). */
+  private def assignLists(embeddings: DataFrame, nLists: Int): (DataFrame, DataFrame) = {
     val spark = embeddings.sparkSession
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -181,23 +196,47 @@ object Similarity {
     val model = new KMeans().setK(nLists).setSeed(42L)
       .setFeaturesCol("v").setPredictionCol("list_id").fit(withVec)
     val assigned = model.transform(withVec).select("vec_id", "embedding", "list_id")
-
     // centroid table is tiny: broadcast to score query→centroid distances
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
     }.toSeq
-    val centDf = spark.createDataFrame(centroids).toDF("list_id", "centroid")
-    val q = assigned.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val probed = q.crossJoin(broadcast(centDf))
+    (assigned, spark.createDataFrame(centroids).toDF("list_id", "centroid"))
+  }
+
+  /** Queries → their `nprobe` nearest inverted lists (broadcast centroids). */
+  private def probeLists(q: DataFrame, centDf: DataFrame, nprobe: Int): DataFrame =
+    q.crossJoin(broadcast(centDf))
       .withColumn("cdist", -cosine(col("qe"), col("centroid")))
       .withColumn("crank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cdist").asc, col("list_id").asc)))
       .filter(col("crank") <= nprobe)
       .select("query_id", "qe", "list_id")
 
-    // search only the probed inverted lists (equi-join on list_id)
-    val scored = probed.join(assigned, Seq("list_id"))
+  /** Materialize the IVF index: the corpus written PARTITIONED BY list_id
+    * (one directory per inverted list) plus the centroid table. This is the
+    * 100 TB posture the probe path depends on — a probe then reads only
+    * nprobe/nLists of the data from disk, pruned at the file index, instead
+    * of scanning the corpus and filtering. */
+  def buildIvfIndex(embeddings: DataFrame, path: String, nLists: Int = 16): Unit = {
+    val (assigned, centDf) = assignLists(embeddings, nLists)
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+    centDf.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe a materialized IVF index: rank centroids per query, then scan
+    * ONLY the probed list partitions. The probed list ids are collected
+    * driver-side — bounded by queries × nprobe (the serving API boundary),
+    * never corpus-sized — so the scan carries a static `list_id IN (...)`
+    * partition filter (visible as PartitionFilters in the plan). */
+  def ivfProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+               queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    val centDf = spark.read.parquet(s"$path/centroids")
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val probed = probeLists(q, centDf, nprobe)
+    val listIds = probed.select("list_id").distinct().collect().map(_.getInt(0)).toSeq
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("list_id").isin(listIds: _*))
+    val scored = probed.join(lists, Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         graft.ops.Ops.rnd(cosine(col("qe"), col("embedding")), 6).as("cosine"))

@@ -62,9 +62,12 @@ object TextAnalysis {
     * suffixes, space-prefixed alpha runs capped at 4 chars (the subword
     * split — "customer" → " cust"+"omer"), digit runs capped at 3, punct
     * runs, whitespace. No lookarounds/backrefs, so any regex engine used by
-    * a downstream system tokenizes identically. */
+    * a downstream system tokenizes identically. The trailing ` ?'+`
+    * alternative covers bare apostrophe runs (the punct class excludes `'`
+    * so contractions match first; without it a lone `'` matched nothing and
+    * broke the bpe_tokens >= ws_tokens invariant). */
   val bpePattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]{1,4}| ?[0-9]{1,3}| ?[^a-zA-Z0-9\\s']+|\\s+"
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]{1,4}| ?[0-9]{1,3}| ?[^a-zA-Z0-9\\s']+| ?'+|\\s+"
 
   /** Token counting, both flavors a pretraining pipeline budgets with:
     * whitespace tokens (corpus accounting) and BPE-ish subword tokens

@@ -30,6 +30,52 @@ object DataQualityJob {
       count(lit(1)).as("row_count"))
   }
 
+  /** Feature columns per computed feature table tracked by the completeness
+    * view (audit timestamps excluded — asOf constants by construction).
+    * Shared with OracleSql.dqFeatureCompleteness so the two engines always
+    * watch the same columns. */
+  private[graft] val featureCompletenessColumns: Seq[(String, Seq[String])] = Seq(
+    "user_features" -> Seq("age", "location_country", "location_city",
+      "total_orders", "avg_order_value", "days_since_first_order",
+      "preferred_payment_method", "account_verified"),
+    "transaction_features" -> Seq("total_transactions_30d", "total_amount_30d",
+      "avg_transaction_amount", "max_transaction_amount",
+      "transactions_declined_30d", "unique_merchants_30d",
+      "weekend_transaction_ratio", "night_transaction_ratio"),
+    "risk_features" -> Seq("credit_utilization_ratio", "payment_delays_30d",
+      "payment_delays_90d", "failed_payments_count", "device_changes_30d",
+      "login_locations_30d", "velocity_alerts_30d", "risk_score"))
+
+  /** Per-feature-table completeness (the reference's materialized
+    * `feature_completeness` views, sql/bigquery_schema.sql:97-133): one row
+    * per (feature_table, column) with exact non-null counts and the COUNTIF
+    * ratio — the view a quality dashboard watches over the COMPUTED tables,
+    * not the raw facts. One fused aggregation pass per table (all COUNTs in
+    * a single agg), then an unpivot of that one row — never a scan per
+    * column. */
+  def featureCompleteness(spark: SparkSession, dir: String): DataFrame = {
+    val tables = Map[String, DataFrame](
+      "user_features"        -> UserFeaturesJob(spark, dir),
+      "transaction_features" -> TransactionFeaturesJob(spark, dir),
+      "risk_features"        -> RiskFeaturesJob(spark, dir))
+    featureCompletenessColumns.map { case (name, cols) =>
+      val aggs = count(lit(1)).as("total_rows") +: cols.map(c => count(col(c)).as(s"nn_$c"))
+      tables(name).agg(aggs.head, aggs.tail: _*)
+        .select(
+          lit(name).as("feature_table"),
+          explode(array(cols.map(c => struct(
+            lit(c).as("column_name"), col(s"nn_$c").as("nonnull_rows"))): _*)).as("s"),
+          col("total_rows"))
+        .select(
+          col("feature_table"),
+          col("s.column_name").as("column_name"),
+          col("total_rows"),
+          col("s.nonnull_rows").as("nonnull_rows"),
+          rnd(col("s.nonnull_rows").cast("double") / col("total_rows").cast("double"), 4)
+            .as("completeness_ratio"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Freshness: newest event + count within the 2h alert window before the
     * anchor (data_quality.py:140-146; 2h threshold data_quality.py:45). */
   def freshness(spark: SparkSession, dir: String,

@@ -41,11 +41,12 @@ object MigrationRunner {
     }
   }
 
-  /** Write-tmp-then-rename with Rename.OVERWRITE: the destination is
-    * replaced in ONE atomic rename (POSIX / HDFS semantics), so a concurrent
-    * readPointer sees either the old pointer or the new one — never a
-    * missing or torn CURRENT. A delete-then-rename pair would open a window
-    * where no pointer exists. */
+  /** Write-tmp-then-rename with Rename.OVERWRITE: atomic on HDFS and raw
+    * POSIX filesystems, so a concurrent readPointer sees either the old
+    * pointer or the new one. Caveat: the local ChecksumFs used for file://
+    * implements overwrite as delete-then-rename, so on local disk a reader
+    * can still catch a missing CURRENT for an instant — acceptable for the
+    * dev path; the production store is HDFS/object-store. */
   private def writePointerAtomic(spark: SparkSession, root: String, name: String): Unit = {
     val tmp = new Path(s"$root/CURRENT.tmp")
     val dst = new Path(s"$root/CURRENT")
@@ -58,9 +59,11 @@ object MigrationRunner {
   }
 
   /** Deterministic ~1/37 sample keyed by hash — works for any key type
-    * (a `key % 37` predicate silently yields an empty sample for strings). */
+    * (a `key % 37` predicate silently yields an empty sample for strings).
+    * pmod alone: it is already non-negative for negative hashes, and an
+    * abs() on Int.MinValue would throw under ANSI overflow checking. */
   private def sampled(df: DataFrame, key: String): DataFrame =
-    df.filter(pmod(abs(hash(col(key))), lit(37)) === 0)
+    df.filter(pmod(hash(col(key)), lit(37)) === 0)
 
   def migrate(spark: SparkSession, sourceDf: DataFrame, storeRoot: String,
               targetName: String, key: String): MigrationReport = {
@@ -104,6 +107,33 @@ object MigrationRunner {
       .map(k => if (k == 0) base else s"$base-$k")
       .find(n => !live.contains(n) && !f.exists(new Path(s"$storeRoot/$n")))
       .get
+  }
+
+  /** Re-point CURRENT at a previous version — the reference's rollback path
+    * (src/pipelines/migration.py's failed-validation revert). Switchover
+    * never deletes old versions, so rollback is a pure pointer move: readers
+    * resolve the old data on their next `current` call. `to` picks the
+    * version explicitly; by default the newest non-live version directory
+    * (by filesystem modification time) is restored. Returns the version
+    * rolled back to. */
+  def rollback(spark: SparkSession, storeRoot: String,
+               to: Option[String] = None): String = {
+    val live = readPointer(spark, storeRoot)
+      .getOrElse(sys.error(s"no CURRENT pointer under $storeRoot — nothing to roll back"))
+    val f = fs(spark, storeRoot)
+    val target = to.getOrElse {
+      val candidates = f.listStatus(new Path(storeRoot))
+        .filter(_.isDirectory)
+        .filter(_.getPath.getName != live)
+        .sortBy(-_.getModificationTime)
+      require(candidates.nonEmpty, s"no previous version to roll back to under $storeRoot")
+      candidates.head.getPath.getName
+    }
+    require(target != live, s"'$target' is already the live store")
+    require(f.exists(new Path(s"$storeRoot/$target")),
+      s"rollback target '$target' does not exist under $storeRoot")
+    writePointerAtomic(spark, storeRoot, target)
+    target
   }
 
   /** The live store per the CURRENT pointer (what readers resolve). */

@@ -28,7 +28,10 @@ class ModeAggregator extends Aggregator[String, Map[String, Long], String] {
     if (b.isEmpty) null
     else b.minBy { case (v, n) => (-n, v) }._1 // max count, then smallest value
 
-  def bufferEncoder: Encoder[Map[String, Long]] = Encoders.kryo[Map[String, Long]]
+  // Catalyst map encoder, not Kryo: the buffer stays a native MapType (no
+  // whole-map object serialization per merge, Tungsten-friendly layout).
+  def bufferEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   def outputEncoder: Encoder[String] = Encoders.STRING
 }
 

@@ -111,7 +111,9 @@ object Ops {
     * column avoids both failure modes. */
   def saltedSum(df: DataFrame, key: String, value: Column, salts: Int,
                 as: String, rowIdCol: String): DataFrame =
-    df.withColumn("__salt", pmod(abs(hash(col(rowIdCol))), lit(salts)))
+    // pmod alone — already non-negative for negative hashes; abs(Int.MinValue)
+    // would throw under ANSI overflow checking (~2^-32 of rows)
+    df.withColumn("__salt", pmod(hash(col(rowIdCol)), lit(salts)))
       .groupBy(col(key), col("__salt"))
       .agg(sum(value).as("__partial"))
       .groupBy(col(key))

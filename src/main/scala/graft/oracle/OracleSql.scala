@@ -277,6 +277,36 @@ object OracleSql {
       |  COUNT(*) AS row_count
       |FROM orders""".stripMargin
 
+  /** Per-feature-table completeness — mirrors DataQualityJob
+    * .featureCompleteness over the same column lists (shared constant). One
+    * aggregate CTE per feature table, unpivoted by a UNION ALL of one-row
+    * selects. */
+  val dqFeatureCompleteness: String = {
+    val specs = graft.jobs.DataQualityJob.featureCompletenessColumns
+    val ctes = Seq(
+      s"uf AS (${userFeatures()})",
+      s"tf AS (${transactionFeatures()})",
+      s"rf AS (${riskFeatures()})") ++
+      specs.map { case (name, cols) =>
+        val src = name match {
+          case "user_features" => "uf"; case "transaction_features" => "tf"
+          case _ => "rf"
+        }
+        val nns = cols.map(c => s"COUNT($c) AS nn_$c").mkString(", ")
+        s"${name}_agg AS (SELECT COUNT(*) AS total_rows, $nns FROM $src)"
+      }
+    val rows = specs.flatMap { case (name, cols) =>
+      cols.map { c =>
+        s"""SELECT '$name' AS feature_table, '$c' AS column_name,
+           |  total_rows, nn_$c AS nonnull_rows,
+           |  ${rnd(s"CAST(nn_$c AS DOUBLE) / CAST(total_rows AS DOUBLE)", 4)}
+           |    AS completeness_ratio
+           |FROM ${name}_agg""".stripMargin
+      }
+    }
+    s"WITH ${ctes.mkString(",\n")}\n${rows.mkString("\nUNION ALL ")}"
+  }
+
   def dqFreshness(asOf: Instant = AsOf.events): String = {
     val twoHoursAgo = T(AsOf.ts(asOf.minus(java.time.Duration.ofHours(2))))
     s"""SELECT strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS latest_event,
@@ -676,14 +706,22 @@ object OracleSql {
        |  ${rnd("CAST(dist AS DOUBLE) / (n_tokens - 1)", 4)} AS distinct_bigram_ratio
        |FROM a""".stripMargin
 
-  /** Stratified sample — mirrors ext/Corpus.stratifiedSample. The membership
-    * hash is pure 64-bit integer arithmetic (Knuth multiplicative), chosen
-    * exactly so that any engine reproduces the same sample. */
+  /** Stratified sample — mirrors ext/Corpus.stratifiedSample term for term,
+    * including the overflow-safe split-multiply (16-bit halves of the low
+    * 32 bits), so neither engine ever overflows int64 on large ids. */
   def stratifiedSample(rates: Seq[(String, Double)], defaultRate: Double): String = {
     val cases = rates.map { case (s, r) => s"WHEN '$s' THEN $r" }.mkString(" ")
-    s"""SELECT doc_id, source, lang FROM documents
-       |WHERE CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 <
-       |  (CASE source $cases ELSE $defaultRate END)""".stripMargin
+    s"""WITH d AS (SELECT doc_id, source, lang,
+       |    doc_id % 4294967296 AS a,
+       |    CAST(floor((doc_id % 4294967296) / 65536) AS BIGINT) AS h
+       |  FROM documents),
+       |u AS (SELECT doc_id, source, lang,
+       |    CAST((((h * 2654435761) % 65536) * 65536
+       |      + (a - h * 65536) * 2654435761) % 4294967296 AS DOUBLE)
+       |      / 4294967296.0 AS unit_hash
+       |  FROM d)
+       |SELECT doc_id, source, lang FROM u
+       |WHERE unit_hash < (CASE source $cases ELSE $defaultRate END)""".stripMargin
   }
 
   /** Cleaning-funnel survivor counts — mirrors ext/Corpus.cleaningFunnel

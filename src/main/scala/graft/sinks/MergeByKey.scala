@@ -1,6 +1,7 @@
 package graft.sinks
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Merge-by-key upsert (S9) — the Spark replacement for the reference's
@@ -30,4 +31,29 @@ object MergeByKey {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
       .parquet(path)
+
+  /** Partition-expiry retention (S11 — the reference's 730-day partition
+    * expiration, sql/bigquery_schema.sql:24-26): drop date partitions whose
+    * value is older than `retentionDays` before the `asOf` anchor. The
+    * anchor is caller-supplied (driver-computed from AsOf, never now()), so
+    * retention runs are reproducible. Dropping a partition is a directory
+    * delete — metadata-only, no data rewrite, exactly how a warehouse
+    * expires partitions at scale. Returns the expired partition values. */
+  def expirePartitions(spark: SparkSession, path: String, partitionCol: String,
+                       asOf: java.time.LocalDate, retentionDays: Int): Seq[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val cutoff = asOf.minusDays(retentionDays.toLong)
+    val prefix = s"$partitionCol="
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .flatMap { s =>
+        val value = s.getPath.getName.stripPrefix(prefix)
+        scala.util.Try(java.time.LocalDate.parse(value)).toOption
+          .filter(_.isBefore(cutoff))
+          .map { _ => fs.delete(s.getPath, true); value }
+      }
+      .sorted
+  }
 }

@@ -26,7 +26,7 @@ object VelocityFeatures {
   case class TxnEvent(user_id: Long, ts: Timestamp, amount: Double,
                       merchant_id: Int, success: Boolean)
 
-  case class UserBuffer(events: List[TxnEvent])
+  case class UserBuffer(events: List[TxnEvent], dropped: Long = 0L)
 
   case class VelocityRow(
     user_id: Long, as_of: Timestamp,
@@ -37,6 +37,14 @@ object VelocityFeatures {
   private val H24 = 24L * 3600 * 1000
   private val H1  = 3600L * 1000
   private val M5  = 5L * 60 * 1000
+
+  /** Hot-key guard: one user emitting more events than any window needs
+    * (bot traffic) must not grow its state buffer without bound — a single
+    * hot key could otherwise blow a task at scale. The buffer keeps the
+    * NEWEST events up to this cap; older in-horizon events are dropped and
+    * counted (`UserBuffer.dropped`), so features degrade predictably toward
+    * the recent window instead of the query dying. */
+  val MaxEventsPerUser = 10000
 
   /** Feature row at `now` from a 24h-pruned buffer — the exact formulas of
     * ADVANCED.md:894-925. */
@@ -58,7 +66,7 @@ object VelocityFeatures {
         if (w24.isEmpty) 0.0 else w24.count(_.success).toDouble / w24.size)
   }
 
-  private def update(userId: Long, incoming: Iterator[TxnEvent],
+  private def update(maxEvents: Int)(userId: Long, incoming: Iterator[TxnEvent],
                      state: GroupState[UserBuffer]): Iterator[VelocityRow] = {
     if (state.hasTimedOut) { // idle past the horizon: drop all state (ST7)
       state.remove()
@@ -66,14 +74,23 @@ object VelocityFeatures {
     }
     val arrived = incoming.toList.sortBy(e => (e.ts.getTime, e.merchant_id))
     if (arrived.isEmpty) return Iterator.empty
-    val prior = state.getOption.map(_.events).getOrElse(Nil)
+    val priorState = state.getOption.getOrElse(UserBuffer(Nil))
     // Emit one row per event, against the buffer as of that event.
-    var buf = prior
+    var buf = priorState.events
     val out = arrived.map { e =>
       buf = (e :: buf).filter(x => e.ts.getTime - x.ts.getTime < H24)
       featuresAt(userId, e.ts, buf)
     }
-    state.update(UserBuffer(buf))
+    // Per-invocation memory is bounded by prior capped state + this batch;
+    // cap once before persisting, keeping the newest events (stable order:
+    // ts desc, merchant asc) and accounting for the overflow.
+    val (kept, droppedNow) =
+      if (buf.sizeIs > maxEvents) {
+        val sorted = buf.sortBy(e => (-e.ts.getTime, e.merchant_id))
+        (sorted.take(maxEvents), (buf.size - maxEvents).toLong)
+      } else (buf, 0L)
+    state.update(UserBuffer(kept, priorState.dropped + droppedNow))
+    buf = kept
     // evict when the watermark passes 24h idle; clamp ABOVE the current
     // watermark — a group replaying events >24h behind the stream head
     // would otherwise request a timeout in the past, which GroupState
@@ -85,14 +102,17 @@ object VelocityFeatures {
     out.iterator
   }
 
-  /** Streaming entry: watermarked event-time state with 24h eviction. */
-  def stream(events: Dataset[TxnEvent]): Dataset[VelocityRow] = {
+  /** Streaming entry: watermarked event-time state with 24h eviction and a
+    * per-user buffer cap (hot-key guard). */
+  def stream(events: Dataset[TxnEvent],
+             maxEventsPerUser: Int = MaxEventsPerUser): Dataset[VelocityRow] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update(maxEventsPerUser))
   }
 
   /** Batch reference implementation (same formulas, windowed aggregates) —

@@ -51,10 +51,20 @@ class CoverageGapsSpec extends SparkSpec {
     assert(after.count() == 2)
     assert(after.filter($"partition_date" === "2024-01-02").select("v")
       .collect()(0).getDouble(0) == 99.0)
-    // retention (730-day expiry analog, bigquery_schema.sql:23): drop old partitions
-    val kept = spark.read.parquet(base).filter($"partition_date" >= "2024-01-02")
-    MergeByKey.overwritePartitions(kept, base + "-retained", "partition_date")
-    assert(spark.read.parquet(base + "-retained").count() == 1)
+    // retention (730-day expiry analog, bigquery_schema.sql:24-26): expire
+    // partitions older than the cutoff IN PLACE — a directory delete per
+    // partition, no data rewrite; anchor is caller-supplied, never now()
+    val expired = MergeByKey.expirePartitions(spark, base, "partition_date",
+      java.time.LocalDate.parse("2024-01-04"), retentionDays = 2)
+    assert(expired == Seq("2024-01-01"), s"expired: $expired")
+    val kept = spark.read.parquet(base)
+    assert(kept.count() == 1)
+    // partition values are date-inferred on read-back; compare as strings
+    assert(kept.select($"partition_date".cast("string")).collect()(0).getString(0)
+      == "2024-01-02")
+    // idempotent: nothing left to expire
+    assert(MergeByKey.expirePartitions(spark, base, "partition_date",
+      java.time.LocalDate.parse("2024-01-04"), 2).isEmpty)
   }
 
   test("as-of join is point-in-time correct (no future leakage)") {
@@ -132,6 +142,28 @@ class CoverageGapsSpec extends SparkSpec {
     }
     assert(jobs.MigrationRunner.current(spark, root).count() == report.sourceRows,
       "live store untouched after refused overwrite")
+  }
+
+  test("migration rollback re-points CURRENT to the previous version") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rb").toString
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("user_id", "v")
+    val v2 = Seq((1L, "a2"), (2L, "b2"), (3L, "c2")).toDF("user_id", "v")
+    assert(jobs.MigrationRunner.migrate(spark, v1, root, "v1", "user_id").switched)
+    assert(jobs.MigrationRunner.migrate(spark, v2, root, "v2", "user_id").switched)
+    assert(jobs.MigrationRunner.current(spark, root).count() == 3)
+    // rollback: pointer move only — v2's data stays on disk, readers resolve v1
+    val target = jobs.MigrationRunner.rollback(spark, root)
+    assert(target == "v1")
+    assert(jobs.MigrationRunner.current(spark, root).count() == 2,
+      "readers must see the previous version after rollback")
+    assert(new java.io.File(s"$root/v2").exists(), "rollback never deletes versions")
+    // guards: can't roll back onto the live version or a missing one
+    intercept[IllegalArgumentException] {
+      jobs.MigrationRunner.rollback(spark, root, Some("v1"))
+    }
+    intercept[IllegalArgumentException] {
+      jobs.MigrationRunner.rollback(spark, root, Some("no-such-version"))
+    }
   }
 
   test("batch serving summary reports the cache_hit_ratio envelope") {

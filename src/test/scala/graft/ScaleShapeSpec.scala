@@ -46,6 +46,20 @@ class ScaleShapeSpec extends SparkSpec {
     assert(pruned.count() > 0)
   }
 
+  test("IVF index probe prunes to the probed list partitions") {
+    val emb = core.Tables.embeddings(spark, sf0001)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    ext.Similarity.buildIvfIndex(emb, idx, nLists = 16)
+    val probe = ext.Similarity.ivfProbe(spark, idx,
+      emb.filter($"vec_id" < 3), k = 5, nprobe = 4)
+    assert(probe.collect().length == 15)
+    // the list scan must carry a static list_id partition filter — the probe
+    // reads nprobe/nLists of the corpus from disk, not everything
+    val plan = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*list_id".r.findFirstIn(plan).isDefined,
+      s"probe scan must prune list partitions:\n${plan.take(800)}")
+  }
+
   test("streaming keeps serving fresh: event → point update → invalidated cache serves it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // store: versioned dirs + atomic CURRENT pointer (a delete-then-move

@@ -2,6 +2,7 @@ package graft
 
 import graft.sinks.MergeByKey
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions.{col, expr, length}
 
 /** Merge-by-key upsert semantics (S9) and the ext/ operator sanity beyond
   * what the DuckDB oracles already pin. */
@@ -120,6 +121,18 @@ class SinksAndExtSpec extends SparkSpec {
     assert(over.length == Similarity.NumTables)
     assert(over.forall(_.getAs[Long]("n_vectors") == 100L))
     assert(Similarity.lshCandidates(emb, maxBucket = 128).count() == 100L * 99 / 2)
+  }
+
+  test("frame-sample byte/char equivalence guard: the documents corpus is ASCII") {
+    // Spark slices media payloads by BYTES (binary substring) while the
+    // DuckDB oracle slices text by CHARACTERS; frame boundaries and frame_md5
+    // agree iff every character is single-byte. Enforce the documented
+    // assumption instead of hoping the generator never changes.
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val nonAscii = graft.core.Tables.documents(spark, dir)
+        .filter(length(col("text")) =!= expr("octet_length(text)")).count()
+      assert(nonAscii == 0, s"$dir: frameSample's byte==char assumption violated")
+    }
   }
 
   test("text quality score is bounded and language-ID emits a confusion census") {

@@ -154,6 +154,28 @@ class StreamingSpec extends SparkSpec {
     assert(users.contains(10L))
   }
 
+  test("ST7 hot key: per-user buffer cap bounds state; features degrade to newest events") {
+    val input = MemoryStream[TxnEvent](spark)
+    // one bot-like user floods 30 events into a single hour with cap 10
+    val events = (0 until 30).map(i =>
+      TxnEvent(20L, ts(f"2024-01-01 10:$i%02d:00"), 1.0, i, success = true))
+    input.addData(events: _*)
+    val q = VelocityFeatures.stream(input.toDS(), maxEventsPerUser = 10).writeStream
+      .format("memory").queryName("velocity_cap").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // the next batch sees only the capped state: 10 newest prior events
+      input.addData(TxnEvent(20L, ts("2024-01-01 10:45:00"), 1.0, 99, success = true))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+    } finally q.stop()
+    val last = spark.table("velocity_cap").as[VelocityFeatures.VelocityRow]
+      .collect().maxBy(_.as_of.getTime)
+    assert(last.as_of == ts("2024-01-01 10:45:00"))
+    assert(last.transactions_last_hour == 11L,
+      s"capped state must hold exactly 10 prior events, saw ${last.transactions_last_hour - 1}")
+  }
+
   test("ST7: events beyond the 24h horizon are evicted from state") {
     val input = MemoryStream[TxnEvent](spark)
     input.addData(TxnEvent(2L, ts("2024-01-01 10:00:00"), 10.0, 1, success = true))
