@@ -54,9 +54,9 @@ object SparkEntry {
     "percentiles_approx"   -> ((s, dir) => serving.Lookups.percentilesApprox(s, dir)),
     "dedup_exact"          -> ((s, dir) => ext.Dedup.exact(core.Tables.documents(s, dir))),
     "dedup_jaccard"        -> ((s, dir) => ext.Dedup.jaccardPairsPre(
-      ext.Dedup.shingleTable(s, dir), 0.5, Some(ext.Dedup.signatureTable(s, dir)))),
-    "dedup_minhash_pairs"  -> ((s, dir) => ext.Dedup.minhashPairsPre(
-      ext.Dedup.shingleTable(s, dir), Some(ext.Dedup.signatureTable(s, dir)))),
+      ext.Dedup.shingleTable(s, dir), 0.5,
+      candPre = Some(ext.Dedup.candidatePairTable(s, dir)))),
+    "dedup_minhash_pairs"  -> ((s, dir) => ext.Dedup.candidatePairTable(s, dir)),
     "dedup_simhash"        -> ((s, dir) => ext.Dedup.simhash(core.Tables.documents(s, dir))),
     "similarity_topk"      -> ((s, dir) => ext.Similarity.bruteTopK(core.Tables.embeddings(s, dir), 5, 10)),
     "ann_buckets"          -> ((s, dir) => ext.Similarity.lshBuckets(core.Tables.embeddings(s, dir))),

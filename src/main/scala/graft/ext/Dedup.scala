@@ -59,6 +59,15 @@ object Dedup {
     graft.core.FeatureCache.cached(spark, dir, "doc_minhash_sig")(
       minhashSignaturesPre(shingleTable(spark, dir)))
 
+  /** Session-cached LSH candidate pairs (band self-join over the signature
+    * table). Shared by the pair listing AND the Jaccard verification — the
+    * verify query references the pair set three times (candidate ids for the
+    * shingle semi-join, then both sides of the verify join), and without a
+    * materialized table each reference would re-run the band self-join. */
+  def candidatePairTable(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.core.FeatureCache.cached(spark, dir, "minhash_cand_pairs")(
+      minhashPairsPre(shingleTable(spark, dir), Some(signatureTable(spark, dir))))
+
   /** Exact dedup: hash-group on content (md5), keep the smallest doc_id as
     * canonical. One shuffle on the hash; at scale the groupBy is map-side
     * combinable because the hash is computed pre-shuffle. */
@@ -79,10 +88,16 @@ object Dedup {
     * table is semi-joined down to candidate doc ids BEFORE the pair joins —
     * candidates are a tiny fraction of the corpus, so the verify stage must
     * never ship the full shingle arrays of non-candidate docs through a
-    * shuffle (that cost scales with the corpus, not with the collisions). */
+    * shuffle (that cost scales with the corpus, not with the collisions).
+    * Plan shape: with runtime stats the pair table is the SMALL side, so
+    * AQE broadcasts it and the shingle arrays never shuffle at all (the
+    * verify is two broadcast hash joins streaming shSlim); when the
+    * candidate set outgrows the broadcast threshold at corpus scale, the
+    * same plan degrades gracefully to a shuffled join on doc id. */
   def jaccardPairsPre(sh: DataFrame, threshold: Double,
-                      sigPre: Option[DataFrame] = None): DataFrame = {
-    val cand = minhashPairsPre(sh, sigPre)
+                      sigPre: Option[DataFrame] = None,
+                      candPre: Option[DataFrame] = None): DataFrame = {
+    val cand = candPre.getOrElse(minhashPairsPre(sh, sigPre))
     val candIds = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))
       .distinct()
