@@ -163,15 +163,142 @@ object Dedup {
       .distinct()
   }
 
+  /** 64-bit SimHash (the fingerprint width of Manku, Jarmin & Sarma,
+    * "Detecting Near-Duplicates for Web Crawling", WWW'07) over distinct
+    * 3-token SHINGLES, not unigrams: on template-heavy corpora unigram
+    * token sets barely differ between documents, so a token-set fingerprint
+    * collapses thousands of docs onto near-identical signatures and pair
+    * enumeration goes quadratic; shingles carry word order and keep the
+    * fingerprint discriminative (and share the feature space the MinHash
+    * path already uses). Bits 0-31 vote with the high bit of nibble j of
+    * md5(shingle), bits 32-63 with nibble j-32 of md5("x:" + shingle) —
+    * two independent halves from two keyed hashes. Emitted as a 64-char
+    * bit string (no cross-engine integer-parsing hazards). */
+  def simhash64(docs: DataFrame): DataFrame = {
+    // Materialize both keyed hashes ONCE per (doc, shingle) row: the 64
+    // vote aggregates each reference a nibble of them, and an inline md5
+    // inside every aggregate expression would hash the shingle 64× per row.
+    val toks = withShingles(docs).select(col("doc_id"), explode(col("sh")).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("h1"),
+        md5(concat(lit("x:"), col("tok"))).as("h2"))
+    val votes = (0 until 64).map { j =>
+      val h = if (j < 32) col("h1") else col("h2")
+      // high bit of a hex nibble <=> char >= '8' (ASCII: 0-7 < '8' <= 8,9,a-f)
+      sum(when(substring(h, (j % 32) + 1, 1) >= "8", 1)
+        .otherwise(-1)).as(s"v$j")
+    }
+    val bits = (0 until 64).map(j => when(col(s"v$j") > 0, "1").otherwise("0"))
+    toks.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), concat(bits: _*).as("simhash64"))
+  }
+
+  /** SimHash near-dup pairs: banded candidates → exact hamming verify.
+    * The 64-bit fingerprint splits into 4 bands of 16 bits; by pigeonhole,
+    * any pair with hamming <= 3 agrees exactly on at least one band, so an
+    * equi-join on (band, bits) finds every such pair. 16-bit bands give a
+    * 65536-value bucket space per band — buckets stay tiny at corpus scale
+    * (this is why the fingerprint is 64-bit: 8-bit bands of a 32-bit hash
+    * would collapse to 256 buckets, the quadratic trap). A bucket-size cap
+    * (same posture as Similarity.lshCandidates) drops degenerate buckets —
+    * a band value shared by more than `maxBucket` docs is boilerplate, and
+    * joining it would be quadratic by construction. Verification is an
+    * exact positional hamming count over the two bit strings. */
+  /** Session-cached 64-bit simhash signature table — the banded pair join
+    * references the signatures many times (4 band projections, the bucket
+    * cap, both join sides); without materialization each reference re-runs
+    * the 64-vote aggregation. */
+  def simhash64Table(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.core.FeatureCache.cached(spark, dir, "doc_simhash64")(
+      simhash64(graft.core.Tables.documents(spark, dir)))
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Int = 256,
+                   sigPre: Option[DataFrame] = None): DataFrame = {
+    val sig = sigPre.getOrElse(simhash64(docs))
+    val bands = (0 until 4).map(i =>
+      sig.select(col("doc_id"), col("simhash64"), lit(i).as("band"),
+        substring(col("simhash64"), i * 16 + 1, 16).as("bb")))
+      .reduce(_ unionByName _)
+    val ok = bands.groupBy("band", "bb")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket)
+      .select("band", "bb")
+    val kept = bands.join(ok, Seq("band", "bb"), "left_semi")
+    val cand = kept.as("x").join(kept.as("y"),
+        col("x.band") === col("y.band") && col("x.bb") === col("y.bb") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.simhash64").as("sa"),
+        col("y.doc_id").as("doc_b"), col("y.simhash64").as("sb"))
+      .distinct()
+    val ham = (1 to 64).map(j =>
+      when(substring(col("sa"), j, 1) =!= substring(col("sb"), j, 1), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.select(col("doc_a"), col("doc_b"), ham.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Collapse verified near-dup pairs into duplicate clusters: connected
+    * components with the smallest member as canonical keeper — the step a
+    * dedup pipeline runs AFTER pair generation (pairs alone over-delete:
+    * a~b and b~c must keep exactly one of {a,b,c}, not two).
+    *
+    * Algorithm: min-label propagation with pointer jumping (label :=
+    * label(label) each round), the hashing-to-min-neighbor scheme of
+    * large-star/small-star connected components (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). Rounds needed are
+    * O(log diameter); near-dup clusters are dense and shallow, so this
+    * converges in a handful of rounds. Each round is equi-joins + a
+    * map-side-combinable min aggregate — no driver-side graph state, and
+    * `localCheckpoint` truncates the growing lineage so round N's plan
+    * doesn't replay rounds 1..N-1. Convergence is checked with a count
+    * action per round (inherent to any fixpoint loop, incl. GraphX's). */
+  def clusters(pairs: DataFrame): DataFrame = {
+    // Materialize the edge list up front: every round (and its convergence
+    // count) is an action, and without this the whole upstream pair
+    // pipeline (LSH candidates + Jaccard verify) would re-execute once per
+    // action instead of once per clustering.
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label").as("nl")), Seq("dst"))
+        .groupBy(col("src").as("doc_id")).agg(min(col("nl")).as("nbr_min"))
+      val prop = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      val byId = prop.select(col("doc_id").as("lid"), col("label").as("ll"))
+      // the changed flag rides the checkpointed frame, so the convergence
+      // probe below is a trivial scan of materialized blocks, not a re-join
+      val jumped = prop.join(byId, col("label") === col("lid"), "left")
+        .select(col("doc_id"), coalesce(col("ll"), col("label")).as("label"),
+          (coalesce(col("ll"), col("label")) =!= col("old")).as("chg"))
+        .localCheckpoint(true)
+      changed = jumped.filter(col("chg")).limit(1).count()
+      labels = jumped.select("doc_id", "label")
+      rounds += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("doc_id"), col("label").as("keeper_doc_id"), col("cluster_size"))
+  }
+
   /** 32-bit SimHash: bit j votes with the high bit of nibble j of each
     * token's md5; majority sign wins. Emitted as a 32-char bit string (no
     * cross-engine integer-parsing hazards). */
   def simhash(docs: DataFrame): DataFrame = {
-    val highNibble = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    // md5 materialized pre-aggregate (hashed once per row, not 32×)
     val toks = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("tok"))
     val votes = (0 until 32).map(j =>
-      sum(when(substring(md5(col("tok")), j + 1, 1).isin(highNibble: _*), 1)
+      sum(when(substring(col("tok"), j + 1, 1) >= "8", 1)
         .otherwise(-1)).as(s"v$j"))
     val bits = (0 until 32).map(j => when(col(s"v$j") > 0, "1").otherwise("0"))
     toks.groupBy("doc_id")

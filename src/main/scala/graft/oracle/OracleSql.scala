@@ -417,12 +417,15 @@ object OracleSql {
 
   /** Same candidates→verify pipeline as graft.ext.Dedup.jaccardPairs:
     * MinHash band candidates, then Jaccard verification on those pairs. */
-  def dedupJaccard(threshold: Double): String = {
+  /** Shared CTE chain ending in jp(doc_a, doc_b, jaccard) — the verified
+    * near-dup pairs at `threshold`; reused verbatim by the clusters oracle
+    * so both gates see the identical pair set. */
+  private def jaccardCtes(threshold: Double): String = {
     val sigs = (0 until 4).map(i => s"min(md5('$i|' || sh)) AS h$i").mkString(", ")
     val bands = (0 until 4).map(i => s"SELECT doc_id, $i AS band, h$i AS h FROM sig")
       .mkString("\n  UNION ALL ")
     val inter = "len(list_intersect(a.sh, b.sh))"
-    s"""WITH shl AS (SELECT doc_id,
+    s"""shl AS (SELECT doc_id,
        |    ${shingleExpr("string_split(text, ' ')", "text")} AS sh
        |  FROM documents),
        |t AS (SELECT doc_id, unnest(sh) AS sh FROM shl),
@@ -430,14 +433,72 @@ object OracleSql {
        |bands AS ($bands),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
-       |  ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id)
-       |SELECT * FROM (
+       |  ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id),
+       |jp AS (SELECT * FROM (
        |  SELECT c.doc_a, c.doc_b,
        |    floor((CAST($inter AS DOUBLE) / (len(a.sh) + len(b.sh) - $inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
        |  FROM cand c
        |  JOIN shl a ON c.doc_a = a.doc_id
        |  JOIN shl b ON c.doc_b = b.doc_id)
-       |WHERE jaccard >= $threshold""".stripMargin
+       |WHERE jaccard >= $threshold)""".stripMargin
+  }
+
+  def dedupJaccard(threshold: Double): String =
+    s"""WITH ${jaccardCtes(threshold)}
+       |SELECT doc_a, doc_b, jaccard FROM jp""".stripMargin
+
+  /** Duplicate clusters over the verified pairs — mirrors ext/Dedup
+    * .clusters. The oracle computes components by transitive closure
+    * (recursive CTE: reach = all nodes reachable from s), then keeper =
+    * MIN(reachable) — quadratic within a component, fine at oracle scale;
+    * the engine side runs the O(log d)-round label propagation instead. */
+  def dedupClusters(threshold: Double): String =
+    s"""WITH RECURSIVE ${jaccardCtes(threshold)},
+       |edges AS (SELECT doc_a AS s, doc_b AS t FROM jp
+       |  UNION SELECT doc_b, doc_a FROM jp),
+       |reach(s, t) AS (
+       |  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+       |  UNION
+       |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+       |lab AS (SELECT s AS doc_id, MIN(t) AS keeper_doc_id FROM reach GROUP BY s),
+       |sz AS (SELECT keeper_doc_id, COUNT(*) AS cluster_size FROM lab
+       |  GROUP BY keeper_doc_id)
+       |SELECT l.doc_id, l.keeper_doc_id, s.cluster_size
+       |FROM lab l JOIN sz s ON l.keeper_doc_id = s.keeper_doc_id""".stripMargin
+
+  /** SimHash near-dup pairs — mirrors ext/Dedup.simhashPairs: 64-bit
+    * fingerprint over distinct 3-shingles (two keyed md5 halves), 4 bands
+    * of 16 bits for candidates with a bucket-size cap, exact positional
+    * hamming verify. */
+  def dedupSimhashPairs(maxHamming: Int, maxBucket: Int = 256): String = {
+    val votes = (0 until 64).map { j =>
+      val h = if (j < 32) "md5(tok)" else "md5('x:' || tok)"
+      s"SUM(CASE WHEN substr($h, ${(j % 32) + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(", ")
+    val bits = (0 until 64).map(j => s"(CASE WHEN v$j > 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    val bands = (0 until 4).map(i =>
+      s"SELECT doc_id, simhash64, $i AS band, substr(simhash64, ${i * 16 + 1}, 16) AS bb FROM s64")
+      .mkString("\n  UNION ALL ")
+    val ham = (1 to 64).map(j =>
+      s"(CASE WHEN substr(sa, $j, 1) <> substr(sb, $j, 1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id,
+       |    unnest(${shingleExpr("string_split(text, ' ')", "text")}) AS tok
+       |  FROM documents),
+       |v AS (SELECT doc_id, $votes FROM t GROUP BY doc_id),
+       |s64 AS (SELECT doc_id, $bits AS simhash64 FROM v),
+       |bands AS ($bands),
+       |ok AS (SELECT band, bb FROM bands GROUP BY band, bb
+       |  HAVING COUNT(*) <= $maxBucket),
+       |kept AS (SELECT b.* FROM bands b JOIN ok
+       |  ON b.band = ok.band AND b.bb = ok.bb),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.simhash64 AS sa,
+       |    y.doc_id AS doc_b, y.simhash64 AS sb
+       |  FROM kept x JOIN kept y
+       |  ON x.band = y.band AND x.bb = y.bb AND x.doc_id < y.doc_id)
+       |SELECT * FROM (SELECT doc_a, doc_b, $ham AS hamming FROM cand)
+       |WHERE hamming <= $maxHamming""".stripMargin
   }
 
   val dedupMinhashPairs: String = {
@@ -455,9 +516,8 @@ object OracleSql {
   }
 
   val dedupSimhash: String = {
-    val hi = "('8','9','a','b','c','d','e','f')"
     val votes = (0 until 32).map(j =>
-      s"SUM(CASE WHEN substr(md5(tok), ${j + 1}, 1) IN $hi THEN 1 ELSE -1 END) AS v$j")
+      s"SUM(CASE WHEN substr(md5(tok), ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v$j")
       .mkString(", ")
     val bits = (0 until 32).map(j => s"(CASE WHEN v$j > 0 THEN '1' ELSE '0' END)")
       .mkString(" || ")

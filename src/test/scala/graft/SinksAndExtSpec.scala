@@ -123,6 +123,35 @@ class SinksAndExtSpec extends SparkSpec {
     assert(Similarity.lshCandidates(emb, maxBucket = 128).count() == 100L * 99 / 2)
   }
 
+  test("simhash pairs: identical docs collide at hamming 0; disjoint docs don't pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely different vocabulary about quantum flux capacitors humming")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("doc_a") == 1L && pairs(0).getAs[Long]("doc_b") == 2L)
+    assert(pairs(0).getAs[Int]("hamming") == 0)
+    // pigeonhole shape: signatures are 64-bit, banded 4x16
+    val sig = Dedup.simhash64(docs).collect()
+    assert(sig.forall(_.getAs[String]("simhash64").length == 64))
+  }
+
+  test("clusters: chained pairs collapse to one keeper; separate pair stays apart") {
+    import spark.implicits._
+    // a-b, b-c, c-d chain (diameter 3, exercises pointer jumping) + e-f
+    val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L), (50L, 60L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(pairs).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("keeper_doc_id"), r.getAs[Long]("cluster_size")))).toMap
+    assert(out == Map(
+      10L -> (10L, 4L), 20L -> (10L, 4L), 30L -> (10L, 4L), 40L -> (10L, 4L),
+      50L -> (50L, 2L), 60L -> (50L, 2L)))
+  }
+
   test("frame-sample byte/char equivalence guard: the documents corpus is ASCII") {
     // Spark slices media payloads by BYTES (binary substring) while the
     // DuckDB oracle slices text by CHARACTERS; frame boundaries and frame_md5
