@@ -139,6 +139,16 @@ class SinksAndExtSpec extends SparkSpec {
     assert(sig.forall(_.getAs[String]("simhash64").length == 64))
   }
 
+  test("simhash bucket cap drops degenerate buckets; raising it restores pairs") {
+    import spark.implicits._
+    // 40 identical docs collide in every band bucket: with cap 16 the
+    // bucket join must emit nothing; with the cap lifted, all pairs return
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (0L until 40L).map(i => (i, txt)).toDF("doc_id", "text")
+    assert(Dedup.simhashPairs(docs, maxHamming = 3, maxBucket = 16).count() == 0)
+    assert(Dedup.simhashPairs(docs, maxHamming = 3, maxBucket = 64).count() == 40L * 39 / 2)
+  }
+
   test("clusters: chained pairs collapse to one keeper; separate pair stays apart") {
     import spark.implicits._
     // a-b, b-c, c-d chain (diameter 3, exercises pointer jumping) + e-f
