@@ -261,8 +261,11 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    // Seed with the closed-neighborhood min (round 1 for free — every node
+    // is a src because edges are symmetric).
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("src").as("doc_id"), least(col("src"), col("m")).as("label"))
       .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
@@ -274,13 +277,16 @@ object Dedup {
         .select(col("doc_id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
       val byId = prop.select(col("doc_id").as("lid"), col("label").as("ll"))
-      // the changed flag rides the checkpointed frame, so the convergence
-      // probe below is a trivial scan of materialized blocks, not a re-join
+      // the changed flag rides the frame; the LAZY checkpoint materializes
+      // during the convergence probe — one job per round, not two — and the
+      // probe then reads materialized blocks, never the round's lineage
       val jumped = prop.join(byId, col("label") === col("lid"), "left")
         .select(col("doc_id"), coalesce(col("ll"), col("label")).as("label"),
           (coalesce(col("ll"), col("label")) =!= col("old")).as("chg"))
-        .localCheckpoint(true)
-      changed = jumped.filter(col("chg")).limit(1).count()
+        .localCheckpoint(false)
+      // full count, not limit(1): the probe must touch every partition so
+      // the lazy checkpoint materializes completely in this one job
+      changed = jumped.filter(col("chg")).count()
       labels = jumped.select("doc_id", "label")
       rounds += 1
     }
