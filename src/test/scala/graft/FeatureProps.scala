@@ -64,6 +64,30 @@ object FeatureProps extends Properties("graft") {
       sumWith(1) == sumWith(7)
     }
 
+  property("cluster collapse equals driver-side union-find on arbitrary graphs") =
+    forAll(Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)).suchThat(p => p._1 != p._2))) { es =>
+      val pairs = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct.toDF("doc_a", "doc_b")
+      val got = ext.Dedup.clusters(pairs).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("keeper_doc_id"), r.getAs[Long]("cluster_size"))).toMap
+      // reference: plain union-find over the same edges
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = es.flatMap(p => Seq(p._1, p._2)).distinct
+      val keeper = nodes.map(n => n -> nodes.filter(m => find(m) == find(n)).min).toMap
+      val size = keeper.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      nodes.forall(n => got(n) == (keeper(n), size(keeper(n))))
+    }
+
   property("merge-by-key: keyset is the union, updates win") =
     forAll(Gen.listOf(Gen.choose(0L, 9L)), Gen.listOf(Gen.choose(0L, 9L))) { (o, n) =>
       val old = o.distinct.map(k => (k, s"old$k")).toDF("k", "v")
