@@ -90,6 +90,10 @@ object SparkEntry {
     "stratified_sample"    -> ((s, dir) => ext.Corpus.stratifiedSample(
       core.Tables.documents(s, dir), SampleRates.bySource, SampleRates.default)),
     "corpus_funnel"        -> ((s, dir) => ext.Corpus.cleaningFunnel(core.Tables.documents(s, dir))),
+    "contamination"        -> ((s, dir) => {
+      val docs = core.Tables.documents(s, dir)
+      ext.Corpus.contamination(docs, docs.filter(col("doc_id") < 100), 3, 0.1)
+    }),
   )
 
   /** Fixed source-mix rates for the stratified-sample query (a training-mix
@@ -161,5 +165,6 @@ object SparkEntry {
     "stratified_sample"    -> OracleSql.stratifiedSample(
       SampleRates.bySource.toSeq.sortBy(_._1), SampleRates.default),
     "corpus_funnel"        -> OracleSql.corpusFunnel(0.5, 10, 1000),
+    "contamination"        -> OracleSql.contamination(100, 3, 0.1),
   )
 }

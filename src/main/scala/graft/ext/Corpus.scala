@@ -45,6 +45,47 @@ object Corpus {
       .select(col("doc_id"), col("source"), col("lang"))
   }
 
+  /** Distinct word n-grams of a token-array column; documents shorter than
+    * `n` tokens degrade to the whole text (mirrors Dedup.shinglesOf, which
+    * is the n=3 case). `toks` must be a materialized column — see
+    * Dedup.shinglesOf on the inlined-split quadratic trap. */
+  def ngramsOf(toks: Column, text: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
+      .otherwise(array(text))
+
+  /** Benchmark decontamination — the train/test-overlap scan every serious
+    * pretraining corpus runs (the GPT-3 appendix-C / Pile release shape:
+    * flag training docs sharing word n-grams with an evaluation set).
+    * Emits (probe_id, doc_id, overlap_ngrams, overlap_frac) for corpus
+    * docs whose distinct-n-gram overlap with a probe doc reaches `minFrac`
+    * of the probe's grams.
+    *
+    * Scale shape: the PROBE side (the benchmark set) is small by
+    * construction, so its exploded gram table broadcasts; the corpus gram
+    * table streams through the broadcast hash join exactly once and the
+    * per-(probe, doc) counts are map-side-combinable. The corpus is never
+    * self-joined and nothing driver-side scales with corpus size. */
+  def contamination(docs: DataFrame, probes: DataFrame, n: Int = 5,
+                    minFrac: Double = 0.1): DataFrame = {
+    def grams(df: DataFrame, idAs: String) =
+      df.withColumn("__toks", split(col("text"), " "))
+        .select(col("doc_id").as(idAs),
+          explode(ngramsOf(col("__toks"), col("text"), n)).as("g"))
+    val pg = grams(probes, "probe_id")
+    val psize = pg.groupBy("probe_id").agg(count(lit(1)).as("probe_ngrams"))
+    val overlaps = broadcast(pg).join(grams(docs, "doc_id"), Seq("g"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy("probe_id", "doc_id").agg(count(lit(1)).as("overlap_ngrams"))
+    overlaps.join(broadcast(psize), Seq("probe_id"))
+      .select(col("probe_id"), col("doc_id"), col("overlap_ngrams"),
+        graft.ops.Ops.rnd(
+          col("overlap_ngrams").cast("double") / col("probe_ngrams").cast("double"), 4)
+          .as("overlap_frac"))
+      .filter(col("overlap_frac") >= minFrac)
+  }
+
   /** The cleaning funnel: raw → quality-filtered → exact-deduped, reported
     * as per-stage survivor counts (the acceptance report every corpus
     * release ships with). Stage 2 gates on the TextAnalysis quality score

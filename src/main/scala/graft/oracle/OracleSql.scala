@@ -769,6 +769,32 @@ object OracleSql {
   /** Stratified sample — mirrors ext/Corpus.stratifiedSample term for term,
     * including the overflow-safe split-multiply (16-bit halves of the low
     * 32 bits), so neither engine ever overflows int64 on large ids. */
+  /** Benchmark decontamination — mirrors ext/Corpus.contamination: distinct
+    * word n-grams (whole-text fallback under n tokens), probe set = doc_id
+    * < probeMax, overlap counted on the joined distinct grams. */
+  def contamination(probeMax: Long, n: Int, minFrac: Double): String = {
+    val grams =
+      s"""CASE WHEN len(toks) >= $n
+         |  THEN list_distinct(list_transform(range(1, len(toks) - $n + 2),
+         |    i -> array_to_string(list_slice(toks, i, i + $n - 1), ' ')))
+         |  ELSE [text] END""".stripMargin
+    s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |pg AS (SELECT doc_id AS probe_id, unnest($grams) AS g
+       |  FROM tok WHERE doc_id < $probeMax),
+       |cg AS (SELECT doc_id, unnest($grams) AS g FROM tok),
+       |psize AS (SELECT probe_id, COUNT(*) AS probe_ngrams FROM pg GROUP BY probe_id),
+       |ov AS (SELECT pg.probe_id, cg.doc_id, COUNT(*) AS overlap_ngrams
+       |  FROM pg JOIN cg ON pg.g = cg.g AND cg.doc_id <> pg.probe_id
+       |  GROUP BY pg.probe_id, cg.doc_id)
+       |SELECT * FROM (
+       |  SELECT ov.probe_id, ov.doc_id, ov.overlap_ngrams,
+       |    ${rnd("CAST(ov.overlap_ngrams AS DOUBLE) / CAST(p.probe_ngrams AS DOUBLE)", 4)}
+       |      AS overlap_frac
+       |  FROM ov JOIN psize p ON ov.probe_id = p.probe_id)
+       |WHERE overlap_frac >= $minFrac""".stripMargin
+  }
+
   def stratifiedSample(rates: Seq[(String, Double)], defaultRate: Double): String = {
     val cases = rates.map { case (s, r) => s"WHEN '$s' THEN $r" }.mkString(" ")
     s"""WITH d AS (SELECT doc_id, source, lang,

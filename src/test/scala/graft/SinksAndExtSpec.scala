@@ -139,6 +139,22 @@ class SinksAndExtSpec extends SparkSpec {
     assert(sig.forall(_.getAs[String]("simhash64").length == 64))
   }
 
+  test("contamination flags a planted benchmark leak and nothing else") {
+    import spark.implicits._
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "prefix words then the quick brown fox jumps over the lazy dog and more"),
+      (11L, "entirely unrelated content about distributed query planning engines"))
+      .toDF("doc_id", "text")
+    val hits = graft.ext.Corpus.contamination(corpus, bench, n = 3, minFrac = 0.5)
+      .collect()
+    assert(hits.length == 1)
+    assert(hits(0).getAs[Long]("probe_id") == 1L && hits(0).getAs[Long]("doc_id") == 10L)
+    // all 7 probe trigrams appear in doc 10 -> full overlap
+    assert(hits(0).getAs[Double]("overlap_frac") == 1.0)
+  }
+
   test("simhash bucket cap drops degenerate buckets; raising it restores pairs") {
     import spark.implicits._
     // 40 identical docs collide in every band bucket: with cap 16 the
