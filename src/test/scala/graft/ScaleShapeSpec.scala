@@ -60,6 +60,17 @@ class ScaleShapeSpec extends SparkSpec {
       s"probe scan must prune list partitions:\n${plan.take(800)}")
   }
 
+  test("contamination streams the corpus through a broadcast of the probe grams") {
+    val docs = core.Tables.documents(spark, sf0001)
+    val q = ext.Corpus.contamination(docs, docs.filter($"doc_id" < 10), n = 3, minFrac = 0.1)
+    val plan = q.queryExecution.executedPlan.toString
+    // the gram join must be a broadcast hash join (probe side small by
+    // construction); the corpus must never appear on both sides of a
+    // shuffled or cartesian join
+    assert(plan.contains("BroadcastHashJoin"), s"expected BHJ:\n${plan.take(800)}")
+    assert(!plan.contains("CartesianProduct"), "contamination must not go all-pairs")
+  }
+
   test("streaming keeps serving fresh: event → point update → invalidated cache serves it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // store: versioned dirs + atomic CURRENT pointer (a delete-then-move
