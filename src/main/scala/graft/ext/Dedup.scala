@@ -97,7 +97,11 @@ object Dedup {
   def jaccardPairsPre(sh: DataFrame, threshold: Double,
                       sigPre: Option[DataFrame] = None,
                       candPre: Option[DataFrame] = None): DataFrame = {
-    val cand = candPre.getOrElse(minhashPairsPre(sh, sigPre))
+    // the pair set is referenced three times below (candidate ids + both
+    // verify joins); when no cached table is supplied, checkpoint the
+    // subtree so the band self-join runs once, not per reference (Catalyst
+    // does not CSE identical logical subtrees)
+    val cand = candPre.getOrElse(minhashPairsPre(sh, sigPre).localCheckpoint(false))
     val candIds = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))
       .distinct()
@@ -193,6 +197,14 @@ object Dedup {
       .select(col("doc_id"), concat(bits: _*).as("simhash64"))
   }
 
+  /** Session-cached 64-bit simhash signature table — the banded pair join
+    * references the signatures many times (4 band projections, the bucket
+    * cap, both join sides); without materialization each reference re-runs
+    * the 64-vote aggregation. */
+  def simhash64Table(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.core.FeatureCache.cached(spark, dir, "doc_simhash64")(
+      simhash64(graft.core.Tables.documents(spark, dir)))
+
   /** SimHash near-dup pairs: banded candidates → exact hamming verify.
     * The 64-bit fingerprint splits into 4 bands of 16 bits; by pigeonhole,
     * any pair with hamming <= 3 agrees exactly on at least one band, so an
@@ -204,18 +216,13 @@ object Dedup {
     * a band value shared by more than `maxBucket` docs is boilerplate, and
     * joining it would be quadratic by construction. Verification is an
     * exact positional hamming count over the two bit strings. */
-  /** Session-cached 64-bit simhash signature table — the banded pair join
-    * references the signatures many times (4 band projections, the bucket
-    * cap, both join sides); without materialization each reference re-runs
-    * the 64-vote aggregation. */
-  def simhash64Table(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    graft.core.FeatureCache.cached(spark, dir, "doc_simhash64")(
-      simhash64(graft.core.Tables.documents(spark, dir)))
-
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    maxBucket: Int = 256,
                    sigPre: Option[DataFrame] = None): DataFrame = {
-    val sig = sigPre.getOrElse(simhash64(docs))
+    // signatures feed 4 band projections, the cap, and both join sides;
+    // checkpoint the un-precached subtree so the 64-vote aggregation runs
+    // once (Catalyst does not CSE identical logical subtrees)
+    val sig = sigPre.getOrElse(simhash64(docs).localCheckpoint(false))
     val bands = (0 until 4).map(i =>
       sig.select(col("doc_id"), col("simhash64"), lit(i).as("band"),
         substring(col("simhash64"), i * 16 + 1, 16).as("bb")))

@@ -90,9 +90,14 @@ object MigrationRunner {
     val (ss, ts) = (sampled(sourceDf, key), sampled(target, key))
     val mismatches = ss.exceptAll(ts).count() + ts.exceptAll(ss).count()
 
-    // 4. switchover only on full reconciliation
+    // 4. switchover only on full reconciliation; a FAILED copy is deleted
+    // (the reference's rollback-on-failed-validation, migration.py) — it
+    // must not linger as a version directory, or a later rollback()'s
+    // newest-non-live default would happily re-point CURRENT at data that
+    // never passed validation
     val ok = ns == nt && mismatches == 0
     if (ok) writePointerAtomic(spark, storeRoot, targetName)
+    else fs(spark, storeRoot).delete(new Path(targetPath), true)
     MigrationReport(ns, nt, ns == nt, mismatches, ok)
   }
 

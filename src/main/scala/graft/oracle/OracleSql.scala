@@ -797,10 +797,12 @@ object OracleSql {
 
   def stratifiedSample(rates: Seq[(String, Double)], defaultRate: Double): String = {
     val cases = rates.map { case (s, r) => s"WHEN '$s' THEN $r" }.mkString(" ")
-    s"""WITH d AS (SELECT doc_id, source, lang,
-       |    doc_id % 4294967296 AS a,
-       |    CAST(floor((doc_id % 4294967296) / 65536) AS BIGINT) AS h
+    s"""WITH d0 AS (SELECT doc_id, source, lang,
+       |    ((doc_id % 4294967296) + 4294967296) % 4294967296 AS a
        |  FROM documents),
+       |d AS (SELECT doc_id, source, lang, a,
+       |    CAST(floor(a / 65536) AS BIGINT) AS h
+       |  FROM d0),
        |u AS (SELECT doc_id, source, lang,
        |    CAST((((h * 2654435761) % 65536) * 65536
        |      + (a - h * 65536) * 2654435761) % 4294967296 AS DOUBLE)

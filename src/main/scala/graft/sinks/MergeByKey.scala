@@ -52,7 +52,10 @@ object MergeByKey {
         val value = s.getPath.getName.stripPrefix(prefix)
         scala.util.Try(java.time.LocalDate.parse(value)).toOption
           .filter(_.isBefore(cutoff))
-          .map { _ => fs.delete(s.getPath, true); value }
+          // report only partitions the filesystem actually dropped — a
+          // false delete (permissions, races) must not show up in the audit
+          .filter(_ => fs.delete(s.getPath, true))
+          .map(_ => value)
       }
       .sorted
   }

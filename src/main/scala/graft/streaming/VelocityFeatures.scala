@@ -32,7 +32,8 @@ object VelocityFeatures {
     user_id: Long, as_of: Timestamp,
     transaction_velocity_5m: Long, spending_velocity_5m: Double,
     transactions_last_hour: Long, unique_merchants_last_hour: Long,
-    payment_success_rate_24h: Double)
+    payment_success_rate_24h: Double,
+    events_dropped: Long = 0L)
 
   private val H24 = 24L * 3600 * 1000
   private val H1  = 3600L * 1000
@@ -42,13 +43,22 @@ object VelocityFeatures {
     * (bot traffic) must not grow its state buffer without bound — a single
     * hot key could otherwise blow a task at scale. The buffer keeps the
     * NEWEST events up to this cap; older in-horizon events are dropped and
-    * counted (`UserBuffer.dropped`), so features degrade predictably toward
-    * the recent window instead of the query dying. */
+    * counted — the cumulative count is surfaced on every emitted row as
+    * `events_dropped`, so an operator can SEE a hot key being capped — and
+    * features degrade predictably toward the recent window instead of the
+    * query dying.
+    *
+    * State-schema note: adding `dropped` to UserBuffer (and this cap)
+    * changed the flatMapGroupsWithState state encoding — a streaming
+    * checkpoint written by the pre-cap operator cannot be restored by this
+    * one (standard Spark state-store schema compatibility); restart such a
+    * stream from a fresh checkpoint. */
   val MaxEventsPerUser = 10000
 
   /** Feature row at `now` from a 24h-pruned buffer — the exact formulas of
     * ADVANCED.md:894-925. */
-  def featuresAt(userId: Long, now: Timestamp, buf: List[TxnEvent]): VelocityRow = {
+  def featuresAt(userId: Long, now: Timestamp, buf: List[TxnEvent],
+                 dropped: Long = 0L): VelocityRow = {
     // lower bound matters for late data: a row emitted for an out-of-order
     // event must not count events from its future (age ∈ [0, horizon))
     def within(ms: Long) = buf.filter { e =>
@@ -63,7 +73,8 @@ object VelocityFeatures {
       transactions_last_hour = w1h.size,
       unique_merchants_last_hour = w1h.map(_.merchant_id).distinct.size,
       payment_success_rate_24h =
-        if (w24.isEmpty) 0.0 else w24.count(_.success).toDouble / w24.size)
+        if (w24.isEmpty) 0.0 else w24.count(_.success).toDouble / w24.size,
+      events_dropped = dropped)
   }
 
   private def update(maxEvents: Int)(userId: Long, incoming: Iterator[TxnEvent],
@@ -75,11 +86,12 @@ object VelocityFeatures {
     val arrived = incoming.toList.sortBy(e => (e.ts.getTime, e.merchant_id))
     if (arrived.isEmpty) return Iterator.empty
     val priorState = state.getOption.getOrElse(UserBuffer(Nil))
-    // Emit one row per event, against the buffer as of that event.
+    // Emit one row per event, against the buffer as of that event; rows
+    // carry the dropped-so-far counter so capping is observable downstream.
     var buf = priorState.events
     val out = arrived.map { e =>
       buf = (e :: buf).filter(x => e.ts.getTime - x.ts.getTime < H24)
-      featuresAt(userId, e.ts, buf)
+      featuresAt(userId, e.ts, buf, priorState.dropped)
     }
     // Per-invocation memory is bounded by prior capped state + this batch;
     // cap once before persisting, keeping the newest events (stable order:

@@ -174,6 +174,8 @@ class StreamingSpec extends SparkSpec {
     assert(last.as_of == ts("2024-01-01 10:45:00"))
     assert(last.transactions_last_hour == 11L,
       s"capped state must hold exactly 10 prior events, saw ${last.transactions_last_hour - 1}")
+    assert(last.events_dropped == 20L,
+      s"capping must be observable: 30 events capped to 10 -> 20 dropped, saw ${last.events_dropped}")
   }
 
   test("ST7: events beyond the 24h horizon are evicted from state") {
