@@ -94,6 +94,8 @@ object SparkEntry {
       val docs = core.Tables.documents(s, dir)
       ext.Corpus.contamination(docs, docs.filter(col("doc_id") < 100), 3, 0.1)
     }),
+    "pack_sequences"       -> ((s, dir) => ext.Corpus.packSequences(
+      core.Tables.documents(s, dir), 2048)),
   )
 
   /** Fixed source-mix rates for the stratified-sample query (a training-mix
@@ -166,5 +168,6 @@ object SparkEntry {
       SampleRates.bySource.toSeq.sortBy(_._1), SampleRates.default),
     "corpus_funnel"        -> OracleSql.corpusFunnel(0.5, 10, 1000),
     "contamination"        -> OracleSql.contamination(100, 3, 0.1),
+    "pack_sequences"       -> OracleSql.packSequences(2048),
   )
 }

@@ -86,6 +86,33 @@ object Corpus {
       .filter(col("overlap_frac") >= minFrac)
   }
 
+  /** Sequence packing: map each document to its position in the fixed
+    * token-budget training sequences a trainer actually consumes — the
+    * GPT-style contiguous packing where the corpus is concatenated in
+    * deterministic doc_id order and sliced into `budget`-token sequences
+    * (documents may straddle a slice boundary; the emitted bin/offset is
+    * where the document STARTS). Pure closed form over an exclusive
+    * cumulative sum: bin = floor(prior_tokens / budget).
+    *
+    * Scale shape: packing is per `source` (training mixes pack within a
+    * domain so a sequence never mixes corpora), so the window partitions
+    * by source and parallelizes across sources — there is NO global-order
+    * window (the single-partition trap); within a source the cumsum is the
+    * sequential scan any packer inherently needs. Token counts are
+    * whitespace tokens (tokenCounts' corpus-accounting flavor). */
+  def packSequences(docs: DataFrame, budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("prior_tokens",
+        coalesce(sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor(col("prior_tokens") / budget).cast("long").as("bin"),
+        (col("prior_tokens") % budget).cast("long").as("bin_offset"))
+  }
+
   /** The cleaning funnel: raw → quality-filtered → exact-deduped, reported
     * as per-stage survivor counts (the acceptance report every corpus
     * release ships with). Stage 2 gates on the TextAnalysis quality score

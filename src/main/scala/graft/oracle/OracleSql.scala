@@ -795,6 +795,22 @@ object OracleSql {
        |WHERE overlap_frac >= $minFrac""".stripMargin
   }
 
+  /** Sequence packing — mirrors ext/Corpus.packSequences: exclusive
+    * per-source cumulative whitespace-token sum in doc_id order, sliced
+    * into `budget`-token bins. */
+  def packSequences(budget: Int): String =
+    s"""WITH s AS (SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_tokens
+       |  FROM s)
+       |SELECT doc_id, source, n_tokens,
+       |  CAST(floor(prior_tokens / $budget) AS BIGINT) AS bin,
+       |  prior_tokens % $budget AS bin_offset
+       |FROM c""".stripMargin
+
   def stratifiedSample(rates: Seq[(String, Double)], defaultRate: Double): String = {
     val cases = rates.map { case (s, r) => s"WHEN '$s' THEN $r" }.mkString(" ")
     s"""WITH d0 AS (SELECT doc_id, source, lang,
