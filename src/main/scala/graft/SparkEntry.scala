@@ -60,9 +60,8 @@ object SparkEntry {
     "dedup_simhash"        -> ((s, dir) => ext.Dedup.simhash(core.Tables.documents(s, dir))),
     "dedup_simhash_pairs"  -> ((s, dir) => ext.Dedup.simhashPairs(core.Tables.documents(s, dir), 3,
       sigPre = Some(ext.Dedup.simhash64Table(s, dir)))),
-    "dedup_clusters"       -> ((s, dir) => ext.Dedup.clusters(ext.Dedup.jaccardPairsPre(
-      ext.Dedup.shingleTable(s, dir), 0.5,
-      candPre = Some(ext.Dedup.candidatePairTable(s, dir))))),
+    "dedup_clusters"       -> ((s, dir) => ext.Dedup.clusters(
+      ext.Dedup.verifiedPairTable(s, dir, 0.5))),
     "similarity_topk"      -> ((s, dir) => ext.Similarity.bruteTopK(core.Tables.embeddings(s, dir), 5, 10)),
     "ann_buckets"          -> ((s, dir) => ext.Similarity.lshBuckets(core.Tables.embeddings(s, dir))),
     "dedup_embedding"      -> ((s, dir) => ext.Similarity.cosineNearDups(core.Tables.embeddings(s, dir), 20)),

@@ -68,6 +68,16 @@ object Dedup {
     graft.core.FeatureCache.cached(spark, dir, "minhash_cand_pairs")(
       minhashPairsPre(shingleTable(spark, dir), Some(signatureTable(spark, dir))))
 
+  /** Session-cached VERIFIED near-dup pairs at `threshold` — the artifact a
+    * dedup pipeline materializes once and then consumes repeatedly (cluster
+    * collapse, keeper filtering, audit). Downstream consumers must not
+    * re-run the verify join per query. */
+  def verifiedPairTable(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        threshold: Double = 0.5): DataFrame =
+    graft.core.FeatureCache.cached(spark, dir, s"jaccard_pairs_$threshold")(
+      jaccardPairsPre(shingleTable(spark, dir), threshold,
+        candPre = Some(candidatePairTable(spark, dir))))
+
   /** Exact dedup: hash-group on content (md5), keep the smallest doc_id as
     * canonical. One shuffle on the hash; at scale the groupBy is map-side
     * combinable because the hash is computed pre-shuffle. */
