@@ -248,9 +248,11 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("x.simhash64").as("sa"),
         col("y.doc_id").as("doc_b"), col("y.simhash64").as("sb"))
       .distinct()
-    val ham = (1 to 64).map(j =>
-      when(substring(col("sa"), j, 1) =!= substring(col("sb"), j, 1), 1).otherwise(0))
-      .reduce(_ + _)
+    // native codegen'd positional hamming (plans/BitStringHamming): one
+    // primitive pass over the byte arrays instead of a 64-term tree of
+    // per-position substring slices (identical semantics to the oracle's
+    // unrolled CASE sum)
+    val ham = call_function("bitstring_hamming", col("sa"), col("sb"))
     cand.select(col("doc_a"), col("doc_b"), ham.as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }

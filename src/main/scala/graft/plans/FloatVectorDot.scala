@@ -74,7 +74,7 @@ case class FloatVectorDot(left: Expression, right: Expression)
   * `SparkSession.builder.withExtensions(new GraftExtensions)`, or
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("float_vector_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "float_vector_dot"),
@@ -82,4 +82,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "float_vector_dot(a, b) takes two arguments")
         FloatVectorDot(args(0), args(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("bitstring_hamming"),
+      new ExpressionInfo(classOf[BitStringHamming].getName, "bitstring_hamming"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "bitstring_hamming(a, b) takes two arguments")
+        BitStringHamming(args(0), args(1))
+      }))
+  }
 }

@@ -139,6 +139,23 @@ class SinksAndExtSpec extends SparkSpec {
     assert(sig.forall(_.getAs[String]("simhash64").length == 64))
   }
 
+  test("bitstring_hamming native expression agrees with the unrolled compare") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, substring, when}
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { _ =>
+      (Seq.fill(64)(rnd.nextInt(2)).mkString, Seq.fill(64)(rnd.nextInt(2)).mkString)
+    }.toDF("a", "b")
+    val unrolled = (1 to 64).map(j =>
+      when(substring(col("a"), j, 1) =!= substring(col("b"), j, 1), 1).otherwise(0))
+      .reduce(_ + _)
+    val diff = rows.select(
+      call_function("bitstring_hamming", col("a"), col("b")).as("native"),
+      unrolled.as("tree"))
+      .filter(col("native") =!= col("tree")).count()
+    assert(diff == 0)
+  }
+
   test("SQ8 quantized top-k: bounded values, high recall vs the exact path") {
     val emb = graft.core.Tables.embeddings(spark, sf0001)
     val q = Similarity.quantize(emb)
