@@ -241,7 +241,9 @@ object Dedup {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxBucket)
       .select("band", "bb")
-    val kept = bands.join(ok, Seq("band", "bb"), "left_semi")
+    // kept feeds BOTH sides of the bucket self-join; checkpoint so the
+    // bands/cap/semi-join chain runs once, not per side
+    val kept = bands.join(ok, Seq("band", "bb"), "left_semi").localCheckpoint(false)
     val cand = kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.bb") === col("y.bb") &&
         col("x.doc_id") < col("y.doc_id"))
