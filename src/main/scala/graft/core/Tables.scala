@@ -52,6 +52,32 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Schema-enforced JSONL ingest with corrupt-record quarantine — the
+    * file-drop shape of the reference's JSON fixtures (S12) hardened for
+    * production: the schema is DECLARED (no inference pass over 100 TB),
+    * malformed lines land in a quarantine frame instead of silently
+    * becoming all-null rows, and good rows arrive typed. Returns
+    * (valid, quarantined-raw-lines).
+    *
+    * The parsed frame is cached before the split: Spark refuses filters on
+    * the internal corrupt-record column of a streaming-from-source plan
+    * (SPARK-21610), and the two output frames would otherwise re-read and
+    * re-parse the files once each. */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    val parsed = spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache()
+    val valid = parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val quarantine = parsed.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (valid, quarantine)
+  }
 }
 
 /** Deterministic "as of" instants (SURVEY §7.4.4: jobs never call now();

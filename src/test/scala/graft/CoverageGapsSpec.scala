@@ -144,6 +144,26 @@ class CoverageGapsSpec extends SparkSpec {
       "live store untouched after refused overwrite")
   }
 
+  test("JSONL ingest quarantines malformed lines; good rows arrive typed (S12)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    java.nio.file.Files.writeString(dir.resolve("events.jsonl"),
+      """{"event_id": 1, "user_id": 10, "event_type": "click"}
+        |{"event_id": 2, "user_id": 20, "event_type": "purchase"}
+        |{not json at all
+        |{"event_id": "NaN-ish", "user_id": 30, "event_type": "view"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, user_id BIGINT, event_type STRING")
+    val (valid, quarantine) = graft.core.Tables.readJsonl(
+      spark, dir.toString, schema)
+    assert(valid.count() == 2)
+    assert(valid.schema("event_id").dataType.typeName == "long")
+    val q = quarantine.collect().map(_.getString(0))
+    assert(q.length == 2, s"quarantined: ${q.mkString("|")}")
+    assert(q.exists(_.startsWith("{not json")))
+    assert(q.exists(_.contains("NaN-ish")), "type-mismatched rows are quarantined, not nulled")
+  }
+
   test("migration rollback re-points CURRENT to the previous version") {
     val root = java.nio.file.Files.createTempDirectory("graft-rb").toString
     val v1 = Seq((1L, "a"), (2L, "b")).toDF("user_id", "v")
