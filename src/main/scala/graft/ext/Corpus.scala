@@ -95,19 +95,43 @@ object Corpus {
     * cumulative sum: bin = floor(prior_tokens / budget).
     *
     * Scale shape: packing is per `source` (training mixes pack within a
-    * domain so a sequence never mixes corpora), so the window partitions
-    * by source and parallelizes across sources — there is NO global-order
-    * window (the single-partition trap); within a source the cumsum is the
-    * sequential scan any packer inherently needs. Token counts are
-    * whitespace tokens (tokenCounts' corpus-accounting flavor). */
+    * domain so a sequence never mixes corpora), and within a source the
+    * exclusive cumsum runs as a two-phase distributed prefix sum — the
+    * standard parallel scan — instead of one sequential window task per
+    * source (which stalls on a single core when one source is 80% of the
+    * corpus):
+    *   1. chunk each source into contiguous doc_id ranges
+    *      (`floor(doc_id / 2^16)`) and aggregate per-chunk token subtotals
+    *      — a table ~2^16× smaller than the corpus;
+    *   2. exclusive-cumsum the SUBTOTALS per source (the only sequential
+    *      step, over ~n/2^16 three-column rows, not n wide rows);
+    *   3. join the chunk offsets back and finish with a partition-local
+    *      running sum windowed by (source, chunk) — parallelism is the
+    *      chunk count, not the source count. The join and the window
+    *      share the (source, chunk) hash partitioning, so phase 3 is a
+    *      single shuffle.
+    * Long sums are associative, so the output is byte-identical to the
+    * single-window form. Token counts are whitespace tokens
+    * (tokenCounts' corpus-accounting flavor). */
   def packSequences(docs: DataFrame, budget: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source").orderBy("doc_id")
-    docs.select(col("doc_id"), col("source"),
+    val chunk = floor(col("doc_id") / lit(65536L)).cast("long")
+    val base = docs.select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("__chunk", chunk)
+    val wChunks = Window.partitionBy("source").orderBy("__chunk")
+    val offsets = base.groupBy("source", "__chunk")
+      .agg(sum(col("n_tokens")).as("__chunk_tokens"))
+      .withColumn("__chunk_offset",
+        coalesce(sum(col("__chunk_tokens"))
+          .over(wChunks.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "__chunk", "__chunk_offset")
+    val wLocal = Window.partitionBy("source", "__chunk").orderBy("doc_id")
+    base.join(offsets, Seq("source", "__chunk"))
       .withColumn("prior_tokens",
-        coalesce(sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
+        col("__chunk_offset") +
+          coalesce(sum(col("n_tokens"))
+            .over(wLocal.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         floor(col("prior_tokens") / budget).cast("long").as("bin"),
         (col("prior_tokens") % budget).cast("long").as("bin_offset"))

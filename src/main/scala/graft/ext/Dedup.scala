@@ -226,6 +226,26 @@ object Dedup {
     * a band value shared by more than `maxBucket` docs is boilerplate, and
     * joining it would be quadratic by construction. Verification is an
     * exact positional hamming count over the two bit strings. */
+  /** (doc_id, simhash64, band, bb): the 4×16-bit band unpivot of the
+    * signature table — shared by pair generation and overflow accounting. */
+  private def simhashBands(sig: DataFrame): DataFrame =
+    (0 until 4).map(i =>
+      sig.select(col("doc_id"), col("simhash64"), lit(i).as("band"),
+        substring(col("simhash64"), i * 16 + 1, 16).as("bb")))
+      .reduce(_ unionByName _)
+
+  /** The band buckets the simhashPairs cap drops — the same overflow
+    * accounting Similarity.overflowBuckets publishes for the embedding LSH:
+    * dropped mass must be observable, never silent (a spike means
+    * boilerplate flooding a band value, and everything in such a bucket is
+    * skipped by pair generation). */
+  def simhashOverflowBuckets(docs: DataFrame, maxBucket: Int = 256,
+                             sigPre: Option[DataFrame] = None): DataFrame =
+    simhashBands(sigPre.getOrElse(simhash64(docs)))
+      .groupBy("band", "bb")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+      .filter(col("n_docs") > maxBucket)
+
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    maxBucket: Int = 256,
                    sigPre: Option[DataFrame] = None): DataFrame = {
@@ -233,10 +253,7 @@ object Dedup {
     // checkpoint the un-precached subtree so the 64-vote aggregation runs
     // once (Catalyst does not CSE identical logical subtrees)
     val sig = sigPre.getOrElse(simhash64(docs).localCheckpoint(false))
-    val bands = (0 until 4).map(i =>
-      sig.select(col("doc_id"), col("simhash64"), lit(i).as("band"),
-        substring(col("simhash64"), i * 16 + 1, 16).as("bb")))
-      .reduce(_ unionByName _)
+    val bands = simhashBands(sig)
     val ok = bands.groupBy("band", "bb")
       .agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxBucket)
@@ -275,19 +292,30 @@ object Dedup {
     * doesn't replay rounds 1..N-1. Convergence is checked with a count
     * action per round (inherent to any fixpoint loop, incl. GraphX's). */
   def clusters(pairs: DataFrame): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
     // Materialize the edge list up front: every round (and its convergence
     // count) is an action, and without this the whole upstream pair
     // pipeline (LSH candidates + Jaccard verify) would re-execute once per
     // action instead of once per clustering.
+    val preEdges = sc.getPersistentRDDs.keySet
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
+    val edgeIds = sc.getPersistentRDDs.keySet -- preEdges
     // Seed with the closed-neighborhood min (round 1 for free — every node
     // is a src because edges are symmetric).
+    val preSeed = sc.getPersistentRDDs.keySet
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("m"))
       .select(col("src").as("doc_id"), least(col("src"), col("m")).as("label"))
       .localCheckpoint(true)
+    // Checkpoint blocks of the round that the CURRENT labels supersede.
+    // Each round's labels derive only from the previous round's blocks, so
+    // once round N materializes, round N-1's blocks are dead weight — on a
+    // big corpus, keeping them grows block storage by one labels table per
+    // round. Tracked as the persistent-RDD-id delta around each checkpoint
+    // (the public-API handle; Dataset.localCheckpoint exposes no RDD).
+    var prevRoundIds: scala.collection.Set[Int] = sc.getPersistentRDDs.keySet -- preSeed
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -301,6 +329,7 @@ object Dedup {
       // the changed flag rides the frame; the LAZY checkpoint materializes
       // during the convergence probe — one job per round, not two — and the
       // probe then reads materialized blocks, never the round's lineage
+      val preRound = sc.getPersistentRDDs.keySet
       val jumped = prop.join(byId, col("label") === col("lid"), "left")
         .select(col("doc_id"), coalesce(col("ll"), col("label")).as("label"),
           (coalesce(col("ll"), col("label")) =!= col("old")).as("chg"))
@@ -308,9 +337,17 @@ object Dedup {
       // full count, not limit(1): the probe must touch every partition so
       // the lazy checkpoint materializes completely in this one job
       changed = jumped.filter(col("chg")).count()
+      // this round is materialized; the previous round's blocks are now
+      // unreachable from any live lineage — free them
+      val thisRoundIds = sc.getPersistentRDDs.keySet -- preRound
+      prevRoundIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      prevRoundIds = thisRoundIds
       labels = jumped.select("doc_id", "label")
       rounds += 1
     }
+    // the final labels are checkpoint-backed, so the result below no longer
+    // reads the edge list — free its blocks too
+    edgeIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("label"))
       .select(col("doc_id"), col("label").as("keeper_doc_id"), col("cluster_size"))

@@ -808,7 +808,7 @@ object OracleSql {
        |  FROM s)
        |SELECT doc_id, source, n_tokens,
        |  CAST(floor(prior_tokens / $budget) AS BIGINT) AS bin,
-       |  prior_tokens % $budget AS bin_offset
+       |  CAST(prior_tokens % $budget AS BIGINT) AS bin_offset
        |FROM c""".stripMargin
 
   def stratifiedSample(rates: Seq[(String, Double)], defaultRate: Double): String = {

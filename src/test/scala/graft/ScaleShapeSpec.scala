@@ -71,6 +71,33 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "contamination must not go all-pairs")
   }
 
+  test("pack_sequences prefix sum is chunk-parallel, not one task per source") {
+    val docs = core.Tables.documents(spark, sf0001)
+    val q = ext.Corpus.packSequences(docs, 2048)
+    val plan = q.queryExecution.executedPlan.toString
+    // every full-row window (ordered by doc_id) must partition by
+    // (source, chunk) — a source-only partition spec would serialize the
+    // whole source onto one core; the only source-only window allowed is
+    // the one over the tiny per-chunk subtotal table (ordered by __chunk)
+    val docIdWindows = plan.split("\n")
+      .filter(l => l.contains("Window [") && l.contains("doc_id"))
+    assert(docIdWindows.nonEmpty, s"expected a doc_id-ordered window:\n${plan.take(800)}")
+    assert(docIdWindows.forall(_.contains("__chunk")),
+      s"full-row window must be chunk-partitioned:\n${docIdWindows.mkString("\n")}")
+    // the two-phase scan must be byte-identical to the single-window form
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val reference = docs.select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .withColumn("prior_tokens",
+        coalesce(sum($"n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"doc_id", $"source", $"n_tokens",
+        floor($"prior_tokens" / 2048).cast("long").as("bin"),
+        ($"prior_tokens" % 2048).cast("long").as("bin_offset"))
+    assert(q.exceptAll(reference).isEmpty && reference.exceptAll(q).isEmpty,
+      "two-phase prefix sum diverged from the sequential-window reference")
+  }
+
   test("streaming keeps serving fresh: event → point update → invalidated cache serves it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // store: versioned dirs + atomic CURRENT pointer (a delete-then-move

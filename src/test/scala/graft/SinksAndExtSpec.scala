@@ -198,6 +198,35 @@ class SinksAndExtSpec extends SparkSpec {
     assert(Dedup.simhashPairs(docs, maxHamming = 3, maxBucket = 64).count() == 40L * 39 / 2)
   }
 
+  test("simhash overflow view accounts for every bucket the cap drops") {
+    import spark.implicits._
+    // 40 identical docs land in ONE bucket per band (4 buckets total), each
+    // holding all 40 — with cap 16 all four overflow and must be reported
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (0L until 40L).map(i => (i, txt)).toDF("doc_id", "text")
+    val over = Dedup.simhashOverflowBuckets(docs, maxBucket = 16).collect()
+    assert(over.length == 4, s"expected 4 overflowed band buckets, got ${over.length}")
+    assert(over.forall(_.getAs[Long]("n_docs") == 40L))
+    assert(over.forall(_.getAs[Long]("min_doc_id") == 0L))
+    // and with the cap lifted past the bucket size, nothing overflows
+    assert(Dedup.simhashOverflowBuckets(docs, maxBucket = 64).count() == 0)
+  }
+
+  test("clusters keeps block storage bounded across pointer-jumping rounds") {
+    import spark.implicits._
+    // a long chain forces many rounds; superseded rounds' checkpoint blocks
+    // must be unpersisted as the fixpoint advances, and the edge list freed
+    // at convergence — only the final labels' blocks may remain
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Dedup.clusters(chain)
+    assert(out.count() == 65)
+    assert(out.filter($"keeper_doc_id" === 0L).count() == 65)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"expected at most the final labels table persisted; grew by ${after - before}")
+  }
+
   test("clusters: chained pairs collapse to one keeper; separate pair stays apart") {
     import spark.implicits._
     // a-b, b-c, c-d chain (diameter 3, exercises pointer jumping) + e-f
