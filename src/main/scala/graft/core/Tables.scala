@@ -57,15 +57,20 @@ object Tables {
     * file-drop shape of the reference's JSON fixtures (S12) hardened for
     * production: the schema is DECLARED (no inference pass over 100 TB),
     * malformed lines land in a quarantine frame instead of silently
-    * becoming all-null rows, and good rows arrive typed. Returns
-    * (valid, quarantined-raw-lines).
+    * becoming all-null rows, and good rows arrive typed.
     *
     * The parsed frame is cached before the split: Spark refuses filters on
     * the internal corrupt-record column of a streaming-from-source plan
     * (SPARK-21610), and the two output frames would otherwise re-read and
-    * re-parse the files once each. */
+    * re-parse the files once each. The cache is scoped to the ingest, not
+    * the session: call `release()` once both frames are consumed (written
+    * out / counted), or repeated ingests accumulate MEMORY_AND_DISK blocks
+    * for the session lifetime. */
+  final case class JsonlIngest(valid: DataFrame, quarantine: DataFrame,
+                               release: () => Unit)
+
   def readJsonl(spark: SparkSession, path: String,
-                schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+                schema: org.apache.spark.sql.types.StructType): JsonlIngest = {
     val withCorrupt = schema.add("_corrupt_record", "string")
     val parsed = spark.read
       .schema(withCorrupt)
@@ -76,7 +81,7 @@ object Tables {
     val valid = parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
     val quarantine = parsed.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw_line"))
-    (valid, quarantine)
+    JsonlIngest(valid, quarantine, () => parsed.unpersist(false))
   }
 }
 

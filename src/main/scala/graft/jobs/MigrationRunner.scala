@@ -41,22 +41,63 @@ object MigrationRunner {
     }
   }
 
-  /** Write-tmp-then-rename with Rename.OVERWRITE: atomic on HDFS and raw
-    * POSIX filesystems, so a concurrent readPointer sees either the old
-    * pointer or the new one. Caveat: the local ChecksumFs used for file://
-    * implements overwrite as delete-then-rename, so on local disk a reader
-    * can still catch a missing CURRENT for an instant — acceptable for the
-    * dev path; the production store is HDFS/object-store. */
-  private def writePointerAtomic(spark: SparkSession, root: String, name: String): Unit = {
-    val tmp = new Path(s"$root/CURRENT.tmp")
-    val dst = new Path(s"$root/CURRENT")
+  /** Write-tmp-then-rename, atomic on every supported scheme: HDFS renames
+    * via FileContext Rename.OVERWRITE; for `file://` the local ChecksumFs
+    * implements overwrite as delete-then-rename (a reader could catch a
+    * missing file for an instant), so the local path instead writes through
+    * the RAW filesystem (no .crc sidecar to go stale) and swaps with
+    * java.nio `ATOMIC_MOVE` — a true rename(2). Either way a concurrent
+    * reader sees the old content or the new, never a torn or absent file. */
+  private def writeFileAtomic(spark: SparkSession, root: String,
+                              file: String, content: String): Unit = {
+    val tmp = new Path(s"$root/$file.tmp")
+    val dst = new Path(s"$root/$file")
     val f = fs(spark, root)
-    val out = f.create(tmp, true)
-    try out.write(name.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      new Path(root).toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    f match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem
+          if Option(f.getUri.getScheme).forall(_ == "file") =>
+        val raw = c.getRawFileSystem
+        val out = raw.create(tmp, true)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        // a .crc from a pre-existing checksummed write would mismatch the
+        // swapped-in content; with it gone, ChecksumFs reads verify-free
+        raw.delete(c.getChecksumFile(dst), false)
+        raw.delete(c.getChecksumFile(tmp), false)
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(raw.makeQualified(tmp).toUri.getPath),
+          java.nio.file.Paths.get(raw.makeQualified(dst).toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      case _ =>
+        val out = f.create(tmp, true)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          new Path(root).toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
+
+  private def writePointerAtomic(spark: SparkSession, root: String, name: String): Unit =
+    writeFileAtomic(spark, root, "CURRENT", name)
+
+  /** Switchover history: one version name per line, appended on every
+    * successful switchover, creation-ordered — the lineage rollback() walks
+    * backward. Failed migrations never reach it (their directory is deleted
+    * before the pointer moves). */
+  private def readHistory(spark: SparkSession, root: String): Seq[String] = {
+    val p = new Path(s"$root/HISTORY")
+    val f = fs(spark, root)
+    if (!f.exists(p)) Seq.empty
+    else {
+      val in = f.open(p)
+      try new String(in.readAllBytes(), "UTF-8").split("\n").toSeq
+        .map(_.trim).filter(_.nonEmpty)
+      finally in.close()
+    }
+  }
+
+  private def appendHistory(spark: SparkSession, root: String, name: String): Unit =
+    writeFileAtomic(spark, root, "HISTORY",
+      (readHistory(spark, root) :+ name).mkString("", "\n", "\n"))
 
   /** Deterministic ~1/37 sample keyed by hash — works for any key type
     * (a `key % 37` predicate silently yields an empty sample for strings).
@@ -96,8 +137,10 @@ object MigrationRunner {
     // newest-non-live default would happily re-point CURRENT at data that
     // never passed validation
     val ok = ns == nt && mismatches == 0
-    if (ok) writePointerAtomic(spark, storeRoot, targetName)
-    else fs(spark, storeRoot).delete(new Path(targetPath), true)
+    if (ok) {
+      writePointerAtomic(spark, storeRoot, targetName)
+      appendHistory(spark, storeRoot, targetName)
+    } else fs(spark, storeRoot).delete(new Path(targetPath), true)
     MigrationReport(ns, nt, ns == nt, mismatches, ok)
   }
 
@@ -118,21 +161,36 @@ object MigrationRunner {
     * (src/pipelines/migration.py's failed-validation revert). Switchover
     * never deletes old versions, so rollback is a pure pointer move: readers
     * resolve the old data on their next `current` call. `to` picks the
-    * version explicitly; by default the newest non-live version directory
-    * (by filesystem modification time) is restored. Returns the version
-    * rolled back to. */
+    * version explicitly; by default the version CREATED before the live one
+    * (per the switchover HISTORY log), so repeated rollbacks walk backward
+    * deterministically — v3 → v2 → v1 → error — instead of ping-ponging
+    * between the two newest directories the way a newest-by-mtime default
+    * would. Rollback never appends to the log: the log is creation lineage,
+    * not pointer history. Stores predating the log fall back to the
+    * newest-non-live-by-mtime heuristic. Returns the version rolled back
+    * to. */
   def rollback(spark: SparkSession, storeRoot: String,
                to: Option[String] = None): String = {
     val live = readPointer(spark, storeRoot)
       .getOrElse(sys.error(s"no CURRENT pointer under $storeRoot — nothing to roll back"))
     val f = fs(spark, storeRoot)
     val target = to.getOrElse {
-      val candidates = f.listStatus(new Path(storeRoot))
-        .filter(_.isDirectory)
-        .filter(_.getPath.getName != live)
-        .sortBy(-_.getModificationTime)
-      require(candidates.nonEmpty, s"no previous version to roll back to under $storeRoot")
-      candidates.head.getPath.getName
+      val history = readHistory(spark, storeRoot)
+      val prior = history.lastIndexOf(live) match {
+        case -1 => None
+        case i  => history.take(i).filter(_ != live)
+          .findLast(n => f.exists(new Path(s"$storeRoot/$n")))
+      }
+      prior.getOrElse {
+        require(history.isEmpty || !history.contains(live),
+          s"'$live' is the oldest surviving version under $storeRoot — nothing earlier to roll back to")
+        val candidates = f.listStatus(new Path(storeRoot))
+          .filter(_.isDirectory)
+          .filter(_.getPath.getName != live)
+          .sortBy(-_.getModificationTime)
+        require(candidates.nonEmpty, s"no previous version to roll back to under $storeRoot")
+        candidates.head.getPath.getName
+      }
     }
     require(target != live, s"'$target' is already the live store")
     require(f.exists(new Path(s"$storeRoot/$target")),

@@ -102,13 +102,13 @@ object VelocityFeatures {
         (sorted.take(maxEvents), (buf.size - maxEvents).toLong)
       } else (buf, 0L)
     state.update(UserBuffer(kept, priorState.dropped + droppedNow))
-    buf = kept
     // evict when the watermark passes 24h idle; clamp ABOVE the current
     // watermark — a group replaying events >24h behind the stream head
     // would otherwise request a timeout in the past, which GroupState
-    // rejects with an exception that kills the whole query
+    // rejects with an exception that kills the whole query. The cap keeps
+    // the NEWEST events, so kept's max ts equals the uncapped buffer's.
     val horizon = math.max(
-      buf.map(_.ts.getTime).max + H24,
+      kept.map(_.ts.getTime).max + H24,
       state.getCurrentWatermarkMs() + 1)
     state.setTimeoutTimestamp(horizon)
     out.iterator

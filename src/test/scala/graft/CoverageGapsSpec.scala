@@ -154,14 +154,19 @@ class CoverageGapsSpec extends SparkSpec {
         |""".stripMargin)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "event_id BIGINT, user_id BIGINT, event_type STRING")
-    val (valid, quarantine) = graft.core.Tables.readJsonl(
-      spark, dir.toString, schema)
-    assert(valid.count() == 2)
-    assert(valid.schema("event_id").dataType.typeName == "long")
-    val q = quarantine.collect().map(_.getString(0))
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    val ingest = graft.core.Tables.readJsonl(spark, dir.toString, schema)
+    assert(ingest.valid.count() == 2)
+    assert(ingest.valid.schema("event_id").dataType.typeName == "long")
+    val q = ingest.quarantine.collect().map(_.getString(0))
     assert(q.length == 2, s"quarantined: ${q.mkString("|")}")
     assert(q.exists(_.startsWith("{not json")))
     assert(q.exists(_.contains("NaN-ish")), "type-mismatched rows are quarantined, not nulled")
+    // the ingest cache is scoped to the call: release() must drop it so
+    // repeated ingests don't accumulate blocks for the session lifetime
+    ingest.release()
+    assert(spark.sparkContext.getPersistentRDDs.size == persistedBefore,
+      "release() must unpersist the ingest cache")
   }
 
   test("migration rollback re-points CURRENT to the previous version") {
@@ -184,6 +189,25 @@ class CoverageGapsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       jobs.MigrationRunner.rollback(spark, root, Some("no-such-version"))
     }
+  }
+
+  test("repeated rollbacks walk version history backward, never ping-pong") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rb2").toString
+    def ver(n: Int) = Seq((1L, s"v$n")).toDF("user_id", "v")
+    (1 to 3).foreach(n =>
+      assert(jobs.MigrationRunner.migrate(spark, ver(n), root, s"v$n", "user_id").switched))
+    // v3 is live; two rollbacks must land on v2 then v1 — a newest-by-mtime
+    // default would bounce v3 → v2 → v3 forever
+    assert(jobs.MigrationRunner.rollback(spark, root) == "v2")
+    assert(jobs.MigrationRunner.rollback(spark, root) == "v1")
+    // v1 is the oldest surviving version: walking further back must refuse
+    intercept[IllegalArgumentException] {
+      jobs.MigrationRunner.rollback(spark, root)
+    }
+    // a fresh migration extends the lineage; rollback returns to the
+    // version created before it in the log
+    assert(jobs.MigrationRunner.migrate(spark, ver(4), root, "v4", "user_id").switched)
+    assert(jobs.MigrationRunner.rollback(spark, root) == "v3")
   }
 
   test("batch serving summary reports the cache_hit_ratio envelope") {
