@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Seeded synthetic data generator (S13 — scripts/seed_data.py:28-155's
@@ -28,6 +28,44 @@ object DataGen {
           .otherwise("new").as("segment"),
         (rand(seed + 1) < 0.85).as("account_verified"),
         expr("uuid()").as("registration_token")) // F16: uuid per row
+
+  /** Synthetic near-dup corpus with KNOWN duplicate structure: documents
+    * come in clusters of `clusterSize`, each member sharing all but one of
+    * `tokens` md5-derived words with its cluster (distinct token at
+    * position variant % tokens). Cluster count scales with `n` while
+    * cluster SIZE stays fixed — the corpus shape under which a scale-safe
+    * candidate generator must produce O(n) pairs (quadratic blowup shows
+    * up immediately as O(n²/clusters)). Pure column expressions, fully
+    * deterministic (md5, no rand), so counts are exactly reproducible. */
+  def nearDupCorpus(spark: SparkSession, n: Long, clusterSize: Int = 5,
+                    tokens: Int = 12): DataFrame = {
+    val cl = floor(col("id") / clusterSize).cast("long").cast("string")
+    val variant = pmod(col("id"), lit(clusterSize.toLong))
+    val words = (0 until tokens).map { k =>
+      when(pmod(variant, lit(tokens.toLong)) === k,
+        substring(md5(concat(cl, lit(s"|$k|v"), variant.cast("string"))), 1, 8))
+        .otherwise(substring(md5(concat(cl, lit(s"|$k"))), 1, 8))
+    }
+    spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", words: _*).as("text"))
+  }
+
+  /** Clustered embedding corpus, same shape as nearDupCorpus: per-cluster
+    * base vector (md5-derived uniforms in [-0.5, 0.5]) plus a ±0.5%
+    * per-member perturbation — members sit at cosine ≥ 0.99 of each other,
+    * distinct clusters are near-orthogonal in 64-dim. */
+  def clusteredVectors(spark: SparkSession, n: Long, clusterSize: Int = 5,
+                       dim: Int = 64): DataFrame = {
+    val cl = floor(col("id") / clusterSize).cast("long").cast("string")
+    val variant = pmod(col("id"), lit(clusterSize.toLong)).cast("string")
+    def u(key: Column) = // md5 hex → uniform in [-0.5, 0.5]
+      conv(substring(md5(key), 1, 4), 16, 10).cast("double") / 65535.0 - 0.5
+    val vec = transform(sequence(lit(1), lit(dim)), i =>
+      u(concat(cl, lit("|"), i.cast("string"))) +
+        u(concat(cl, lit("|"), variant, lit("|"), i.cast("string"))) * 0.01)
+      .cast("array<float>")
+    spark.range(n).select(col("id").as("vec_id"), vec.as("embedding"))
+  }
 
   /** Orders: ~perOrders per user, lognormal-ish amounts, weighted status
     * (seed_data.py:88-136). */

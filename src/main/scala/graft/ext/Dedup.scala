@@ -148,6 +148,13 @@ object Dedup {
 
   private val NumBands = 4
 
+  /** Band buckets larger than this are excluded from candidate generation
+    * (shared by the minhash and simhash paths; the embedding path has its
+    * own MaxBucketSize in Similarity). Kept in sync with the oracle's
+    * HAVING clauses in OracleSql.{dedupMinhashPairs, jaccardCtes,
+    * dedupSimhashPairs}. */
+  private[graft] val MaxBucket = 256
+
   /** Per-doc MinHash signature: for band i, min over shingles of
     * md5("i|" + shingle). Explode → groupBy, map-side combinable. */
   def minhashSignatures(docs: DataFrame): DataFrame =
@@ -165,12 +172,41 @@ object Dedup {
   def minhashPairs(docs: DataFrame): DataFrame =
     minhashPairsPre(withShingles(docs).select("doc_id", "sh"))
 
-  def minhashPairsPre(sh: DataFrame, sigPre: Option[DataFrame] = None): DataFrame = {
-    val sig = sigPre.getOrElse(minhashSignaturesPre(sh))
-    val bands = (0 until NumBands).map(i =>
+  /** (doc_id, band, h): the band unpivot of the signature table — shared by
+    * pair generation and overflow accounting. */
+  private def minhashBands(sig: DataFrame): DataFrame =
+    (0 until NumBands).map(i =>
       sig.select(col("doc_id"), lit(i).as("band"), col(s"h$i").as("h")))
       .reduce(_ unionByName _)
-    bands.as("x").join(bands.as("y"),
+
+  /** The band buckets the minhash cap drops — same overflow accounting as
+    * simhashOverflowBuckets / Similarity.overflowBuckets: dropped mass is
+    * observable, never silent. */
+  def minhashOverflowBuckets(sh: DataFrame, maxBucket: Int = MaxBucket,
+                             sigPre: Option[DataFrame] = None): DataFrame =
+    minhashBands(sigPre.getOrElse(minhashSignaturesPre(sh)))
+      .groupBy("band", "h")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+      .filter(col("n_docs") > maxBucket)
+
+  def minhashPairsPre(sh: DataFrame, sigPre: Option[DataFrame] = None,
+                      maxBucket: Int = MaxBucket): DataFrame = {
+    val sig = sigPre.getOrElse(minhashSignaturesPre(sh))
+    val bands = minhashBands(sig)
+    // Bucket-size cap, same posture as simhashPairs/Similarity: a band
+    // signature shared by more than `maxBucket` docs is boilerplate (a
+    // flood of one template), and self-joining that bucket alone is
+    // O(bucket²) — the quadratic trap. Dropped buckets stay observable via
+    // minhashOverflowBuckets. Docs in a dropped bucket still pair through
+    // their other bands unless those overflow too.
+    val ok = bands.groupBy("band", "h")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket)
+      .select("band", "h")
+    // kept feeds BOTH sides of the bucket self-join; checkpoint so the
+    // bands/cap/semi-join chain runs once, not per side
+    val kept = bands.join(ok, Seq("band", "h"), "left_semi").localCheckpoint(false)
+    kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -239,7 +275,7 @@ object Dedup {
     * dropped mass must be observable, never silent (a spike means
     * boilerplate flooding a band value, and everything in such a bucket is
     * skipped by pair generation). */
-  def simhashOverflowBuckets(docs: DataFrame, maxBucket: Int = 256,
+  def simhashOverflowBuckets(docs: DataFrame, maxBucket: Int = MaxBucket,
                              sigPre: Option[DataFrame] = None): DataFrame =
     simhashBands(sigPre.getOrElse(simhash64(docs)))
       .groupBy("band", "bb")
@@ -247,7 +283,7 @@ object Dedup {
       .filter(col("n_docs") > maxBucket)
 
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   maxBucket: Int = 256,
+                   maxBucket: Int = MaxBucket,
                    sigPre: Option[DataFrame] = None): DataFrame = {
     // signatures feed 4 band projections, the cap, and both join sides;
     // checkpoint the un-precached subtree so the 64-vote aggregation runs

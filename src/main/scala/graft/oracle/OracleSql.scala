@@ -431,8 +431,12 @@ object OracleSql {
        |t AS (SELECT doc_id, unnest(sh) AS sh FROM shl),
        |sig AS (SELECT doc_id, $sigs FROM t GROUP BY doc_id),
        |bands AS ($bands),
+       |ok AS (SELECT band, h FROM bands GROUP BY band, h
+       |  HAVING COUNT(*) <= ${graft.ext.Dedup.MaxBucket}),
+       |kept AS (SELECT b.* FROM bands b JOIN ok
+       |  ON b.band = ok.band AND b.h = ok.h),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM bands x JOIN bands y
+       |  FROM kept x JOIN kept y
        |  ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id),
        |jp AS (SELECT * FROM (
        |  SELECT c.doc_a, c.doc_b,
@@ -509,9 +513,13 @@ object OracleSql {
        |    unnest(${shingleExpr("string_split(text, ' ')", "text")}) AS sh
        |  FROM documents),
        |sig AS (SELECT doc_id, $sigs FROM t GROUP BY doc_id),
-       |bands AS ($bands)
+       |bands AS ($bands),
+       |ok AS (SELECT band, h FROM bands GROUP BY band, h
+       |  HAVING COUNT(*) <= ${graft.ext.Dedup.MaxBucket}),
+       |kept AS (SELECT b.* FROM bands b JOIN ok
+       |  ON b.band = ok.band AND b.h = ok.h)
        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |FROM bands x JOIN bands y
+       |FROM kept x JOIN kept y
        |  ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id""".stripMargin
   }
 

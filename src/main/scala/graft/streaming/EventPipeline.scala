@@ -45,12 +45,12 @@ object EventPipeline {
     * environment ships without it, so tests drive the pipeline through
     * MemoryStream instead — every downstream stage is source-agnostic. */
   def kafkaSource(spark: SparkSession, bootstrapServers: String,
-                  topic: String): DataFrame =
+                  topic: String, startingOffsets: String = "latest"): DataFrame =
     spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribe", topic)
-      .option("startingOffsets", "latest")
+      .option("startingOffsets", startingOffsets)
       .load()
       .selectExpr("CAST(value AS STRING) AS value")
 
