@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ext.Similarity
+
+/** ANN quality harness: measures recall@k of every approximate
+  * similarity path against the exact brute-force baseline on the real
+  * embeddings table — the number that decides whether an ANN index is
+  * usable, published in PERF.md. Prints ONE JSON line:
+  * {"metric":"recall_at_k","k":10,"queries":100,"paths":{...}}.
+  *
+  * Recall@k = |ANN top-k ∩ exact top-k| / (queries × k), the standard
+  * definition (ties broken identically in both paths by rankTopK's
+  * (cosine desc, neighbor_id asc) total order, so the intersection is
+  * well-defined).
+  */
+object RecallBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val numQueries = 100
+    val k = 10
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val exact = Similarity.bruteTopK(emb, numQueries, k)
+      .select("query_id", "neighbor_id").cache()
+    val denom = exact.count().toDouble
+
+    def recall(ann: DataFrame): Double = {
+      val hit = ann.select("query_id", "neighbor_id")
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+      math.round(hit / denom * 10000.0) / 10000.0
+    }
+
+    val paths = Seq(
+      "ivf_nprobe1" -> Similarity.ivfTopK(emb, numQueries, k, nLists = 16, nprobe = 1),
+      "ivf_nprobe2" -> Similarity.ivfTopK(emb, numQueries, k, nLists = 16, nprobe = 2),
+      "ivf_nprobe4" -> Similarity.ivfTopK(emb, numQueries, k, nLists = 16, nprobe = 4),
+      "sq8"         -> Similarity.quantizedTopK(emb, numQueries, k)
+    ).map { case (name, df) => name -> recall(df) }
+
+    val ps = paths.map { case (n, r) => "\"" + n + "\":" + r }.mkString("{", ",", "}")
+    println(s"""{"metric":"recall_at_k","k":$k,"queries":$numQueries,"paths":$ps,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
