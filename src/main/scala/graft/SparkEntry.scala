@@ -95,6 +95,13 @@ object SparkEntry {
     }),
     "pack_sequences"       -> ((s, dir) => ext.Corpus.packSequences(
       core.Tables.documents(s, dir), 2048)),
+    "mixture_sample"       -> ((s, dir) => ext.Corpus.mixtureSample(
+      core.Tables.documents(s, dir), MixBudgets.bySource, MixBudgets.default)),
+    "span_dedup"           -> ((s, dir) => ext.Dedup.spanDedup(core.Tables.documents(s, dir), 16)),
+    "pii_scan"             -> ((s, dir) => ext.TextAnalysis.piiScan(core.Tables.documents(s, dir))),
+    "interval_agg"         -> ((s, dir) => StreamAnalogJobs.intervalAgg(s, dir)),
+    "incremental_user_stats" -> ((s, dir) =>
+      canon(StreamAnalogJobs.incrementalUserStats(s, dir))),
   )
 
   /** Fixed source-mix rates for the stratified-sample query (a training-mix
@@ -103,6 +110,18 @@ object SparkEntry {
     val bySource: Map[String, Double] =
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.3)
     val default: Double = 0.15
+  }
+
+  /** Per-source token budgets for the mixture-sample query (a LLaMA/Pile-
+    * style training mix specified in tokens: upweight two sources, default
+    * the tail). */
+  private object MixBudgets {
+    // Sized so the budget genuinely bites at every testdata sf (per-source
+    // totals are ~1.4k tokens at sf0.01, ~13.5k at sf0.1): src0 keeps
+    // everything at small sf but truncates at sf0.1, src1 truncates hard
+    // everywhere, the default tail truncates moderately.
+    val bySource: Map[String, Long] = Map("src0" -> 2000L, "src1" -> 400L)
+    val default: Long = 800L
   }
 
   /** Deterministic probe-id sets for the lookup queries (S2/S3): a handful
@@ -168,5 +187,11 @@ object SparkEntry {
     "corpus_funnel"        -> OracleSql.corpusFunnel(0.5, 10, 1000),
     "contamination"        -> OracleSql.contamination(100, 3, 0.1),
     "pack_sequences"       -> OracleSql.packSequences(2048),
+    "mixture_sample"       -> OracleSql.mixtureSample(
+      MixBudgets.bySource.toSeq.sortBy(_._1), MixBudgets.default),
+    "span_dedup"           -> OracleSql.spanDedup(16),
+    "pii_scan"             -> OracleSql.piiScan,
+    "interval_agg"         -> OracleSql.intervalAgg,
+    "incremental_user_stats" -> OracleSql.incrementalUserStats,
   )
 }

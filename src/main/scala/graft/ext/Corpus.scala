@@ -137,6 +137,49 @@ object Corpus {
         (col("prior_tokens") % budget).cast("long").as("bin_offset"))
   }
 
+  /** Token-budget mixture sampling — the "data mixing" step of a training
+    * run: each source contributes documents until its token budget is
+    * filled (the per-source weighting a LLaMA/Pile-style mix specifies in
+    * tokens, not document counts). Documents are consumed in unitHash
+    * order — a deterministic, engine-independent shuffle — so the sample
+    * is reproducible under retries and unchanged when other sources grow.
+    * Emits the selected docs with their exclusive running token count
+    * (`prior_tokens` < budget is the membership rule).
+    *
+    * Scale shape: the same two-phase distributed prefix sum as
+    * packSequences, but chunked on hash ranges (floor(h·64)) since the
+    * consumption order is the hash order: per-chunk subtotals cumsum on a
+    * 64-row-per-source table, then a chunk-local running sum — parallelism
+    * is sources×64, not sources. The budget filter is applied post-sum, so
+    * a skewed giant source never serializes on one core. */
+  def mixtureSample(docs: DataFrame, budgets: Map[String, Long],
+                    defaultBudget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("__h", unitHash(col("doc_id")))
+      .withColumn("__chunk", floor(col("__h") * 64).cast("long"))
+    val wChunks = Window.partitionBy("source").orderBy("__chunk")
+    val offsets = base.groupBy("source", "__chunk")
+      .agg(sum(col("n_tokens")).as("__chunk_tokens"))
+      .withColumn("__chunk_offset",
+        coalesce(sum(col("__chunk_tokens"))
+          .over(wChunks.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "__chunk", "__chunk_offset")
+    val wLocal = Window.partitionBy("source", "__chunk")
+      .orderBy(col("__h"), col("doc_id"))
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (s, b)) =>
+      when(col("source") === s, lit(b)).otherwise(acc)
+    }
+    base.join(offsets, Seq("source", "__chunk"))
+      .withColumn("prior_tokens",
+        col("__chunk_offset") +
+          coalesce(sum(col("n_tokens"))
+            .over(wLocal.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("prior_tokens") < budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("prior_tokens"))
+  }
+
   /** The cleaning funnel: raw → quality-filtered → exact-deduped, reported
     * as per-stage survivor counts (the acceptance report every corpus
     * release ships with). Stage 2 gates on the TextAnalysis quality score

@@ -389,6 +389,43 @@ object Dedup {
       .select(col("doc_id"), col("label").as("keeper_doc_id"), col("cluster_size"))
   }
 
+  /** Span-level exact dedup — the C4 "discard repeated lines" rule
+    * re-expressed for unstructured text: each document is chopped into
+    * fixed `spanTokens`-token spans, and a span is a duplicate when the
+    * same token sequence already occurred at a strictly smaller
+    * (doc_id, span_idx) anywhere in the corpus. First occurrence wins;
+    * every later repetition is flagged. Emits per-doc span accounting
+    * (n_spans, dup_spans, dup_frac) that a cleaning pass uses to drop or
+    * rewrite boilerplate-heavy documents.
+    *
+    * Scale shape: spans shuffle as 32-char md5 hex keys, never as span
+    * text, so shuffle width is constant regardless of span length. The
+    * first-occurrence winner is a map-side-combinable MIN over the
+    * (doc_id, span_idx) struct, and the dup check joins back on the same
+    * hash key — two shuffles total on one key, with the final per-doc
+    * rollup combinable as well. Nothing is all-pairs and no state is
+    * driver-side. */
+  def spanDedup(docs: DataFrame, spanTokens: Int = 16): DataFrame = {
+    val spans = docs
+      .withColumn("__toks", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0),
+          ceil(size(col("__toks")).cast("double") / spanTokens).cast("int") - 1),
+        i => md5(concat_ws(" ", slice(col("__toks"), i * spanTokens + 1, lit(spanTokens)))))))
+      .toDF("doc_id", "span_idx", "h")
+    val first = spans.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("first"))
+    spans.join(first, Seq("h"))
+      .withColumn("__dup", struct(col("doc_id"), col("span_idx")) > col("first"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+        graft.ops.Ops.rnd(
+          col("dup_spans").cast("double") / col("n_spans").cast("double"), 4)
+          .as("dup_frac"))
+  }
+
   /** 32-bit SimHash: bit j votes with the high bit of nibble j of each
     * token's md5; majority sign wins. Emitted as a 32-char bit string (no
     * cross-engine integer-parsing hazards). */

@@ -113,6 +113,50 @@ object TextAnalysis {
           .as("distinct_bigram_ratio"))
   }
 
+  /** PII patterns, restricted to the RE2∩Java-regex subset (character
+    * classes + bounded repetition; no lookarounds, no backrefs) so any
+    * engine — Spark's java.util.regex, an RE2-based scanner, a SIMD
+    * grep — finds byte-identical matches. */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val idNumberPattern: String = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  /** PII scan + redaction — the pre-release scrub every public corpus runs
+    * (C4/FineWeb shape: detect emails and SSN-like ids, replace with typed
+    * placeholder tokens). The corpus here is synthetic word-soup with no
+    * real PII, so the scan runs over a DETERMINISTIC augmentation (every
+    * 3rd doc gains a derived email, every 5th an SSN-like id) — this keeps
+    * the detection and redaction paths genuinely exercised and
+    * oracle-checkable instead of trivially all-zero. Emits per-doc hit
+    * counts and the md5 of the redacted text (byte-level redaction proof
+    * without shipping full text through the compare).
+    *
+    * Scale shape: pure per-row column expressions (regexp_extract_all /
+    * regexp_replace are codegen'd) — no shuffle, no UDF; at 100 TB this is
+    * a map-only pass that pushes the projection to the scan. */
+  def piiScan(docs: DataFrame): DataFrame = {
+    val d = pmod(col("doc_id"), lit(1000L))
+    val aug = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" id "),
+          lpad((d * 7 % 900 + 100).cast("string"), 3, "0"), lit("-"),
+          lpad((d * 13 % 90 + 10).cast("string"), 2, "0"), lit("-"),
+          lpad((d * 17 % 9000 + 1000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    val redacted = regexp_replace(
+      regexp_replace(aug, emailPattern, "<EMAIL>"),
+      idNumberPattern, "<ID>")
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(aug, lit(emailPattern), lit(0)))
+        .cast("long").as("email_hits"),
+      size(regexp_extract_all(aug, lit(idNumberPattern), lit(0)))
+        .cast("long").as("id_hits"),
+      md5(redacted).as("redacted_fp"))
+  }
+
   /** Content fingerprints: a positional prefix hash (first five tokens) and
     * the min-shingle-hash (winnowing-style rolling fingerprint — the k=1
     * MinHash band). Shingles come from the materialized-token path — the

@@ -134,6 +134,65 @@ object StreamAnalogJobs {
         Window.orderBy(col("n").desc, col("token").asc)))
   }
 
+  /** Interval-join rollup: per-promo-window event stats over a
+    * deterministic weekly window dim (five 3-day windows across the events
+    * range). Exercises ops/IntervalJoin.byDay — the bucketized equi-join
+    * form of the non-equi range join (see its scaladoc for why the naive
+    * BNL shape dies at scale). */
+  def intervalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val windows = spark.range(5).select(
+      col("id").as("window_id"),
+      expr("timestampadd(DAY, CAST(id * 7 AS INT), " +
+        "to_timestamp('2024-01-01 00:00:00'))").as("w_start"))
+      .withColumn("w_end", expr("w_start + INTERVAL 3 DAY"))
+    graft.ops.IntervalJoin
+      .byDay(Tables.events(spark, dir), "ts", windows, "w_start", "w_end")
+      .groupBy("window_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        orZeroD(sumMoney(lit(true), col("value"))).as("total_value"))
+  }
+
+  /** Incremental aggregate maintenance — the nightly-refresh upgrade every
+    * feature store at scale wants: per-(user, day) partial aggregates are
+    * the persisted artifact; the serving-grain rollup merges PARTIALS, not
+    * raw events. count/sum/min/max are algebraic (partials compose
+    * exactly), the sum stays in DECIMAL until the final cast so the merged
+    * result is bit-identical to a direct recompute, and avg derives from
+    * the merged exact sums. A day's re-ingest touches one partial row per
+    * user — the raw-event shuffle never reruns for history.
+    * IncrementalAggSpec pins merge(partials) == direct(recompute). */
+  def incrementalUserStats(spark: SparkSession, dir: String): DataFrame =
+    mergePartials(dailyPartials(Tables.events(spark, dir)))
+
+  /** Stage 1: the per-(user, day) partial-aggregate table (what the nightly
+    * job persists; ~|users|·|days| rows, orders of magnitude smaller than
+    * the event log). */
+  def dailyPartials(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(12,2)")).as("sumv"),
+        min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts"))
+
+  /** Stage 2: merge partials to the serving grain (shuffles the partial
+    * table only). */
+  def mergePartials(partials: DataFrame): DataFrame =
+    partials.groupBy("user_id")
+      .agg(
+        sum(col("cnt")).as("n_events"),
+        sum(col("sumv")).as("__sumv"),
+        min(col("min_ts")).as("first_ts"),
+        max(col("max_ts")).as("last_ts"))
+      .select(
+        col("user_id"), col("n_events"),
+        col("__sumv").cast("double").as("total_value"),
+        Ops.rnd(col("__sumv").cast("double") / col("n_events").cast("double"), 4)
+          .as("avg_value"),
+        col("first_ts"), col("last_ts"))
+
   /** A16: approximate distinct counts next to their exact counterparts.
     * No oracle entry — HLL sketches are engine-specific by construction;
     * the ScalaTest suite bounds the relative error instead. */

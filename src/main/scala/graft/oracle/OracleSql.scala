@@ -819,6 +819,104 @@ object OracleSql {
        |  CAST(prior_tokens % $budget AS BIGINT) AS bin_offset
        |FROM c""".stripMargin
 
+  /** Token-budget mixture sampling — mirrors ext/Corpus.mixtureSample. The
+    * oracle uses the plain per-source window cumsum in (unit_hash, doc_id)
+    * order; the engine's chunked two-phase prefix sum computes the same
+    * exclusive cumsum (chunks partition the hash order). Window SUM(BIGINT)
+    * is pinned back to BIGINT (DuckDB widens to HUGEINT). */
+  def mixtureSample(budgets: Seq[(String, Long)], defaultBudget: Long): String = {
+    val cases = budgets.map { case (s, b) => s"WHEN '$s' THEN $b" }.mkString(" ")
+    s"""WITH d0 AS (SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ((doc_id % 4294967296) + 4294967296) % 4294967296 AS a
+       |  FROM documents),
+       |d AS (SELECT *, CAST(floor(a / 65536) AS BIGINT) AS h FROM d0),
+       |u AS (SELECT doc_id, source, n_tokens,
+       |    CAST((((h * 2654435761) % 65536) * 65536
+       |      + (a - h * 65536) * 2654435761) % 4294967296 AS DOUBLE)
+       |      / 4294967296.0 AS unit_hash
+       |  FROM d),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (
+       |      PARTITION BY source ORDER BY unit_hash, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS prior_tokens
+       |  FROM u)
+       |SELECT doc_id, source, n_tokens, prior_tokens FROM c
+       |WHERE prior_tokens < (CASE source $cases ELSE $defaultBudget END)""".stripMargin
+  }
+
+  /** Span-level exact dedup — mirrors ext/Dedup.spanDedup. First occurrence
+    * = MIN over the packed (doc_id, span_idx) key; equivalent to the
+    * engine's MIN(STRUCT(doc_id, span_idx)) while span_idx < 10^6 (a doc
+    * would need 16M+ tokens to break that). */
+  def spanDedup(spanTokens: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |e AS (SELECT doc_id, i AS span_idx,
+       |    md5(array_to_string(toks[i*$spanTokens+1 : i*$spanTokens+$spanTokens], ' ')) AS h
+       |  FROM t, unnest(generate_series(0,
+       |    CAST(ceil(CAST(len(toks) AS DOUBLE) / $spanTokens) AS BIGINT) - 1)) AS u(i)),
+       |f AS (SELECT h, MIN(doc_id * 1000000 + span_idx) AS first_key FROM e GROUP BY h),
+       |j AS (SELECT e.doc_id,
+       |    CASE WHEN e.doc_id * 1000000 + e.span_idx > f.first_key THEN 1 ELSE 0 END AS dup
+       |  FROM e JOIN f ON e.h = f.h)
+       |SELECT doc_id, COUNT(*) AS n_spans,
+       |  CAST(SUM(dup) AS BIGINT) AS dup_spans,
+       |  ${rnd("CAST(SUM(dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 4)} AS dup_frac
+       |FROM j GROUP BY doc_id""".stripMargin
+
+  /** PII scan + redaction — mirrors ext/TextAnalysis.piiScan, including the
+    * deterministic augmentation. Patterns live in the RE2∩Java subset so
+    * DuckDB (RE2) and Spark (java.util.regex) match byte-identically; the
+    * 'g' flag makes DuckDB's regexp_replace global like Spark's. */
+  val piiScan: String = {
+    val email = graft.ext.TextAnalysis.emailPattern
+    val idnum = graft.ext.TextAnalysis.idNumberPattern
+    s"""WITH a AS (SELECT doc_id,
+       |    text ||
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example'
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0
+       |      THEN ' id '
+       |        || lpad(CAST((doc_id % 1000) * 7 % 900 + 100 AS VARCHAR), 3, '0') || '-'
+       |        || lpad(CAST((doc_id % 1000) * 13 % 90 + 10 AS VARCHAR), 2, '0') || '-'
+       |        || lpad(CAST((doc_id % 1000) * 17 % 9000 + 1000 AS VARCHAR), 4, '0')
+       |      ELSE '' END AS aug
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(aug, '$email', 0)) AS BIGINT) AS email_hits,
+       |  CAST(len(regexp_extract_all(aug, '$idnum', 0)) AS BIGINT) AS id_hits,
+       |  md5(regexp_replace(regexp_replace(aug, '$email', '<EMAIL>', 'g'),
+       |    '$idnum', '<ID>', 'g')) AS redacted_fp
+       |FROM a""".stripMargin
+  }
+
+  /** Interval-join rollup — mirrors jobs/StreamAnalogJobs.intervalAgg. The
+    * oracle joins on the raw range predicate; the engine's day-bucketized
+    * equi-join computes the same match set by construction. */
+  val intervalAgg: String =
+    s"""WITH w AS (SELECT i AS window_id,
+       |    TIMESTAMP '2024-01-01 00:00:00' + to_days(CAST(i * 7 AS INTEGER)) AS w_start,
+       |    TIMESTAMP '2024-01-01 00:00:00' + to_days(CAST(i * 7 + 3 AS INTEGER)) AS w_end
+       |  FROM generate_series(0, 4) AS t(i))
+       |SELECT w.window_id, COUNT(*) AS n_events,
+       |  COUNT(DISTINCT e.user_id) AS n_users,
+       |  COALESCE(${sumMoney("TRUE", "e.value")}, 0.0) AS total_value
+       |FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+       |GROUP BY w.window_id""".stripMargin
+
+  /** Direct recompute at the serving grain — the witness that
+    * jobs/StreamAnalogJobs.incrementalUserStats' partial-merge is exact
+    * (algebraic aggregates over DECIMAL sums compose bit-identically). */
+  val incrementalUserStats: String =
+    s"""SELECT user_id, COUNT(*) AS n_events,
+       |  ${sumMoney("TRUE", "value")} AS total_value,
+       |  ${rnd(s"${sumMoney("TRUE", "value")} / CAST(COUNT(*) AS DOUBLE)", 4)} AS avg_value,
+       |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+       |FROM events GROUP BY user_id""".stripMargin
+
   def stratifiedSample(rates: Seq[(String, Double)], defaultRate: Double): String = {
     val cases = rates.map { case (s, r) => s"WHEN '$s' THEN $r" }.mkString(" ")
     s"""WITH d0 AS (SELECT doc_id, source, lang,
