@@ -41,6 +41,7 @@ object Bench {
       () => { graft.ext.Dedup.signatureTable(spark, sfDir).count(): Unit },
       () => { graft.ext.Dedup.candidatePairTable(spark, sfDir).count(): Unit },
       () => { graft.ext.Dedup.simhash64Table(spark, sfDir).count(): Unit },
+      () => { graft.ext.Dedup.simhashPairTable(spark, sfDir).count(): Unit },
       () => { graft.ext.Dedup.verifiedPairTable(spark, sfDir).count(): Unit }
     ).foreach(f => try f() catch { case _: Throwable => () })
     // Median of 3 runs per query: at this sf, single-run timings are

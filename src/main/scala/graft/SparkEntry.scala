@@ -58,8 +58,7 @@ object SparkEntry {
       candPre = Some(ext.Dedup.candidatePairTable(s, dir)))),
     "dedup_minhash_pairs"  -> ((s, dir) => ext.Dedup.candidatePairTable(s, dir)),
     "dedup_simhash"        -> ((s, dir) => ext.Dedup.simhash(core.Tables.documents(s, dir))),
-    "dedup_simhash_pairs"  -> ((s, dir) => ext.Dedup.simhashPairs(core.Tables.documents(s, dir), 3,
-      sigPre = Some(ext.Dedup.simhash64Table(s, dir)))),
+    "dedup_simhash_pairs"  -> ((s, dir) => ext.Dedup.simhashPairTable(s, dir, 3)),
     "dedup_clusters"       -> ((s, dir) => ext.Dedup.clusters(
       ext.Dedup.verifiedPairTable(s, dir, 0.5))),
     "similarity_topk"      -> ((s, dir) => ext.Similarity.bruteTopK(core.Tables.embeddings(s, dir), 5, 10)),
@@ -102,6 +101,14 @@ object SparkEntry {
     "interval_agg"         -> ((s, dir) => StreamAnalogJobs.intervalAgg(s, dir)),
     "incremental_user_stats" -> ((s, dir) =>
       canon(StreamAnalogJobs.incrementalUserStats(s, dir))),
+    "tfidf_terms"          -> ((s, dir) => ext.TextAnalysis.tfidfTopTerms(
+      core.Tables.documents(s, dir), 3)),
+    "length_histogram"     -> ((s, dir) => ext.TextAnalysis.lengthHistogram(
+      core.Tables.documents(s, dir), 50)),
+    "rollup_accounting"    -> ((s, dir) => ext.Corpus.sourceRollup(
+      core.Tables.documents(s, dir))),
+    "event_pivot"          -> ((s, dir) => StreamAnalogJobs.eventTypePivot(s, dir)),
+    "moving_daily_totals"  -> ((s, dir) => StreamAnalogJobs.movingDailyTotals(s, dir)),
   )
 
   /** Fixed source-mix rates for the stratified-sample query (a training-mix
@@ -193,5 +200,10 @@ object SparkEntry {
     "pii_scan"             -> OracleSql.piiScan,
     "interval_agg"         -> OracleSql.intervalAgg,
     "incremental_user_stats" -> OracleSql.incrementalUserStats,
+    "tfidf_terms"          -> OracleSql.tfidfTopTerms(3),
+    "length_histogram"     -> OracleSql.lengthHistogram(50),
+    "rollup_accounting"    -> OracleSql.sourceRollup,
+    "event_pivot"          -> OracleSql.eventPivot,
+    "moving_daily_totals"  -> OracleSql.movingDailyTotals,
   )
 }

@@ -66,11 +66,11 @@ object Tables {
     * the session: call `release()` once both frames are consumed (written
     * out / counted), or repeated ingests accumulate MEMORY_AND_DISK blocks
     * for the session lifetime. */
-  final case class JsonlIngest(valid: DataFrame, quarantine: DataFrame,
-                               release: () => Unit)
+  final case class Ingest(valid: DataFrame, quarantine: DataFrame,
+                          release: () => Unit)
 
   def readJsonl(spark: SparkSession, path: String,
-                schema: org.apache.spark.sql.types.StructType): JsonlIngest = {
+                schema: org.apache.spark.sql.types.StructType): Ingest = {
     val withCorrupt = schema.add("_corrupt_record", "string")
     val parsed = spark.read
       .schema(withCorrupt)
@@ -81,7 +81,28 @@ object Tables {
     val valid = parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
     val quarantine = parsed.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw_line"))
-    JsonlIngest(valid, quarantine, () => parsed.unpersist(false))
+    Ingest(valid, quarantine, () => parsed.unpersist(false))
+  }
+
+  /** CSV flavor of the same ingest contract (header-less, declared schema,
+    * PERMISSIVE + quarantine): rows whose cells fail to parse under the
+    * declared types land in quarantine as the raw line instead of silently
+    * nulling out. Same cache scoping as readJsonl — call `release()` once
+    * both frames are consumed. */
+  def readCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): Ingest = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    val parsed = spark.read
+      .schema(withCorrupt)
+      .option("header", "false")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+      .cache()
+    val valid = parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val quarantine = parsed.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    Ingest(valid, quarantine, () => parsed.unpersist(false))
   }
 }
 

@@ -180,6 +180,24 @@ object Corpus {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("prior_tokens"))
   }
 
+  /** Multi-level corpus accounting via ROLLUP — per-(source, lang) token
+    * totals with source subtotals and a grand total in one pass (the OLAP
+    * grouping-sets shape; rolled-up levels render as 'ALL' so the output is
+    * a plain table, not null-punned). Rollup expands each input row into its
+    * grouping-set combinations BEFORE the shuffle, so the aggregate stays
+    * map-side combinable — one shuffle regardless of how many levels. */
+  def sourceRollup(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .rollup("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+        graft.ops.Ops.rnd(
+          sum(col("n_tokens")).cast("double") / count(lit(1)).cast("double"), 4)
+          .as("avg_tokens"))
+      .select(coalesce(col("source"), lit("ALL")).as("source"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("n_docs"), col("total_tokens"), col("avg_tokens"))
+
   /** The cleaning funnel: raw → quality-filtered → exact-deduped, reported
     * as per-stage survivor counts (the acceptance report every corpus
     * release ships with). Stage 2 gates on the TextAnalysis quality score

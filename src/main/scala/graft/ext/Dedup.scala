@@ -282,6 +282,17 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
       .filter(col("n_docs") > maxBucket)
 
+  /** Session-cached verified simhash near-dup pairs at the default hamming
+    * radius — the simhash-family analogue of `verifiedPairTable`: a dedup
+    * pipeline materializes its pair artifact once and consumes it repeatedly
+    * (cluster collapse, keeper filtering, audit) instead of re-running the
+    * band self-join + hamming verify per query. */
+  def simhashPairTable(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       maxHamming: Int = 3): DataFrame =
+    graft.core.FeatureCache.cached(spark, dir, s"simhash_pairs_$maxHamming")(
+      simhashPairs(graft.core.Tables.documents(spark, dir), maxHamming,
+        sigPre = Some(simhash64Table(spark, dir))))
+
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    maxBucket: Int = MaxBucket,
                    sigPre: Option[DataFrame] = None): DataFrame = {

@@ -157,6 +157,61 @@ object TextAnalysis {
       md5(redacted).as("redacted_fp"))
   }
 
+  /** TF-IDF top terms per document — the keyword-extraction signal a
+    * curation pipeline uses for topic balancing and per-doc summaries.
+    * idf is the smoothed RATIONAL form (N+1)/(df+1), not a logarithm:
+    * log/ln are libm transcendentals whose last ulp differs between
+    * engines, while integer-valued double divisions are IEEE
+    * correctly-rounded and bit-identical everywhere — monotone in df, so
+    * the ranking is the same one log-idf would give per fixed doc.
+    *
+    * Scale shape: tf and df are explode → map-side-combinable groupBys; the
+    * corpus size N rides a 1-row broadcast; the tf⋈df join is a shuffled
+    * equi-join on term (vocabulary-sized right side); the rank window
+    * partitions by doc_id, so no partition exceeds a document's own
+    * vocabulary. Nothing driver-side, nothing all-pairs. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docLen = terms.groupBy("doc_id").agg(count(lit(1)).as("doc_len"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(docLen, Seq("doc_id"))
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", graft.ops.Ops.rnd(
+        (col("tf").cast("double") / col("doc_len").cast("double"))
+          * ((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)),
+        4))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+  }
+
+  /** Fixed-width token-length histogram per source — the length-distribution
+    * report a corpus release ships (and the input to length-based mixture
+    * decisions). Bucket = floor(tokens/width)*width; share is each bucket's
+    * fraction of its source. One combinable groupBy plus a per-source window
+    * over bucket COUNTS (rows = distinct buckets, bounded by max doc length
+    * / width — never corpus-sized). */
+  def lengthHistogram(docs: DataFrame, width: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col("source"),
+        (floor(size(toks(col("text"))) / width) * width).cast("long").as("bucket_lo"))
+      .groupBy("source", "bucket_lo")
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("source")
+    counts.select(col("source"), col("bucket_lo"), col("n_docs"),
+      graft.ops.Ops.rnd(
+        col("n_docs").cast("double") / sum(col("n_docs")).over(w).cast("double"),
+        4).as("share"))
+  }
+
   /** Content fingerprints: a positional prefix hash (first five tokens) and
     * the min-shingle-hash (winnowing-style rolling fingerprint — the k=1
     * MinHash band). Shingles come from the materialized-token path — the

@@ -193,6 +193,51 @@ object StreamAnalogJobs {
           .as("avg_value"),
         col("first_ts"), col("last_ts"))
 
+  /** The five event types of the synthetic event log — pinned so the pivot
+    * never runs the extra distinct-values collection pass (at 100 TB the
+    * value list must be declared, not discovered). */
+  private[graft] val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Wide per-user activity vector via pivot — the conditional-agg
+    * "long → wide" reshape every feature store serves (one column per event
+    * type). With the value list pinned, pivot compiles to one combinable
+    * groupBy of CASE aggregates — a single shuffle on user_id, no second
+    * pass. Missing (user, type) combos surface as 0, not null. */
+  def eventTypePivot(spark: SparkSession, dir: String): DataFrame = {
+    val pivoted = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    pivoted.select(col("user_id") +:
+      EventTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+  }
+
+  /** Trend features over the order history: per-day totals, then a 7-row
+    * moving average and a running cumulative total — the moving-window
+    * family (W4/F17) on the time axis. The window is intentionally
+    * UN-partitioned: it runs over the per-DAY aggregate (rows = distinct
+    * days, thousands at any corpus size), never over raw orders — the daily
+    * groupBy is the shuffle that scales, the window input is bounded by the
+    * calendar. Sums stay in DECIMAL through the frame so the moving average
+    * is exact-sum ÷ exact-count. */
+  def movingDailyTotals(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).as("__sum"))
+    val w = Window.orderBy("order_date")
+    val w7 = w.rowsBetween(-6, Window.currentRow)
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.select(
+      col("order_date"), col("n_orders"),
+      col("__sum").cast("double").as("daily_total"),
+      Ops.rnd(
+        sum(col("__sum")).over(w7).cast("double")
+          / count(lit(1)).over(w7).cast("double"), 4).as("avg_7d"),
+      sum(col("__sum")).over(wCum).cast("double").as("cum_total"))
+  }
+
   /** A16: approximate distinct counts next to their exact counterparts.
     * No oracle entry — HLL sketches are engine-specific by construction;
     * the ScalaTest suite bounds the relative error instead. */

@@ -947,6 +947,79 @@ object OracleSql {
        |UNION ALL SELECT '2_quality', COUNT(*) FROM q
        |UNION ALL SELECT '3_dedup', COUNT(*) FROM k""".stripMargin
 
+  /** TF-IDF top terms — mirrors ext/TextAnalysis.tfidfTopTerms. idf is the
+    * rational (N+1)/(df+1) (no libm log — see the Scala scaladoc); every
+    * arithmetic step is the same IEEE op sequence as the Spark side. */
+  def tfidfTopTerms(k: Int): String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, COUNT(*) AS doc_len FROM toks GROUP BY 1),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+       |    ${rnd(
+        "(CAST(tf.tf AS DOUBLE) / CAST(dl.doc_len AS DOUBLE))" +
+          " * ((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(dfreq.df AS DOUBLE) + 1.0))",
+        4)} AS tfidf
+       |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n),
+       |r AS (SELECT doc_id, term, tf, df, tfidf,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+       |  FROM scored)
+       |SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= $k""".stripMargin
+
+  /** Token-length histogram — mirrors ext/TextAnalysis.lengthHistogram. */
+  def lengthHistogram(width: Int): String =
+    s"""WITH b AS (SELECT source,
+       |    CAST(floor(len(string_split(text, ' ')) / $width) * $width AS BIGINT) AS bucket_lo
+       |  FROM documents),
+       |c AS (SELECT source, bucket_lo, COUNT(*) AS n_docs FROM b GROUP BY 1, 2)
+       |SELECT source, bucket_lo, n_docs,
+       |  ${rnd(
+        "CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE)",
+        4)} AS share
+       |FROM c""".stripMargin
+
+  /** ROLLUP corpus accounting — mirrors ext/Corpus.sourceRollup. SUM(BIGINT)
+    * pinned back to BIGINT (DuckDB widens to HUGEINT; the width-sensitive
+    * driver hash would flag it — the event_sessions/pack_sequences bug
+    * class). */
+  val sourceRollup: String =
+    s"""WITH d AS (SELECT source, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)
+       |SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  ${rnd("CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 4)} AS avg_tokens
+       |FROM d GROUP BY ROLLUP (source, lang)""".stripMargin
+
+  /** Event-type pivot — mirrors StreamAnalogJobs.eventTypePivot (pivot with
+    * a pinned value list = one combinable pass of CASE aggregates). */
+  val eventPivot: String = {
+    val cols = graft.jobs.StreamAnalogJobs.EventTypes
+      .map(t => s"  ${cntIf(s"event_type = '$t'")} AS n_$t")
+      .mkString(",\n")
+    s"""SELECT user_id,
+       |$cols
+       |FROM events GROUP BY user_id""".stripMargin
+  }
+
+  /** Daily totals + 7-row moving average + running total — mirrors
+    * StreamAnalogJobs.movingDailyTotals (exact DECIMAL sums through the
+    * frames, exact-sum ÷ exact-count average). */
+  val movingDailyTotals: String =
+    s"""WITH daily AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       |    COUNT(*) AS n_orders,
+       |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS s
+       |  FROM orders GROUP BY 1)
+       |SELECT order_date, n_orders,
+       |  CAST(s AS DOUBLE) AS daily_total,
+       |  ${rnd("CAST(SUM(s) OVER w7 AS DOUBLE) / CAST(COUNT(*) OVER w7 AS DOUBLE)", 4)} AS avg_7d,
+       |  CAST(SUM(s) OVER wcum AS DOUBLE) AS cum_total
+       |FROM daily
+       |WINDOW w7 AS (ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+       |  wcum AS (ORDER BY order_date ROWS UNBOUNDED PRECEDING)""".stripMargin
+
   def wordCounts(topN: Int): String =
     s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
        |c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY token),

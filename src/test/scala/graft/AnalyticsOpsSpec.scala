@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-6 analytics operators: TF-IDF, histogram, rollup, pivot, moving
+  * windows, CSV ingest. Correctness of values is pinned by the DuckDB oracle
+  * (tools/check.py); these tests pin the structural invariants and the
+  * plan/lifecycle properties the oracle can't see.
+  */
+class AnalyticsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = core.Tables.documents(spark, sf0001)
+
+  test("tfidf: <= k terms per doc, ranks dense from 1, df within [1, N]") {
+    val out = ext.TextAnalysis.tfidfTopTerms(docs, 3).cache()
+    val n = docs.count()
+    val perDoc = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("k"), min("rank").as("lo"), max("rank").as("hi"))
+    assert(perDoc.filter($"k" > 3 || $"lo" =!= 1 || $"hi" =!= $"k").count() == 0,
+      "every doc gets 1..min(k, vocab) densely ranked terms")
+    assert(out.filter($"df" < 1 || $"df" > n).count() == 0)
+    // the idf is monotone-decreasing in df: for one doc, equal tf ⇒ the
+    // rarer term never scores lower
+    assert(out.filter($"tfidf" <= 0.0).count() == 0)
+    out.unpersist()
+  }
+
+  test("length histogram: shares sum to ~1 per source, buckets aligned") {
+    val h = ext.TextAnalysis.lengthHistogram(docs, 50).cache()
+    assert(h.filter(pmod($"bucket_lo", lit(50)) =!= 0).count() == 0)
+    val bySource = h.groupBy("source").agg(sum("share").as("s")).collect()
+    assert(bySource.nonEmpty)
+    bySource.foreach(r =>
+      assert(math.abs(r.getDouble(1) - 1.0) < 0.01,
+        s"${r.getString(0)} shares sum to ${r.getDouble(1)}"))
+    h.unpersist()
+  }
+
+  test("rollup: grand total equals the sum of leaf rows") {
+    val r = ext.Corpus.sourceRollup(docs).cache()
+    val leaf = r.filter($"source" =!= "ALL" && $"lang" =!= "ALL")
+      .agg(sum("n_docs"), sum("total_tokens")).head()
+    val total = r.filter($"source" === "ALL" && $"lang" === "ALL").head()
+    assert(total.getLong(2) == leaf.getLong(0), "doc counts roll up")
+    assert(total.getLong(3) == leaf.getLong(1), "token sums roll up")
+    // per-source subtotal rows exist for every source
+    val sources = docs.select("source").distinct().count()
+    assert(r.filter($"source" =!= "ALL" && $"lang" === "ALL").count() == sources)
+    r.unpersist()
+  }
+
+  test("pivot: per-type columns reconcile with the event log; no second scan") {
+    val p = jobs.StreamAnalogJobs.eventTypePivot(spark, sf0001).cache()
+    val evs = core.Tables.events(spark, sf0001)
+    val total = p.select(
+      (col("n_click") + col("n_error") + col("n_purchase")
+        + col("n_signup") + col("n_view")).as("t"))
+      .agg(sum("t")).head().getLong(0)
+    assert(total == evs.count(), "pivot cells partition the event log")
+    assert(p.filter($"n_click" < 0).count() == 0)
+    // pinned value list ⇒ single aggregate, no pivot-values discovery job
+    val plan = p.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("collectlimit"), "no value-discovery pass")
+    p.unpersist()
+  }
+
+  test("moving windows: 7-row average matches a direct recompute; cum monotone") {
+    val m = jobs.StreamAnalogJobs.movingDailyTotals(spark, sf0001)
+      .orderBy("order_date").collect()
+    assert(m.length > 10)
+    // first row: avg == daily total (frame has one row)
+    assert(math.abs(m(0).getDouble(3) - math.floor(m(0).getDouble(2) * 1e4 + 0.5) / 1e4) < 1e-9)
+    // cumulative total is strictly increasing (totals are positive)
+    m.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getDouble(4) > a.getDouble(4), "cum_total monotone")
+    }
+    // window avg over a mid-stream row equals the mean of its 7 dailies
+    val i = 10
+    // avg_7d is HALF_UP-rounded to 4 digits, so compare at that granule
+    val mean = (i - 6 to i).map(m(_).getDouble(2)).sum / 7.0
+    assert(math.abs(m(i).getDouble(3) - mean) < 5.1e-5)
+  }
+
+  test("CSV ingest quarantines malformed rows; good rows arrive typed (S12)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv")
+    java.nio.file.Files.writeString(dir.resolve("events.csv"),
+      """1,10,click
+        |2,20,purchase
+        |oops,30,view
+        |3,forty,signup
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, user_id BIGINT, event_type STRING")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val ingest = core.Tables.readCsv(spark, dir.toString, schema)
+    assert(ingest.valid.count() == 2)
+    assert(ingest.valid.schema("event_id").dataType.typeName == "long")
+    val q = ingest.quarantine.collect().map(_.getString(0))
+    assert(q.length == 2, s"quarantined: ${q.mkString("|")}")
+    assert(q.exists(_.startsWith("oops")))
+    assert(q.exists(_.contains("forty")), "type-mismatched cells quarantine the row")
+    ingest.release()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "release() must unpersist the ingest cache")
+  }
+}
