@@ -109,6 +109,10 @@ object SparkEntry {
       core.Tables.documents(s, dir))),
     "event_pivot"          -> ((s, dir) => StreamAnalogJobs.eventTypePivot(s, dir)),
     "moving_daily_totals"  -> ((s, dir) => StreamAnalogJobs.movingDailyTotals(s, dir)),
+    "top_terms_per_source" -> ((s, dir) => ext.TextAnalysis.topTermsPerSource(
+      core.Tables.documents(s, dir), 5)),
+    "semantic_clusters"    -> ((s, dir) => ext.Similarity.semanticClusters(
+      core.Tables.embeddings(s, dir), 0.2)),
   )
 
   /** Fixed source-mix rates for the stratified-sample query (a training-mix
@@ -205,5 +209,7 @@ object SparkEntry {
     "rollup_accounting"    -> OracleSql.sourceRollup,
     "event_pivot"          -> OracleSql.eventPivot,
     "moving_daily_totals"  -> OracleSql.movingDailyTotals,
+    "top_terms_per_source" -> OracleSql.topTermsPerSource(5),
+    "semantic_clusters"    -> OracleSql.semanticClusters(0.2),
   )
 }

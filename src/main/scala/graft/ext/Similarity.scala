@@ -165,6 +165,35 @@ object Similarity {
         col("cosine").desc, col("vec_a").asc, col("vec_b").asc)))
   }
 
+  /** Thresholded cosine pair set over the LSH candidates — the edge list
+    * semantic clustering/dedup consumes (vs. cosineNearDups' bounded top-N
+    * report). Same capped bucket equi-join; only collisions are scored. */
+  def cosinePairs(embeddings: DataFrame, minCosine: Double,
+                  maxBucket: Int = MaxBucketSize): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    lshCandidates(embeddings, maxBucket)
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        graft.ops.Ops.rnd(cosine(col("ea"), col("eb")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
+  /** SemDeDup-shape semantic grouping: connected components over the
+    * thresholded cosine pairs, smallest vec_id as the cluster keeper — the
+    * embedding-space member of the cluster-collapse family (Dedup.clusters
+    * provides the pointer-jumping CC; this is the same pipeline with cosine
+    * edges instead of Jaccard edges). At a dedup threshold (≥0.95) the
+    * output is the semantic-dedup keeper map; at a looser one (the test
+    * corpus plants no near-dups, so the gate runs 0.2) it is the topic
+    * grouping a curation pass balances over. */
+  def semanticClusters(embeddings: DataFrame, minCosine: Double,
+                       maxBucket: Int = MaxBucketSize): DataFrame =
+    Dedup.clusters(cosinePairs(embeddings, minCosine, maxBucket)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"),
+        col("keeper_doc_id").as("keeper_vec_id"), col("cluster_size"))
+
   /** IVF-style ANN: a seeded KMeans coarse quantizer partitions the corpus
     * into inverted lists; queries probe only the `nprobe` nearest centroids
     * and rank within those lists. The other half of the ANN scale story next

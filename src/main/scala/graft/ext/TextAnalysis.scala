@@ -192,6 +192,20 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "tfidf", "rank")
   }
 
+  /** Top-k tokens per source — the per-stratum vocabulary report (the
+    * grouped form of the global word count). The rank window partitions by
+    * source, so a partition holds one source's VOCABULARY (sub-linear in
+    * corpus size; the corpus-sized work is the combinable count aggregate
+    * before it). Ties break on token order for a total order. */
+  def topTermsPerSource(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col("source"), explode(toks(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("n").desc, col("token").asc)))
+      .filter(col("rank") <= k)
+  }
+
   /** Fixed-width token-length histogram per source — the length-distribution
     * report a corpus release ships (and the input to length-based mixture
     * decisions). Bucket = floor(tokens/width)*width; share is each bucket's

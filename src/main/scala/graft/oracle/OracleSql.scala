@@ -591,6 +591,44 @@ object OracleSql {
        |    ORDER BY cosine DESC, vec_a ASC, vec_b ASC) AS rank FROM scored)
        |SELECT vec_a, vec_b, cosine, rank FROM r WHERE rank <= $topN""".stripMargin
 
+  /** Semantic clusters — mirrors ext/Similarity.semanticClusters: LSH
+    * candidates, thresholded cosine edges, connected components with the
+    * min vec_id as keeper (the same recursive-closure oracle shape as
+    * dedupClusters). */
+  def semanticClusters(minCosine: Double,
+                       maxBucket: Int = graft.ext.Similarity.MaxBucketSize): String =
+    s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |b AS (${lshLongForm}),
+       |sz AS (SELECT table_id, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2),
+       |capped AS (SELECT b.* FROM b JOIN sz USING (table_id, bucket) WHERE sz.n <= $maxBucket),
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM capped x JOIN capped y
+       |    ON x.table_id = y.table_id AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |jp AS (
+       |  SELECT c.vec_a, c.vec_b FROM cand c
+       |    JOIN e ea ON c.vec_a = ea.vec_id JOIN e eb ON c.vec_b = eb.vec_id
+       |  WHERE floor((list_dot_product(ea.emb, eb.emb)
+       |      / sqrt(list_dot_product(ea.emb, ea.emb) * list_dot_product(eb.emb, eb.emb)))
+       |      * 1000000.0 + 0.5) / 1000000.0 >= $minCosine),
+       |edges AS (SELECT vec_a AS s, vec_b AS t FROM jp UNION SELECT vec_b, vec_a FROM jp),
+       |reach(s, t) AS (
+       |  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+       |  UNION
+       |  SELECT r.s, e2.t FROM reach r JOIN edges e2 ON r.t = e2.s),
+       |lab AS (SELECT s AS vec_id, MIN(t) AS keeper_vec_id FROM reach GROUP BY s),
+       |csz AS (SELECT keeper_vec_id, COUNT(*) AS cluster_size FROM lab
+       |  GROUP BY keeper_vec_id)
+       |SELECT l.vec_id, l.keeper_vec_id, c2.cluster_size
+       |FROM lab l JOIN csz c2 ON l.keeper_vec_id = c2.keeper_vec_id""".stripMargin
+
+  /** Top-k tokens per source — mirrors ext/TextAnalysis.topTermsPerSource. */
+  def topTermsPerSource(k: Int): String =
+    s"""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+       |c AS (SELECT source, token, COUNT(*) AS n FROM t GROUP BY 1, 2),
+       |r AS (SELECT source, token, n, ROW_NUMBER() OVER (
+       |    PARTITION BY source ORDER BY n DESC, token ASC) AS rank FROM c)
+       |SELECT source, token, n, rank FROM r WHERE rank <= $k""".stripMargin
+
   val textStats: String = {
     val stop = "('the','a','of','and','to','in','is')"
     s"""WITH d AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents)

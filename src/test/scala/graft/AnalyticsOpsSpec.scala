@@ -82,6 +82,43 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(math.abs(m(i).getDouble(3) - mean) < 5.1e-5)
   }
 
+  test("top terms per source: dense ranks 1..k within every source") {
+    val t = ext.TextAnalysis.topTermsPerSource(docs, 5).cache()
+    val bad = t.groupBy("source")
+      .agg(count(lit(1)).as("k"), min("rank").as("lo"), max("rank").as("hi"))
+      .filter($"k" > 5 || $"lo" =!= 1 || $"hi" =!= $"k")
+    assert(bad.count() == 0)
+    // counts never increase with rank inside a source
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("rank")
+    assert(t.withColumn("prev", lag($"n", 1).over(w))
+      .filter($"prev".isNotNull && $"n" > $"prev").count() == 0)
+    t.unpersist()
+  }
+
+  test("semantic clusters: keeper is the cluster min and sizes reconcile") {
+    val emb = core.Tables.embeddings(spark, sf0001)
+    val c = ext.Similarity.semanticClusters(emb, 0.2).cache()
+    assert(c.count() > 0, "the 0.2 threshold must bite on the test corpus")
+    assert(c.filter($"keeper_vec_id" > $"vec_id").count() == 0,
+      "keeper = min member, so no member precedes it")
+    val sizes = c.groupBy("keeper_vec_id").agg(count(lit(1)).as("actual"))
+    assert(c.join(sizes, Seq("keeper_vec_id"))
+      .filter($"cluster_size" =!= $"actual").count() == 0,
+      "cluster_size equals the member count")
+    // edges connect only within a cluster: every thresholded pair shares a keeper
+    val pairs = ext.Similarity.cosinePairs(emb, 0.2)
+    val lab = c.select($"vec_id", $"keeper_vec_id")
+    val crossing = pairs
+      .join(lab.withColumnRenamed("vec_id", "vec_a")
+        .withColumnRenamed("keeper_vec_id", "ka"), Seq("vec_a"))
+      .join(lab.withColumnRenamed("vec_id", "vec_b")
+        .withColumnRenamed("keeper_vec_id", "kb"), Seq("vec_b"))
+      .filter($"ka" =!= $"kb")
+    assert(crossing.count() == 0, "no edge crosses cluster boundaries")
+    c.unpersist()
+  }
+
   test("CSV ingest quarantines malformed rows; good rows arrive typed (S12)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv")
     java.nio.file.Files.writeString(dir.resolve("events.csv"),
