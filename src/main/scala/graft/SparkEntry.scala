@@ -62,8 +62,8 @@ object SparkEntry {
     "dedup_clusters"       -> ((s, dir) => ext.Dedup.clusters(
       ext.Dedup.verifiedPairTable(s, dir, 0.5))),
     "similarity_topk"      -> ((s, dir) => ext.Similarity.bruteTopK(core.Tables.embeddings(s, dir), 5, 10)),
-    "ann_buckets"          -> ((s, dir) => ext.Similarity.lshBuckets(core.Tables.embeddings(s, dir))),
-    "dedup_embedding"      -> ((s, dir) => ext.Similarity.cosineNearDups(core.Tables.embeddings(s, dir), 20)),
+    "ann_buckets"          -> ((s, dir) => ext.Similarity.lshBucketsCached(s, dir)),
+    "dedup_embedding"      -> ((s, dir) => ext.Similarity.cosineNearDupsCached(s, dir, 20)),
     "text_stats"           -> ((s, dir) => ext.TextAnalysis.textStats(core.Tables.documents(s, dir))),
     "lang_id"              -> ((s, dir) => ext.TextAnalysis.langId(core.Tables.documents(s, dir))),
     "doc_fingerprints"     -> ((s, dir) => ext.TextAnalysis.fingerprints(core.Tables.documents(s, dir))),
@@ -111,8 +111,7 @@ object SparkEntry {
     "moving_daily_totals"  -> ((s, dir) => StreamAnalogJobs.movingDailyTotals(s, dir)),
     "top_terms_per_source" -> ((s, dir) => ext.TextAnalysis.topTermsPerSource(
       core.Tables.documents(s, dir), 5)),
-    "semantic_clusters"    -> ((s, dir) => ext.Similarity.semanticClusters(
-      core.Tables.embeddings(s, dir), 0.2)),
+    "semantic_clusters"    -> ((s, dir) => ext.Similarity.semanticClustersCached(s, dir, 0.2)),
   )
 
   /** Fixed source-mix rates for the stratified-sample query (a training-mix
@@ -181,10 +180,14 @@ object SparkEntry {
     "merge_upsert"         -> OracleSql.mergeUpsert(),
     "keyset_page"          -> OracleSql.keysetPage(5000L, 100),
     "feature_bundles"      -> OracleSql.featureBundles(),
-    // approx_distinct: intentionally no oracle — HLL sketches are
-    // engine-specific; the driver records a rows-only check (A16).
+    // approx_distinct / percentiles_approx carry ERROR-ENVELOPE oracles:
+    // the sketch values are engine-specific, so Spark emits a boolean
+    // "within the sketch's documented bound of the exact witness" and the
+    // oracle asserts TRUE — a semantic check instead of rows-only (A16).
     // random_sample: rand(seed) is not cross-engine reproducible (O2/F15)
     // — rows-only check.
+    "approx_distinct"      -> OracleSql.approxDistinct,
+    "percentiles_approx"   -> OracleSql.percentilesApprox,
     "asof_risk"            -> OracleSql.asOfRisk,
     "tumbling_counts"      -> OracleSql.tumblingCounts,
     "transaction_features_compat" -> OracleSql.transactionFeaturesCompat(),

@@ -1,8 +1,10 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.core.{FeatureCache, Tables}
 
 /** Similarity search over the `embeddings` table (Array[Float], dim 64).
   *
@@ -109,16 +111,35 @@ object Similarity {
 
   /** Bucket occupancy per hash table — the corpus partition map. */
   def lshBuckets(embeddings: DataFrame): DataFrame =
-    withBuckets(embeddings).groupBy("table_id", "bucket")
+    occupancyOf(withBuckets(embeddings))
+
+  /** lshBuckets over the session-cached bucket table. */
+  def lshBucketsCached(spark: SparkSession, dir: String): DataFrame =
+    occupancyOf(bucketsCached(spark, dir))
+
+  private def occupancyOf(buckets: DataFrame): DataFrame =
+    buckets.groupBy("table_id", "bucket")
       .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec_id"))
+
+  /** Session-cached long-form bucket table — the one artifact every
+    * embedding-similarity query derives from (occupancy report, candidate
+    * join, overflow accounting). Slim (id + table + 16-char bucket), so
+    * caching it trades a few MB per million vectors for recomputing 64
+    * native dot products per vector per consumer. */
+  def bucketsCached(spark: SparkSession, dir: String): DataFrame =
+    FeatureCache.cached(spark, dir, "emb_lsh_buckets")(
+      withBuckets(Tables.embeddings(spark, dir)))
 
   /** Bucket rows surviving the size cap (window count reuses the exchange
     * the downstream (table_id, bucket) equi-join needs anyway). */
-  private def cappedBuckets(embeddings: DataFrame, maxBucket: Int): DataFrame =
-    withBuckets(embeddings)
+  private def cappedFrom(buckets: DataFrame, maxBucket: Int): DataFrame =
+    buckets
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("table_id", "bucket")))
       .filter(col("__n") <= maxBucket)
       .drop("__n")
+
+  private def cappedBuckets(embeddings: DataFrame, maxBucket: Int): DataFrame =
+    cappedFrom(withBuckets(embeddings), maxBucket)
 
   /** The buckets the cap drops — the overflow accounting a production run
     * monitors (a sudden spike means degenerate content flooding one bucket). */
@@ -128,14 +149,39 @@ object Similarity {
   /** Candidate pairs from shared buckets in ANY table: equi-join on
     * (table_id, bucket), never all-pairs; collisions, not n², drive the
     * shuffle volume, and the size cap bounds the worst bucket. */
-  def lshCandidates(embeddings: DataFrame, maxBucket: Int = MaxBucketSize): DataFrame = {
-    val b = cappedBuckets(embeddings, maxBucket)
+  def lshCandidates(embeddings: DataFrame, maxBucket: Int = MaxBucketSize): DataFrame =
+    candidatesFrom(cappedBuckets(embeddings, maxBucket))
+
+  private def candidatesFrom(b: DataFrame): DataFrame =
     b.as("x").join(b.as("y"),
         col("x.table_id") === col("y.table_id") && col("x.bucket") === col("y.bucket") &&
         col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
+
+  /** Cosine-score an id-pair list: vectors are fetched back by two key
+    * joins just for scoring — candidates never carry embedding payloads
+    * through the bucket shuffle. */
+  private def scoreCandidates(cand: DataFrame, embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        graft.ops.Ops.rnd(cosine(col("ea"), col("eb")), 6).as("cosine"))
   }
+
+  /** Session-cached cosine-scored LSH candidate pairs — the shared
+    * upstream of near-dup ranking, thresholded edges, and semantic
+    * clustering (the same build-once artifact the MinHash/SimHash pair
+    * tables are on the text side, Dedup.scala). Built from the cached
+    * bucket table, so a session pays the plane dots and the bucket
+    * self-join once across all three consumers. */
+  def scoredPairsCached(spark: SparkSession, dir: String,
+                        maxBucket: Int = MaxBucketSize): DataFrame =
+    FeatureCache.cached(spark, dir, s"emb_scored_pairs_$maxBucket")(
+      scoreCandidates(candidatesFrom(cappedFrom(bucketsCached(spark, dir), maxBucket)),
+        Tables.embeddings(spark, dir)))
 
   /** Embedding-cosine near-dup detection: banded-LSH candidates scored by
     * cosine, globally ranked — the embedding-space member of the dedup
@@ -145,39 +191,34 @@ object Similarity {
     * corpus plants duplicates; a production run would threshold
     * (cosine >= 0.95) instead. */
   def cosineNearDups(embeddings: DataFrame, topN: Int,
-                     maxBucket: Int = MaxBucketSize): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("embedding"))
-    val scored = lshCandidates(embeddings, maxBucket)
-      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        graft.ops.Ops.rnd(cosine(col("ea"), col("eb")), 6).as("cosine"))
-    // top-N FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
-    // partial top-N, merged once) — never a global window over every
-    // candidate pair. The global rank window after it sees <= topN rows
-    // (WindowExec's single-partition warning is about THIS bounded tail,
-    // not the corpus; a constant partitionBy key would be folded away by
-    // EliminateWindowPartitions anyway).
+                     maxBucket: Int = MaxBucketSize): DataFrame =
+    rankNearDups(scoreCandidates(lshCandidates(embeddings, maxBucket), embeddings), topN)
+
+  /** cosineNearDups over the session-cached scored-pair table. */
+  def cosineNearDupsCached(spark: SparkSession, dir: String, topN: Int,
+                           maxBucket: Int = MaxBucketSize): DataFrame =
+    rankNearDups(scoredPairsCached(spark, dir, maxBucket), topN)
+
+  // top-N FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
+  // partial top-N, merged once) — never a global window over every
+  // candidate pair. The global rank window after it sees <= topN rows
+  // (WindowExec's single-partition warning is about THIS bounded tail,
+  // not the corpus; a constant partitionBy key would be folded away by
+  // EliminateWindowPartitions anyway).
+  private def rankNearDups(scored: DataFrame, topN: Int): DataFrame =
     scored
       .orderBy(col("cosine").desc, col("vec_a").asc, col("vec_b").asc)
       .limit(topN)
       .withColumn("rank", row_number().over(Window.orderBy(
         col("cosine").desc, col("vec_a").asc, col("vec_b").asc)))
-  }
 
   /** Thresholded cosine pair set over the LSH candidates — the edge list
     * semantic clustering/dedup consumes (vs. cosineNearDups' bounded top-N
     * report). Same capped bucket equi-join; only collisions are scored. */
   def cosinePairs(embeddings: DataFrame, minCosine: Double,
-                  maxBucket: Int = MaxBucketSize): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("embedding"))
-    lshCandidates(embeddings, maxBucket)
-      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        graft.ops.Ops.rnd(cosine(col("ea"), col("eb")), 6).as("cosine"))
+                  maxBucket: Int = MaxBucketSize): DataFrame =
+    scoreCandidates(lshCandidates(embeddings, maxBucket), embeddings)
       .filter(col("cosine") >= minCosine)
-  }
 
   /** SemDeDup-shape semantic grouping: connected components over the
     * thresholded cosine pairs, smallest vec_id as the cluster keeper — the
@@ -189,8 +230,16 @@ object Similarity {
     * grouping a curation pass balances over. */
   def semanticClusters(embeddings: DataFrame, minCosine: Double,
                        maxBucket: Int = MaxBucketSize): DataFrame =
-    Dedup.clusters(cosinePairs(embeddings, minCosine, maxBucket)
-        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    clustersOf(cosinePairs(embeddings, minCosine, maxBucket))
+
+  /** semanticClusters over the session-cached scored-pair table. */
+  def semanticClustersCached(spark: SparkSession, dir: String, minCosine: Double,
+                             maxBucket: Int = MaxBucketSize): DataFrame =
+    clustersOf(scoredPairsCached(spark, dir, maxBucket)
+      .filter(col("cosine") >= minCosine))
+
+  private def clustersOf(pairs: DataFrame): DataFrame =
+    Dedup.clusters(pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .select(col("doc_id").as("vec_id"),
         col("keeper_doc_id").as("keeper_vec_id"), col("cluster_size"))
 

@@ -238,14 +238,24 @@ object StreamAnalogJobs {
       sum(col("__sum")).over(wCum).cast("double").as("cum_total"))
   }
 
-  /** A16: approximate distinct counts next to their exact counterparts.
-    * No oracle entry — HLL sketches are engine-specific by construction;
-    * the ScalaTest suite bounds the relative error instead. */
+  /** A16: approximate distinct counts checked against their exact witness.
+    * The HLL estimate itself is engine-specific (no other engine reproduces
+    * Spark's sketch), so the oracle-visible column is the ERROR ENVELOPE:
+    * a boolean pinning |approx - exact| within 3x the sketch's default
+    * relative standard deviation (rsd 0.05). HLL merge is a register-wise
+    * max — commutative and associative — so the estimate, and therefore the
+    * boolean, is deterministic under any partitioning; the DuckDB oracle
+    * emits TRUE and the driver's hash compare becomes a semantic gate on
+    * the sketch's accuracy contract rather than a rows-only count. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy("o_orderstatus")
       .agg(
-        approx_count_distinct(col("o_custkey")).as("approx_users"),
+        approx_count_distinct(col("o_custkey")).as("__approx"),
         count_distinct(col("o_custkey")).as("exact_users"),
         count(lit(1)).as("n_orders"))
+      .select(
+        col("o_orderstatus"), col("exact_users"), col("n_orders"),
+        (abs(col("__approx") - col("exact_users"))
+          <= col("exact_users") * lit(0.15)).as("approx_within_3rsd"))
 }

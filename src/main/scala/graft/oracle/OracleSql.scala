@@ -400,6 +400,29 @@ object OracleSql {
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  /** Error-envelope oracle for the HLL distinct counts — the sketch value
+    * is engine-specific, so the checked claim is "within 3x rsd of the
+    * exact witness": Spark computes the boolean, the oracle asserts TRUE
+    * (mirrors jobs/StreamAnalogJobs.approxDistinct). */
+  val approxDistinct: String =
+    """SELECT o_orderstatus,
+      |  COUNT(DISTINCT o_custkey) AS exact_users,
+      |  COUNT(*) AS n_orders,
+      |  TRUE AS approx_within_3rsd
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** Rank-envelope oracle for the KLL approximate quantiles — exact
+    * percentiles plus TRUE for each envelope boolean Spark computes
+    * against its own sketch (mirrors serving/Lookups.percentilesApprox). */
+  val percentilesApprox: String =
+    """SELECT o_orderstatus,
+      |  floor(quantile_cont(o_totalprice, 0.5) * 100.0 + 0.5) / 100.0 AS p50_exact,
+      |  floor(quantile_cont(o_totalprice, 0.95) * 100.0 + 0.5) / 100.0 AS p95_exact,
+      |  COUNT(*) AS n,
+      |  TRUE AS p50_in_envelope,
+      |  TRUE AS p95_in_envelope
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
   // ---- ext/: dedup, similarity, text analysis, multimodal ----
 
   /** Distinct 3-token shingles of a pre-split token list column `t`

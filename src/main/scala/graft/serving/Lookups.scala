@@ -1,6 +1,6 @@
 package graft.serving
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.jobs.FeatureViewJob
@@ -85,14 +85,37 @@ object Lookups {
         graft.ops.Ops.rnd(expr("percentile(o_totalprice, 0.95)"), 2).as("p95_amount"),
         count(lit(1)).as("n"))
 
-  /** A16's sketch form: KLL-style approximate quantiles next to the exact
-    * values — the cost-optimization path (docs/PERFORMANCE.md:552-559).
-    * Sketch outputs are engine-specific → rows-only check. */
-  def percentilesApprox(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
+  /** A16's sketch form: KLL-style approximate quantiles checked against
+    * their exact witness — the cost-optimization path
+    * (docs/PERFORMANCE.md:552-559). The sketch VALUE is engine-specific
+    * (and its merge order could in principle vary), so the oracle-visible
+    * columns are the exact percentiles plus a RANK-ENVELOPE boolean per
+    * quantile: the approx value's rank interval [count(<)/n, count(<=)/n]
+    * must intersect [p - m, p + m]. accuracy=1000 guarantees rank error
+    * <= 1/1000 for ANY merge order, so with m = 0.02 (20x slack, still a
+    * real accuracy contract) the boolean is deterministically TRUE and the
+    * DuckDB oracle emits TRUE — upgrading the driver's check from
+    * rows-only to a semantic gate. Second pass over orders is a broadcast
+    * join against the 3-row sketch table. */
+  def percentilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    val m = 0.02
+    val orders = Tables.orders(spark, dir)
+    val sk = orders.groupBy("o_orderstatus").agg(
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("__p50a"),
+      percentile_approx(col("o_totalprice"), lit(0.95), lit(1000)).as("__p95a"))
+    def envelope(p: Double, approxCol: String): Column = {
+      val lt = sum(when(col("o_totalprice") < col(approxCol), 1L).otherwise(0L))
+      val le = sum(when(col("o_totalprice") <= col(approxCol), 1L).otherwise(0L))
+      lt <= (lit(p) + lit(m)) * count(lit(1)) &&
+        le >= (lit(p) - lit(m)) * count(lit(1))
+    }
+    orders.join(broadcast(sk), "o_orderstatus")
       .groupBy("o_orderstatus")
       .agg(
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx"),
-        percentile_approx(col("o_totalprice"), lit(0.95), lit(1000)).as("p95_approx"),
-        graft.ops.Ops.rnd(expr("percentile(o_totalprice, 0.95)"), 2).as("p95_exact"))
+        graft.ops.Ops.rnd(expr("percentile(o_totalprice, 0.5)"), 2).as("p50_exact"),
+        graft.ops.Ops.rnd(expr("percentile(o_totalprice, 0.95)"), 2).as("p95_exact"),
+        count(lit(1)).as("n"),
+        envelope(0.5, "__p50a").as("p50_in_envelope"),
+        envelope(0.95, "__p95a").as("p95_in_envelope"))
+  }
 }
