@@ -111,6 +111,12 @@ object SparkEntry {
     "moving_daily_totals"  -> ((s, dir) => StreamAnalogJobs.movingDailyTotals(s, dir)),
     "top_terms_per_source" -> ((s, dir) => ext.TextAnalysis.topTermsPerSource(
       core.Tables.documents(s, dir), 5)),
+    "train_split"          -> ((s, dir) => ext.Corpus.splitAssign(
+      core.Tables.documents(s, dir), 0.8, 0.1)),
+    "quality_filter"       -> ((s, dir) => ext.TextAnalysis.qualityFilter(
+      core.Tables.documents(s, dir))),
+    "snapshot_diff"        -> ((s, dir) => jobs.MigrationValidationJob.snapshotDiff(
+      s, dir, "1999-01-01", "2000-01-01")),
     "semantic_clusters"    -> ((s, dir) => ext.Similarity.semanticClustersCached(s, dir, 0.2)),
   )
 
@@ -214,5 +220,8 @@ object SparkEntry {
     "moving_daily_totals"  -> OracleSql.movingDailyTotals,
     "top_terms_per_source" -> OracleSql.topTermsPerSource(5),
     "semantic_clusters"    -> OracleSql.semanticClusters(0.2),
+    "train_split"          -> OracleSql.splitAssign(0.8, 0.1),
+    "quality_filter"       -> OracleSql.qualityFilter,
+    "snapshot_diff"        -> OracleSql.snapshotDiff("1999-01-01", "2000-01-01"),
   )
 }

@@ -45,6 +45,23 @@ object Corpus {
       .select(col("doc_id"), col("source"), col("lang"))
   }
 
+  /** Deterministic train/val/test assignment — hash-based on the same
+    * unitHash the stratified sampler uses, so a document's split never
+    * changes when other documents are added or the corpus is re-laid-out
+    * (the reproducibility contract an eval/holdout split must keep: a
+    * training doc can never migrate into the test set between corpus
+    * refreshes). One narrow projection, no shuffle, no rand(). */
+  def splitAssign(docs: DataFrame, trainFrac: Double = 0.8,
+                  valFrac: Double = 0.1): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
+      "fractions must leave room for a test split")
+    val u = unitHash(col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+      when(u < trainFrac, "train")
+        .when(u < trainFrac + valFrac, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Distinct word n-grams of a token-array column; documents shorter than
     * `n` tokens degrade to the whole text (mirrors Dedup.shinglesOf, which
     * is the n=3 case). `toks` must be a materialized column — see

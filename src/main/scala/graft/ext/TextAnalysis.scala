@@ -18,9 +18,20 @@ object TextAnalysis {
   private def countIn(arr: Column, words: Seq[String]): Column =
     size(filter(arr, x => x.isin(words.map(lit): _*)))
 
-  /** Per-document token stats + composite quality score
-    * (length / stopword / diversity mix — the standard pretraining-filter
-    * shape; weights are fixed and documented, not learned). */
+  /** Composite quality score of a token-array column (length / stopword /
+    * diversity mix — the standard pretraining-filter shape; weights are
+    * fixed and documented, not learned). 4-dp rounded so every engine
+    * carries the identical value into downstream comparisons. */
+  private def qualityExpr(t: Column): Column = {
+    val tokenCount = size(t)
+    graft.ops.Ops.rnd(
+      least(lit(1.0), tokenCount.cast("double") / 100) * 0.4
+        + (lit(1.0) - countIn(t, enStop).cast("double") / tokenCount) * 0.3
+        + size(array_distinct(t)).cast("double") / tokenCount * 0.3,
+      4)
+  }
+
+  /** Per-document token stats + composite quality score. */
   def textStats(docs: DataFrame): DataFrame = {
     val t = toks(col("text"))
     val tokenCount = size(t)
@@ -34,11 +45,24 @@ object TextAnalysis {
       distinctCount.as("distinct_tokens"),
       graft.ops.Ops.rnd(charSum.cast("double") / tokenCount, 4).as("avg_token_len"),
       graft.ops.Ops.rnd(stopCount.cast("double") / tokenCount, 4).as("stopword_ratio"),
-      graft.ops.Ops.rnd(
-        least(lit(1.0), tokenCount.cast("double") / 100) * 0.4
-          + (lit(1.0) - stopCount.cast("double") / tokenCount) * 0.3
-          + distinctCount.cast("double") / tokenCount * 0.3,
-        4).as("quality_score"))
+      qualityExpr(t).as("quality_score"))
+  }
+
+  /** Per-source median-threshold quality filter — the RELATIVE quality
+    * gate (keep each source's better half) next to cleaningFunnel's
+    * absolute one: an absolute threshold over-prunes inherently noisy
+    * sources (web crawl) and under-prunes clean ones (reference text), so
+    * curation pipelines commonly cut per-stratum. The per-source exact
+    * median frame is sources-sized → broadcast back; the corpus side is
+    * one narrow scan + one shuffle for the median aggregation. */
+  def qualityFilter(docs: DataFrame): DataFrame = {
+    val s = docs.select(col("doc_id"), col("source"),
+      qualityExpr(toks(col("text"))).as("quality_score"))
+    val med = s.groupBy("source").agg(
+      graft.ops.Ops.rnd(expr("percentile(quality_score, 0.5)"), 6).as("source_median"))
+    s.join(broadcast(med), "source")
+      .filter(col("quality_score") >= col("source_median"))
+      .select("doc_id", "source", "quality_score", "source_median")
   }
 
   /** Language-ID heuristic: stopword-marker hit ratios per language family,

@@ -83,4 +83,35 @@ object MigrationValidationJob {
         orZeroD(col("total_spend")).as("total_spend"),
         coalesce(col("has_user_features"), lit(false)).as("has_user_features"))
   }
+
+  /** Snapshot diff — what changed in a per-user feature table between two
+    * as-of cutoffs (the audit a feature-store backfill or migration ships:
+    * which users appeared, which drifted, by how much). Computed as two
+    * time-pruned aggregations full-outer-joined on the key; with a
+    * date-partitioned layout both scans prune to their date range, and the
+    * join shuffles ONLY the two aggregated (users-sized, not orders-sized)
+    * frames. 'removed' is impossible with append-only orders but the
+    * branch is kept — a real migration diffs mutable tables. */
+  def snapshotDiff(spark: SparkSession, dir: String,
+                   cutOld: String, cutNew: String): DataFrame = {
+    def snapshot(cut: String, pfx: String): DataFrame =
+      Tables.orders(spark, dir)
+        .filter(col("o_orderdate") < to_timestamp(lit(cut)))
+        .groupBy(col("o_custkey").as("user_id"))
+        .agg(count(lit(1)).as(s"${pfx}_orders"),
+          sumMoney(lit(true), col("o_totalprice")).as(s"${pfx}_spend"))
+    snapshot(cutOld, "old").join(snapshot(cutNew, "new"), Seq("user_id"), "full_outer")
+      .select(
+        col("user_id"),
+        when(col("old_orders").isNull, "added")
+          .when(col("new_orders").isNull, "removed")
+          .when(col("old_orders") =!= col("new_orders")
+            || col("old_spend") =!= col("new_spend"), "changed")
+          .otherwise("unchanged").as("status"),
+        orZero(col("old_orders")).as("old_orders"),
+        orZero(col("new_orders")).as("new_orders"),
+        orZeroD(col("old_spend")).as("old_spend"),
+        orZeroD(col("new_spend")).as("new_spend"))
+      .filter(col("status") =!= "unchanged")
+  }
 }

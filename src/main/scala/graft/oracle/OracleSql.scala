@@ -995,6 +995,72 @@ object OracleSql {
        |WHERE unit_hash < (CASE source $cases ELSE $defaultRate END)""".stripMargin
   }
 
+  /** Deterministic train/val/test assignment — mirrors ext/Corpus.
+    * splitAssign (same Knuth unit-hash CTE as stratifiedSample; the val
+    * threshold is computed in Scala so both engines embed the identical
+    * double literal). */
+  def splitAssign(trainFrac: Double, valFrac: Double): String =
+    s"""WITH d0 AS (SELECT doc_id, source,
+       |    ((doc_id % 4294967296) + 4294967296) % 4294967296 AS a
+       |  FROM documents),
+       |d AS (SELECT doc_id, source, a,
+       |    CAST(floor(a / 65536) AS BIGINT) AS h
+       |  FROM d0),
+       |u AS (SELECT doc_id, source,
+       |    CAST((((h * 2654435761) % 65536) * 65536
+       |      + (a - h * 65536) * 2654435761) % 4294967296 AS DOUBLE)
+       |      / 4294967296.0 AS unit_hash
+       |  FROM d)
+       |SELECT doc_id, source,
+       |  CASE WHEN unit_hash < $trainFrac THEN 'train'
+       |       WHEN unit_hash < ${trainFrac + valFrac} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM u""".stripMargin
+
+  /** Per-source median quality filter — mirrors ext/TextAnalysis.
+    * qualityFilter (textStats' quality expression, quantile_cont median
+    * per source, keep >= median). */
+  val qualityFilter: String = {
+    val stop = "('the','a','of','and','to','in','is')"
+    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+       |q AS (SELECT doc_id, source,
+       |    floor((LEAST(1.0, CAST(len(t) AS DOUBLE) / 100) * 0.4
+       |      + (1.0 - CAST(len(list_filter(t, x -> x IN $stop)) AS DOUBLE) / len(t)) * 0.3
+       |      + CAST(len(list_distinct(t)) AS DOUBLE) / len(t) * 0.3) * 10000.0 + 0.5) / 10000.0
+       |      AS quality_score
+       |  FROM d),
+       |m AS (SELECT source,
+       |    floor(quantile_cont(quality_score, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS source_median
+       |  FROM q GROUP BY source)
+       |SELECT q.doc_id, q.source, q.quality_score, m.source_median
+       |FROM q JOIN m USING (source)
+       |WHERE q.quality_score >= m.source_median""".stripMargin
+  }
+
+  /** Feature-snapshot diff between two as-of cutoffs — mirrors
+    * jobs/MigrationValidationJob.snapshotDiff. */
+  def snapshotDiff(cutOld: String, cutNew: String): String =
+    s"""WITH o AS (SELECT o_custkey AS user_id, COUNT(*) AS old_orders,
+       |    ${sumMoney("TRUE", "o_totalprice")} AS old_spend
+       |  FROM orders WHERE o_orderdate < TIMESTAMP '$cutOld' GROUP BY 1),
+       |n AS (SELECT o_custkey AS user_id, COUNT(*) AS new_orders,
+       |    ${sumMoney("TRUE", "o_totalprice")} AS new_spend
+       |  FROM orders WHERE o_orderdate < TIMESTAMP '$cutNew' GROUP BY 1),
+       |j AS (SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+       |    o.old_orders, n.new_orders, o.old_spend, n.new_spend
+       |  FROM o FULL JOIN n ON o.user_id = n.user_id),
+       |s AS (SELECT user_id,
+       |    CASE WHEN old_orders IS NULL THEN 'added'
+       |         WHEN new_orders IS NULL THEN 'removed'
+       |         WHEN old_orders <> new_orders OR old_spend <> new_spend THEN 'changed'
+       |         ELSE 'unchanged' END AS status,
+       |    COALESCE(old_orders, 0) AS old_orders,
+       |    COALESCE(new_orders, 0) AS new_orders,
+       |    COALESCE(old_spend, 0.0) AS old_spend,
+       |    COALESCE(new_spend, 0.0) AS new_spend
+       |  FROM j)
+       |SELECT * FROM s WHERE status <> 'unchanged'""".stripMargin
+
   /** Cleaning-funnel survivor counts — mirrors ext/Corpus.cleaningFunnel
     * (quality gate over the textStats score, then exact dedup). */
   def corpusFunnel(minQuality: Double, minTokens: Int, maxTokens: Int): String =

@@ -119,6 +119,55 @@ class AnalyticsOpsSpec extends SparkSpec {
     c.unpersist()
   }
 
+  test("train split: total partition, stable under corpus growth, ~80/10/10") {
+    val s = ext.Corpus.splitAssign(docs, 0.8, 0.1).cache()
+    val n = docs.count()
+    assert(s.count() == n, "every doc gets exactly one split")
+    val frac = s.groupBy("split").agg(count(lit(1)).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.06, s"train frac ${frac("train")}")
+    assert(math.abs(frac("val") - 0.1) < 0.05, s"val frac ${frac("val")}")
+    assert(math.abs(frac("test") - 0.1) < 0.05, s"test frac ${frac("test")}")
+    // the holdout contract: membership of a doc never changes when OTHER
+    // docs appear/disappear — assign over a half-corpus, compare
+    val half = ext.Corpus.splitAssign(docs.filter($"doc_id" % 2 === 0), 0.8, 0.1)
+    assert(half.as("h").join(s.as("f"), Seq("doc_id"))
+      .filter($"h.split" =!= $"f.split").count() == 0,
+      "split assignment is independent of the rest of the corpus")
+    s.unpersist()
+  }
+
+  test("quality filter: keeps exactly the >=-median half of every source") {
+    val kept = ext.TextAnalysis.qualityFilter(docs).cache()
+    assert(kept.filter($"quality_score" < $"source_median").count() == 0)
+    // each source keeps at least half its docs (>= median can't drop more)
+    val perSource = docs.groupBy("source").agg(count(lit(1)).as("total"))
+    val keptCounts = kept.groupBy("source").agg(count(lit(1)).as("kept"))
+    val under = perSource.join(keptCounts, Seq("source"), "left")
+      .filter(coalesce($"kept", lit(0L)) * 2 < $"total")
+    assert(under.count() == 0, "a >=-median gate keeps at least half per source")
+    kept.unpersist()
+  }
+
+  test("snapshot diff: added users have no old orders; growth is monotone") {
+    val d = jobs.MigrationValidationJob
+      .snapshotDiff(spark, sf0001, "1999-01-01", "2000-01-01").cache()
+    assert(d.count() > 0)
+    assert(d.filter($"status" === "unchanged").count() == 0)
+    assert(d.filter($"status" === "added" && $"old_orders" =!= 0).count() == 0)
+    // orders are append-only: nothing is removed and counts never shrink
+    assert(d.filter($"status" === "removed").count() == 0)
+    assert(d.filter($"new_orders" < $"old_orders").count() == 0)
+    // witness for 'added': users whose FIRST order lands between cutoffs
+    val orders = core.Tables.orders(spark, sf0001)
+    val firstOrder = orders.groupBy("o_custkey").agg(min("o_orderdate").as("first_at"))
+    val expectedAdded = firstOrder
+      .filter($"first_at" >= to_timestamp(lit("1999-01-01"))
+        && $"first_at" < to_timestamp(lit("2000-01-01"))).count()
+    assert(d.filter($"status" === "added").count() == expectedAdded)
+    d.unpersist()
+  }
+
   test("CSV ingest quarantines malformed rows; good rows arrive typed (S12)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv")
     java.nio.file.Files.writeString(dir.resolve("events.csv"),
