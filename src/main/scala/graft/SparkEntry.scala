@@ -117,6 +117,10 @@ object SparkEntry {
       core.Tables.documents(s, dir))),
     "snapshot_diff"        -> ((s, dir) => jobs.MigrationValidationJob.snapshotDiff(
       s, dir, "1999-01-01", "2000-01-01")),
+    "oov_rate"             -> ((s, dir) => ext.TextAnalysis.oovRate(
+      core.Tables.documents(s, dir), 1000)),
+    "embedding_outliers"   -> ((s, dir) => ext.Similarity.embeddingOutliers(
+      core.Tables.embeddings(s, dir), 5)),
     "semantic_clusters"    -> ((s, dir) => ext.Similarity.semanticClustersCached(s, dir, 0.2)),
   )
 
@@ -223,5 +227,7 @@ object SparkEntry {
     "train_split"          -> OracleSql.splitAssign(0.8, 0.1),
     "quality_filter"       -> OracleSql.qualityFilter,
     "snapshot_diff"        -> OracleSql.snapshotDiff("1999-01-01", "2000-01-01"),
+    "oov_rate"             -> OracleSql.oovRate(1000),
+    "embedding_outliers"   -> OracleSql.embeddingOutliers(5),
   )
 }

@@ -243,6 +243,40 @@ object Similarity {
       .select(col("doc_id").as("vec_id"),
         col("keeper_doc_id").as("keeper_vec_id"), col("cluster_size"))
 
+  /** Per-label centroid + bottom-k cosine outliers — embedding-space
+    * outlier pruning (docs far from their group's centroid are mislabeled
+    * or garbled; a curation pass drops or reviews them).
+    *
+    * Determinism: element-wise means and the dot/norm reductions run as
+    * DECIMAL sums (order-independent exact arithmetic — a double sum's
+    * value depends on partition merge order), cast to double only after
+    * the sum; ties in the outlier rank break on vec_id. Scale shape: the
+    * positional explode is a narrow 64x fan-out, the (label, pos) mean is
+    * map-side combinable, the centroid frame is labels x 64 rows and
+    * BROADCAST back, and the per-vec reduction keys on vec_id — nothing
+    * shuffles the corpus except the one inevitable per-vec aggregation. */
+  def embeddingOutliers(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val pos = embeddings.select(col("vec_id"), col("label"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+    val cent = pos.groupBy("label", "pos").agg(
+      (sum(col("x").cast("decimal(27,10)")).cast("double")
+        / count(lit(1))).as("c"))
+    val scored = pos.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy("vec_id", "label")
+      .agg(
+        sum((col("x") * col("c")).cast("decimal(30,15)")).cast("double").as("__dot"),
+        sum((col("x") * col("x")).cast("decimal(30,15)")).cast("double").as("__nx"),
+        sum((col("c") * col("c")).cast("decimal(30,15)")).cast("double").as("__nc"))
+      .select(col("vec_id"), col("label"),
+        graft.ops.Ops.rnd(
+          col("__dot") / sqrt(col("__nx") * col("__nc")), 6).as("cos_to_centroid"))
+    scored
+      .withColumn("outlier_rank", row_number().over(
+        Window.partitionBy("label")
+          .orderBy(col("cos_to_centroid").asc, col("vec_id").asc)))
+      .filter(col("outlier_rank") <= k)
+  }
+
   /** IVF-style ANN: a seeded KMeans coarse quantizer partitions the corpus
     * into inverted lists; queries probe only the `nprobe` nearest centroids
     * and rank within those lists. The other half of the ANN scale story next

@@ -48,6 +48,32 @@ object TextAnalysis {
       qualityExpr(t).as("quality_score"))
   }
 
+  /** Out-of-vocabulary rate against the corpus top-`vocabSize` vocabulary —
+    * the Gopher-family "fraction of tokens outside a reference vocab"
+    * signal (a high OOV rate marks garbled/non-linguistic text). The vocab
+    * is derived from the corpus itself: top-N tokens by global count, ties
+    * broken on token order so the cut is total-ordered and deterministic.
+    *
+    * Scale shape: the vocab is bounded (`vocabSize` rows) via
+    * orderBy+limit (TakeOrderedAndProject, never a global vocab window)
+    * and BROADCAST back; the exploded token table streams through the
+    * broadcast join once and the per-doc count is map-side combinable. */
+  def oovRate(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val tokens = docs.select(col("doc_id"), explode(toks(col("text"))).as("token"))
+    val vocab = tokens.groupBy("token").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("token").asc)
+      .limit(vocabSize)
+      .select(col("token"), lit(true).as("__in_vocab"))
+    tokens.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("token_count"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("oov_count"))
+      .select(col("doc_id"), col("token_count"), col("oov_count"),
+        graft.ops.Ops.rnd(
+          col("oov_count").cast("double") / col("token_count"), 4).as("oov_rate"))
+  }
+
   /** Per-source median-threshold quality filter — the RELATIVE quality
     * gate (keep each source's better half) next to cleaningFunnel's
     * absolute one: an absolute threshold over-prunes inherently noisy

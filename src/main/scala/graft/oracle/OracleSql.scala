@@ -1037,6 +1037,45 @@ object OracleSql {
        |WHERE q.quality_score >= m.source_median""".stripMargin
   }
 
+  /** OOV rate vs the corpus top-N vocabulary — mirrors
+    * ext/TextAnalysis.oovRate (SUM pinned to BIGINT against DuckDB's
+    * HUGEINT widening). */
+  def oovRate(vocabSize: Int): String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY 1),
+       |v AS (SELECT token FROM c ORDER BY n DESC, token ASC LIMIT $vocabSize),
+       |a AS (SELECT t.doc_id, COUNT(*) AS token_count,
+       |    CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_count
+       |  FROM t LEFT JOIN v ON t.token = v.token GROUP BY 1)
+       |SELECT doc_id, token_count, oov_count,
+       |  ${rnd("CAST(oov_count AS DOUBLE) / token_count", 4)} AS oov_rate
+       |FROM a""".stripMargin
+
+  /** Per-label centroid bottom-k cosine outliers — mirrors
+    * ext/Similarity.embeddingOutliers (decimal-pinned element sums; DuckDB
+    * lists are 1-based so the 0-based pos indexes at pos+1). */
+  def embeddingOutliers(k: Int, dim: Int = 64): String =
+    s"""WITH p AS (SELECT vec_id, label, i.range AS pos,
+       |    CAST(embedding[CAST(i.range AS INT) + 1] AS DOUBLE) AS x
+       |  FROM embeddings CROSS JOIN range($dim) i),
+       |cent AS (SELECT label, pos,
+       |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS c
+       |  FROM p GROUP BY 1, 2),
+       |s AS (SELECT p.vec_id, p.label,
+       |    CAST(SUM(CAST(p.x * cent.c AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+       |    CAST(SUM(CAST(p.x * p.x AS DECIMAL(30,15))) AS DOUBLE) AS nx,
+       |    CAST(SUM(CAST(cent.c * cent.c AS DECIMAL(30,15))) AS DOUBLE) AS nc
+       |  FROM p JOIN cent ON p.label = cent.label AND p.pos = cent.pos
+       |  GROUP BY 1, 2),
+       |r AS (SELECT vec_id, label,
+       |    ${rnd("dot / sqrt(nx * nc)", 6)} AS cos_to_centroid
+       |  FROM s),
+       |w AS (SELECT vec_id, label, cos_to_centroid, ROW_NUMBER() OVER (
+       |    PARTITION BY label ORDER BY cos_to_centroid ASC, vec_id ASC) AS outlier_rank
+       |  FROM r)
+       |SELECT vec_id, label, cos_to_centroid, outlier_rank FROM w
+       |WHERE outlier_rank <= $k""".stripMargin
+
   /** Feature-snapshot diff between two as-of cutoffs — mirrors
     * jobs/MigrationValidationJob.snapshotDiff. */
   def snapshotDiff(cutOld: String, cutNew: String): String =

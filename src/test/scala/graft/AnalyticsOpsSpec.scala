@@ -168,6 +168,37 @@ class AnalyticsOpsSpec extends SparkSpec {
     d.unpersist()
   }
 
+  test("oov rate: one row per doc, rate in [0,1], consistent with counts") {
+    val r = ext.TextAnalysis.oovRate(docs, 1000).cache()
+    assert(r.count() == docs.count())
+    assert(r.filter($"oov_count" > $"token_count" || $"oov_count" < 0).count() == 0)
+    assert(r.filter($"oov_rate" < 0.0 || $"oov_rate" > 1.0).count() == 0)
+    // a full-corpus vocabulary means zero OOV everywhere
+    val full = ext.TextAnalysis.oovRate(docs, Int.MaxValue)
+    assert(full.filter($"oov_count" =!= 0).count() == 0,
+      "with the whole vocab admitted nothing is out-of-vocabulary")
+    r.unpersist()
+  }
+
+  test("embedding outliers: bottom-k per label, dense ranks, true minima") {
+    val emb = core.Tables.embeddings(spark, sf0001)
+    val out = ext.Similarity.embeddingOutliers(emb, 5).cache()
+    val perLabel = out.groupBy("label")
+      .agg(count(lit(1)).as("k"), min("outlier_rank").as("lo"), max("outlier_rank").as("hi"))
+    assert(perLabel.filter($"k" > 5 || $"lo" =!= 1 || $"hi" =!= $"k").count() == 0)
+    assert(out.filter($"cos_to_centroid" < -1.000001 || $"cos_to_centroid" > 1.000001)
+      .count() == 0)
+    // the flagged vecs really are the label's cosine minima: no unflagged
+    // vec scores strictly below a flagged one
+    val all = ext.Similarity.embeddingOutliers(emb, Int.MaxValue)
+    val worstKept = out.groupBy("label").agg(max("cos_to_centroid").as("worst_flagged"))
+    val unflagged = all.join(out.select($"vec_id", lit(true).as("__f")), Seq("vec_id"), "left")
+      .filter($"__f".isNull)
+    assert(unflagged.join(worstKept, Seq("label"))
+      .filter($"cos_to_centroid" < $"worst_flagged").count() == 0)
+    out.unpersist()
+  }
+
   test("CSV ingest quarantines malformed rows; good rows arrive typed (S12)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv")
     java.nio.file.Files.writeString(dir.resolve("events.csv"),
