@@ -71,6 +71,27 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "contamination must not go all-pairs")
   }
 
+  test("round-6 ops keep their scale shapes: broadcasts where intended, no cartesians") {
+    val docs = core.Tables.documents(spark, sf0001)
+    val emb = core.Tables.embeddings(spark, sf0001)
+    // quality_filter: the sources-sized median frame broadcasts back
+    val qf = ext.TextAnalysis.qualityFilter(docs).queryExecution.executedPlan.toString
+    assert(qf.contains("BroadcastHashJoin"), s"median join must broadcast:\n${qf.take(800)}")
+    // oov_rate: the bounded vocab broadcasts; the token table streams once
+    val oov = ext.TextAnalysis.oovRate(docs, 1000).queryExecution.executedPlan.toString
+    assert(oov.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n${oov.take(800)}")
+    assert(oov.contains("TakeOrderedAndProject"),
+      "vocab cut must be a bounded top-N, not a global sort")
+    // embedding_outliers: the labels x dim centroid frame broadcasts
+    val eo = ext.Similarity.embeddingOutliers(emb, 5).queryExecution.executedPlan.toString
+    assert(eo.contains("BroadcastHashJoin"), s"centroid join must broadcast:\n${eo.take(800)}")
+    // train_split: one narrow projection — no shuffle at all
+    val ts = ext.Corpus.splitAssign(docs).queryExecution.executedPlan.toString
+    assert(!ts.contains("Exchange"), s"splitAssign must not shuffle:\n${ts.take(800)}")
+    for (p <- Seq(qf, oov, eo, ts))
+      assert(!p.contains("CartesianProduct"))
+  }
+
   test("pack_sequences prefix sum is chunk-parallel, not one task per source") {
     val docs = core.Tables.documents(spark, sf0001)
     val q = ext.Corpus.packSequences(docs, 2048)
