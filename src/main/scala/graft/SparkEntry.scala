@@ -59,8 +59,7 @@ object SparkEntry {
     "dedup_minhash_pairs"  -> ((s, dir) => ext.Dedup.candidatePairTable(s, dir)),
     "dedup_simhash"        -> ((s, dir) => ext.Dedup.simhash(core.Tables.documents(s, dir))),
     "dedup_simhash_pairs"  -> ((s, dir) => ext.Dedup.simhashPairTable(s, dir, 3)),
-    "dedup_clusters"       -> ((s, dir) => ext.Dedup.clusters(
-      ext.Dedup.verifiedPairTable(s, dir, 0.5))),
+    "dedup_clusters"       -> ((s, dir) => ext.Dedup.clusterTable(s, dir, 0.5)),
     "similarity_topk"      -> ((s, dir) => ext.Similarity.bruteTopK(core.Tables.embeddings(s, dir), 5, 10)),
     "ann_buckets"          -> ((s, dir) => ext.Similarity.lshBucketsCached(s, dir)),
     "dedup_embedding"      -> ((s, dir) => ext.Similarity.cosineNearDupsCached(s, dir, 20)),
@@ -121,7 +120,16 @@ object SparkEntry {
       core.Tables.documents(s, dir), 1000)),
     "embedding_outliers"   -> ((s, dir) => ext.Similarity.embeddingOutliers(
       core.Tables.embeddings(s, dir), 5)),
-    "semantic_clusters"    -> ((s, dir) => ext.Similarity.semanticClustersCached(s, dir, 0.2)),
+    "semantic_clusters"    -> ((s, dir) => ext.Similarity.semanticClusterTable(s, dir, 0.2)),
+    "split_leakage"        -> ((s, dir) => ext.Corpus.splitLeakage(
+      ext.Dedup.verifiedPairTable(s, dir, 0.5),
+      ext.Corpus.splitAssign(core.Tables.documents(s, dir), 0.8, 0.1))),
+    "shard_manifest"       -> ((s, dir) => ext.Corpus.shardManifest(
+      core.Tables.documents(s, dir), 16)),
+    "lm_familiarity"       -> ((s, dir) => ext.TextAnalysis.bigramFamiliarity(
+      core.Tables.documents(s, dir))),
+    "quality_tiers"        -> ((s, dir) => ext.TextAnalysis.qualityTiers(
+      core.Tables.documents(s, dir), 10)),
   )
 
   /** Fixed source-mix rates for the stratified-sample query (a training-mix
@@ -229,5 +237,9 @@ object SparkEntry {
     "snapshot_diff"        -> OracleSql.snapshotDiff("1999-01-01", "2000-01-01"),
     "oov_rate"             -> OracleSql.oovRate(1000),
     "embedding_outliers"   -> OracleSql.embeddingOutliers(5),
+    "split_leakage"        -> OracleSql.splitLeakage(0.5, 0.8, 0.1),
+    "shard_manifest"       -> OracleSql.shardManifest(16),
+    "lm_familiarity"       -> OracleSql.bigramFamiliarity,
+    "quality_tiers"        -> OracleSql.qualityTiers(10),
   )
 }

@@ -62,6 +62,60 @@ object Corpus {
         .otherwise("test").as("split"))
   }
 
+  /** Near-duplicate leakage across train/val/test splits — the hygiene
+    * audit a holdout split must pass: a near-dup pair straddling train and
+    * test inflates eval scores silently (the model "generalizes" to text it
+    * effectively memorized). Joins the verified near-dup pair table against
+    * the split assignment on both endpoints and reports pair counts per
+    * unordered split pair, `leaky` marking the cross-split mass. Composes
+    * splitAssign (the assignment) with Dedup.verifiedPairTable (the edges) —
+    * the check that makes contamination/train_split actionable together.
+    *
+    * Scale shape: the pair table is collision-bounded (LSH candidates →
+    * Jaccard verify), orders of magnitude smaller than the corpus, so the
+    * pair side BROADCASTS through both endpoint joins and the narrow split
+    * projection streams once; nothing shuffles corpus-sized. Output is at
+    * most split² rows. */
+  def splitLeakage(pairs: DataFrame, splits: DataFrame): DataFrame = {
+    val a = splits.select(col("doc_id").as("doc_a"), col("split").as("split_a"))
+    val b = splits.select(col("doc_id").as("doc_b"), col("split").as("split_b"))
+    broadcast(broadcast(pairs.select("doc_a", "doc_b")).join(a, Seq("doc_a")))
+      .join(b, Seq("doc_b"))
+      .select(least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"))
+      .groupBy("split_lo", "split_hi")
+      .agg(count(lit(1)).as("pair_count"))
+      .withColumn("leaky", col("split_lo") =!= col("split_hi"))
+  }
+
+  /** Deterministic shard assignment + balance manifest — the training-export
+    * step that writes a fixed number of output shards: shard =
+    * floor(unitHash(doc_id) · shards), stable under corpus relayout and
+    * engine-independent (the samplers' Knuth hash; every arithmetic step is
+    * exact in double, so any engine assigns identically). The production
+    * writer is `df.repartition(shards, col("shard")).write`; this emits
+    * the manifest a release audits — per-shard doc/token/char totals and
+    * each shard's load factor vs the ideal uniform share.
+    *
+    * Scale shape: one narrow scan + one map-side-combinable groupBy on a
+    * `shards`-sized key space; the grand total rides a 1-row broadcast. */
+  def shardManifest(docs: DataFrame, shards: Int = 16): DataFrame = {
+    val base = docs.select(
+      floor(unitHash(col("doc_id")) * shards).cast("long").as("shard"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      col("n_chars"))
+    val per = base.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      sum(col("n_chars")).as("total_chars"))
+    val tot = per.agg(sum(col("n_docs")).as("__all_docs"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("total_tokens"), col("total_chars"),
+        graft.ops.Ops.rnd(
+          col("n_docs").cast("double") * shards / col("__all_docs").cast("double"), 4)
+          .as("load_factor"))
+  }
+
   /** Distinct word n-grams of a token-array column; documents shorter than
     * `n` tokens degrade to the whole text (mirrors Dedup.shinglesOf, which
     * is the n=3 case). `toks` must be a materialized column — see

@@ -78,6 +78,17 @@ object Dedup {
       jaccardPairsPre(shingleTable(spark, dir), threshold,
         candPre = Some(candidatePairTable(spark, dir))))
 
+  /** Session-cached duplicate-cluster keeper map over the verified pairs —
+    * the artifact the whole dedup pipeline exists to produce. The connected-
+    * components fixpoint (see `clusters`) runs a handful of join+count
+    * rounds; a pipeline materializes the keeper map ONCE per corpus snapshot
+    * and every consumer (keeper filter, audit, split hygiene) reads the
+    * materialized table rather than re-running the fixpoint. */
+  def clusterTable(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   threshold: Double = 0.5): DataFrame =
+    graft.core.FeatureCache.cached(spark, dir, s"dedup_clusters_$threshold")(
+      clusters(verifiedPairTable(spark, dir, threshold)))
+
   /** Exact dedup: hash-group on content (md5), keep the smallest doc_id as
     * canonical. One shuffle on the hash; at scale the groupBy is map-side
     * combinable because the hash is computed pre-shuffle. */

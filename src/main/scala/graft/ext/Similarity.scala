@@ -238,6 +238,15 @@ object Similarity {
     clustersOf(scoredPairsCached(spark, dir, maxBucket)
       .filter(col("cosine") >= minCosine))
 
+  /** Session-cached semantic-cluster keeper map — same rationale as
+    * Dedup.clusterTable: the CC fixpoint runs once per corpus snapshot and
+    * the grouping is served as a materialized artifact, not recomputed per
+    * consumer. */
+  def semanticClusterTable(spark: SparkSession, dir: String, minCosine: Double,
+                           maxBucket: Int = MaxBucketSize): DataFrame =
+    FeatureCache.cached(spark, dir, s"semantic_clusters_${minCosine}_$maxBucket")(
+      semanticClustersCached(spark, dir, minCosine, maxBucket))
+
   private def clustersOf(pairs: DataFrame): DataFrame =
     Dedup.clusters(pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .select(col("doc_id").as("vec_id"),

@@ -91,6 +91,79 @@ object TextAnalysis {
       .select("doc_id", "source", "quality_score", "source_median")
   }
 
+  /** Bigram familiarity — the count-based proxy for LM-perplexity quality
+    * scoring (the CCNet/KenLM shape: score each document against corpus-
+    * level n-gram statistics; a doc whose n-grams nobody else writes is
+    * garbled or machine-generated). A production pipeline sums
+    * log-probabilities under a trained LM; logs are libm transcendentals
+    * whose last ulp is engine-variant, so this keeps the SAME two-pass
+    * statistics shape on integer-exact signals: each doc's distinct bigrams
+    * are scored by corpus document frequency — `avg_df` (how common the
+    * doc's phrasing is overall) and `rare_ratio` (fraction of its bigrams
+    * unique to it; the df=1 bucket is exactly "nobody else says this").
+    *
+    * Scale shape: the df table IS the language model — explode distinct
+    * bigrams per doc, one map-side-combinable groupBy; then an equi-join of
+    * doc bigrams to df and a per-doc combinable aggregate. The join
+    * shuffles on bigram, a popularity-skewed key that AQE's skew-join
+    * splits; the df table is the observed-bigram vocabulary, sub-linear in
+    * corpus size. Nothing driver-side, nothing all-pairs. */
+  def bigramFamiliarity(docs: DataFrame): DataFrame = {
+    val d = docs.withColumn("__toks", toks(col("text")))
+    val bg = d.select(col("doc_id"),
+      explode(Corpus.ngramsOf(col("__toks"), col("text"), 2)).as("bigram"))
+    val dfreq = bg.groupBy("bigram").agg(count(lit(1)).as("df"))
+    bg.join(dfreq, Seq("bigram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("df")).as("__df_sum"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("__rare"))
+      .select(col("doc_id"), col("n_bigrams"),
+        graft.ops.Ops.rnd(
+          col("__df_sum").cast("double") / col("n_bigrams"), 4).as("avg_df"),
+        graft.ops.Ops.rnd(
+          col("__rare").cast("double") / col("n_bigrams"), 4).as("rare_ratio"))
+  }
+
+  /** Quality-decile tiers — the report that turns a score distribution into
+    * curation thresholds: rank every doc by quality score (total order:
+    * score, then doc_id) and bucket ranks into `tiers` equal-width rank
+    * bands (tier = floor((rank-1)·tiers/n)+1), then aggregate each tier.
+    *
+    * Scale shape: NO global rank window — `row_number().over(orderBy(...))`
+    * without a partition is a single-partition sort of the corpus. The
+    * exact global rank decomposes instead (the ranking analogue of
+    * packSequences' two-phase prefix sum): (1) per-score counts — scores
+    * are 4-dp-rounded so this table is tiny — cumsummed over the ordered
+    * score table into each score's exclusive global rank offset; (2) a
+    * row_number PARTITIONED by score ranks within each score; (3) global
+    * rank = offset + local rank, exactly the single-window result. */
+  def qualityTiers(docs: DataFrame, tiers: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.withColumn("__t", toks(col("text")))
+      .select(col("doc_id"), qualityExpr(col("__t")).as("q"),
+        size(col("__t")).cast("long").as("n_tokens"))
+    val wScores = Window.orderBy("q")
+    val offsets = scored.groupBy("q").agg(count(lit(1)).as("__c"))
+      .withColumn("__offset",
+        coalesce(sum(col("__c"))
+          .over(wScores.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("q", "__offset")
+    val wLocal = Window.partitionBy("q").orderBy("doc_id")
+    val n = scored.agg(count(lit(1)).as("__n"))
+    scored.join(offsets, Seq("q"))
+      .withColumn("__rank", col("__offset") + row_number().over(wLocal))
+      .crossJoin(broadcast(n))
+      .withColumn("tier",
+        (floor((col("__rank") - 1) * tiers / col("__n")) + 1).cast("int"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("q")).as("min_quality"),
+        max(col("q")).as("max_quality"),
+        graft.ops.Ops.rnd(
+          sum(col("n_tokens")).cast("double") / count(lit(1)), 4).as("avg_tokens"))
+  }
+
   /** Language-ID heuristic: stopword-marker hit ratios per language family,
     * aggregated as a (label, detected) confusion count. The corpus text is
     * synthetic English-ish for every label, so the interesting output is the

@@ -1202,6 +1202,99 @@ object OracleSql {
       "(EXTRACT(hour FROM created_at) >= 22 AND EXTRACT(hour FROM created_at) <= 6)")
   }
 
+  /** Knuth unitHash CTE chain (mirrors ext/Corpus.unitHash term for term;
+    * same split-multiply overflow guard). Emits `u(doc_id, ..., unit_hash)`
+    * carrying `extraCols` through from documents. */
+  private def unitHashCtes(extraCols: String): String =
+    s"""uh0 AS (SELECT doc_id$extraCols,
+       |    ((doc_id % 4294967296) + 4294967296) % 4294967296 AS a
+       |  FROM documents),
+       |uh1 AS (SELECT *, CAST(floor(a / 65536) AS BIGINT) AS h FROM uh0),
+       |u AS (SELECT * EXCLUDE (a, h),
+       |    CAST((((h * 2654435761) % 65536) * 65536
+       |      + (a - h * 65536) * 2654435761) % 4294967296 AS DOUBLE)
+       |      / 4294967296.0 AS unit_hash
+       |  FROM uh1)""".stripMargin
+
+  /** Near-dup leakage across splits — mirrors ext/Corpus.splitLeakage
+    * (verified Jaccard pairs ⋈ splitAssign on both endpoints). */
+  def splitLeakage(threshold: Double, trainFrac: Double, valFrac: Double): String =
+    s"""WITH ${jaccardCtes(threshold)},
+       |${unitHashCtes(", source")},
+       |sp AS (SELECT doc_id,
+       |    CASE WHEN unit_hash < $trainFrac THEN 'train'
+       |         WHEN unit_hash < ${trainFrac + valFrac} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM u),
+       |e AS (SELECT LEAST(sa.split, sb.split) AS split_lo,
+       |    GREATEST(sa.split, sb.split) AS split_hi
+       |  FROM jp JOIN sp sa ON jp.doc_a = sa.doc_id
+       |  JOIN sp sb ON jp.doc_b = sb.doc_id)
+       |SELECT split_lo, split_hi, COUNT(*) AS pair_count,
+       |  split_lo <> split_hi AS leaky
+       |FROM e GROUP BY 1, 2""".stripMargin
+
+  /** Shard manifest — mirrors ext/Corpus.shardManifest (unitHash shard,
+    * SUMs pinned to BIGINT against DuckDB's HUGEINT widening). */
+  def shardManifest(shards: Int): String =
+    s"""WITH ${unitHashCtes(", n_chars, len(string_split(text, ' ')) AS n_tokens")},
+       |s AS (SELECT CAST(floor(unit_hash * $shards) AS BIGINT) AS shard,
+       |    n_chars, n_tokens FROM u),
+       |per AS (SELECT shard, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |  FROM s GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS all_docs FROM per)
+       |SELECT shard, n_docs, total_tokens, total_chars,
+       |  ${rnd(s"CAST(n_docs AS DOUBLE) * $shards / CAST(all_docs AS DOUBLE)", 4)}
+       |    AS load_factor
+       |FROM per CROSS JOIN tot""".stripMargin
+
+  /** Bigram familiarity — mirrors ext/TextAnalysis.bigramFamiliarity
+    * (distinct bigrams per doc via the n=2 ngram rule incl. the short-doc
+    * whole-text degrade; document frequency joined back; SUMs pinned). */
+  val bigramFamiliarity: String = {
+    val bigrams =
+      """CASE WHEN len(t) >= 2 THEN list_distinct(list_transform(
+        |  generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]))
+        |ELSE [text] END""".stripMargin
+    s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+       |bg AS (SELECT doc_id, unnest($bigrams) AS bigram FROM d),
+       |dfreq AS (SELECT bigram, COUNT(*) AS df FROM bg GROUP BY 1),
+       |a AS (SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+       |    CAST(SUM(df) AS BIGINT) AS df_sum,
+       |    CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rare_count
+       |  FROM bg JOIN dfreq USING (bigram) GROUP BY 1)
+       |SELECT doc_id, n_bigrams,
+       |  ${rnd("CAST(df_sum AS DOUBLE) / n_bigrams", 4)} AS avg_df,
+       |  ${rnd("CAST(rare_count AS DOUBLE) / n_bigrams", 4)} AS rare_ratio
+       |FROM a""".stripMargin
+  }
+
+  /** Quality-decile tiers — mirrors ext/TextAnalysis.qualityTiers. The
+    * oracle uses the single global rank window (fine at oracle scale); the
+    * engine's two-phase offset+local-rank decomposition produces the
+    * identical total order (score, doc_id), so the tiers agree exactly. */
+  def qualityTiers(tiers: Int): String = {
+    val stop = "('the','a','of','and','to','in','is')"
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |q0 AS (SELECT doc_id, len(t) AS n_tokens,
+       |    floor((LEAST(1.0, CAST(len(t) AS DOUBLE) / 100) * 0.4
+       |      + (1.0 - CAST(len(list_filter(t, x -> x IN $stop)) AS DOUBLE) / len(t)) * 0.3
+       |      + CAST(len(list_distinct(t)) AS DOUBLE) / len(t) * 0.3) * 10000.0 + 0.5) / 10000.0 AS q
+       |  FROM d),
+       |r AS (SELECT doc_id, n_tokens, q,
+       |    ROW_NUMBER() OVER (ORDER BY q, doc_id) AS rank,
+       |    COUNT(*) OVER () AS n
+       |  FROM q0),
+       |tiered AS (SELECT *,
+       |    CAST(floor(((rank - 1) * $tiers) / CAST(n AS DOUBLE)) AS INT) + 1 AS tier
+       |  FROM r)
+       |SELECT tier, COUNT(*) AS n_docs, MIN(q) AS min_quality, MAX(q) AS max_quality,
+       |  ${rnd("CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE) / COUNT(*)", 4)} AS avg_tokens
+       |FROM tiered GROUP BY 1""".stripMargin
+  }
+
   // ---- feature_view (sql/migration_queries.sql:143-166 + risk bucketing) ----
 
   def featureView(): String =

@@ -221,4 +221,99 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size == before,
       "release() must unpersist the ingest cache")
   }
+
+  test("split leakage: accounts for every pair; leaky iff splits differ") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    val splits = Seq(
+      1L -> "train", 2L -> "train", 3L -> "train", 4L -> "test",
+      5L -> "val", 6L -> "train", 7L -> "test", 8L -> "test")
+      .toDF("doc_id", "split")
+    val out = ext.Corpus.splitLeakage(pairs, splits).cache()
+    assert(out.agg(sum("pair_count")).head().getLong(0) == 4,
+      "every pair lands in exactly one split-pair cell")
+    assert(out.filter($"leaky" =!= ($"split_lo" =!= $"split_hi")).count() == 0)
+    val cells = out.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cells(("test", "train")) == 1L)   // (3,4)
+    assert(cells(("train", "val")) == 1L)    // (5,6)
+    assert(cells(("train", "train")) == 1L)  // (1,2) stays clean
+    assert(cells(("test", "test")) == 1L)    // (7,8) stays clean
+    // split_lo <= split_hi: the cell key is order-canonical
+    assert(out.filter($"split_lo" > $"split_hi").count() == 0)
+    out.unpersist()
+  }
+
+  test("shard manifest: shards partition the corpus, load factors center on 1") {
+    val out = ext.Corpus.shardManifest(docs, 16).cache()
+    assert(out.filter($"shard" < 0 || $"shard" >= 16).count() == 0)
+    assert(out.agg(sum("n_docs")).head().getLong(0) == docs.count(),
+      "shard doc counts partition the corpus")
+    val chars = docs.agg(sum("n_chars")).head().getLong(0)
+    assert(out.agg(sum("total_chars")).head().getLong(0) == chars)
+    // mean load factor is 1 by construction (sum n_docs*16/total == 16)
+    val lfSum = out.agg(sum("load_factor")).head().getDouble(0)
+    assert(math.abs(lfSum - out.count().toDouble) < 0.05)
+    // determinism: same assignment on a repartitioned input
+    val again = ext.Corpus.shardManifest(docs.repartition(7), 16)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+    out.unpersist()
+  }
+
+  test("bigram familiarity: duplicated docs score common, singletons rare") {
+    val tiny = Seq(
+      (1L, "a b c d"), (2L, "a b c d"),          // identical: every bigram df>=2
+      (3L, "x y z w"),                           // unique phrasing: all df=1
+      (4L, "a b q r")                            // mixed: shares "a b" only
+    ).toDF("doc_id", "text")
+    val out = ext.TextAnalysis.bigramFamiliarity(tiny).cache()
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Double]("rare_ratio") == 0.0)
+    assert(byId(2L).getAs[Double]("rare_ratio") == 0.0)
+    assert(byId(3L).getAs[Double]("rare_ratio") == 1.0)
+    // doc 4: bigrams {a b, b q, q r}; only "a b" is shared -> 2/3 rare
+    assert(byId(4L).getAs[Double]("rare_ratio") == 0.6667)
+    assert(byId(1L).getAs[Double]("avg_df") > byId(3L).getAs[Double]("avg_df"))
+    // short-doc degrade: a 1-token doc contributes its whole text
+    val short = ext.TextAnalysis.bigramFamiliarity(
+      Seq((1L, "solo"), (2L, "solo")).toDF("doc_id", "text"))
+    assert(short.filter($"rare_ratio" === 0.0).count() == 2)
+    out.unpersist()
+  }
+
+  test("quality tiers: two-phase rank matches the single-window construction") {
+    import org.apache.spark.sql.expressions.Window
+    val out = ext.TextAnalysis.qualityTiers(docs, 10).cache()
+    assert(out.agg(sum("n_docs")).head().getLong(0) == docs.count())
+    assert(out.filter($"tier" < 1 || $"tier" > 10).count() == 0)
+    // tiers are ordered by quality: tier t's max never exceeds tier t+1's min
+    val rows = out.orderBy("tier").collect()
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Double]("max_quality") <= hi.getAs[Double]("min_quality"),
+          s"tier ${lo.getInt(0)} overlaps tier ${hi.getInt(0)}")
+      case _ => ()
+    }
+    // equivalence with the naive global-window rank (OK at test scale)
+    val stats = ext.TextAnalysis.textStats(docs)
+      .select($"doc_id", $"quality_score".as("q"), $"token_count")
+    val naive = stats
+      .withColumn("rank", row_number().over(Window.orderBy($"q", $"doc_id")))
+      .crossJoin(stats.agg(count(lit(1)).as("n")))
+      .withColumn("tier", (floor(($"rank" - 1) * 10 / $"n") + 1).cast("int"))
+      .groupBy("tier").agg(count(lit(1)).as("n_docs"))
+    val mine = out.select($"tier", $"n_docs")
+    assert(mine.except(naive).isEmpty && naive.except(mine).isEmpty)
+    out.unpersist()
+  }
+
+  test("cluster tables are session-cached: second call reuses blocks") {
+    val a = ext.Dedup.clusterTable(spark, sf0001, 0.5)
+    val n1 = a.count()
+    val rdds = spark.sparkContext.getPersistentRDDs.size
+    val b = ext.Dedup.clusterTable(spark, sf0001, 0.5)
+    assert(b.count() == n1)
+    assert(spark.sparkContext.getPersistentRDDs.size == rdds,
+      "second call must not re-run the CC fixpoint or grow block storage")
+  }
 }
