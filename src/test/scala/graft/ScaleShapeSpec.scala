@@ -92,6 +92,34 @@ class ScaleShapeSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"))
   }
 
+  test("late round-6 ops keep their scale shapes: broadcasts, no corpus-wide global window") {
+    val docs = core.Tables.documents(spark, sf0001)
+    // split_leakage: the pair side broadcasts through both endpoint joins
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val sl = ext.Corpus.splitLeakage(pairs, ext.Corpus.splitAssign(docs))
+      .queryExecution.executedPlan.toString
+    assert(sl.contains("BroadcastHashJoin"), s"pair joins must broadcast:\n${sl.take(800)}")
+    assert(!sl.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the pair joins:\n${sl.take(800)}")
+    // shard_manifest: one combinable groupBy; grand total rides a broadcast
+    val sm = ext.Corpus.shardManifest(docs, 16).queryExecution.executedPlan.toString
+    assert(sm.contains("BroadcastNestedLoopJoin") || sm.contains("BroadcastExchange"),
+      s"the 1-row total must broadcast:\n${sm.take(800)}")
+    // quality_tiers: every window over full corpus rows must be partitioned
+    // (by score); the only unpartitioned window runs over the tiny per-score
+    // count table. Full-row windows are the ones ordered by doc_id.
+    val qt = ext.TextAnalysis.qualityTiers(docs, 10)
+    val qtPlan = qt.queryExecution.executedPlan.toString
+    val docWindows = qtPlan.split("\n")
+      .filter(l => l.contains("Window [") && l.contains("doc_id"))
+    assert(docWindows.nonEmpty, s"expected the local-rank window:\n${qtPlan.take(800)}")
+    assert(docWindows.forall(_.contains("windowspecdefinition(q#")),
+      s"full-row window must be score-partitioned:\n${docWindows.mkString("\n")}")
+    // lm_familiarity: no cartesian anywhere; df join is an equi-join
+    val lf = ext.TextAnalysis.bigramFamiliarity(docs).queryExecution.executedPlan.toString
+    for (p <- Seq(sl, sm, qtPlan, lf)) assert(!p.contains("CartesianProduct"))
+  }
+
   test("pack_sequences prefix sum is chunk-parallel, not one task per source") {
     val docs = core.Tables.documents(spark, sf0001)
     val q = ext.Corpus.packSequences(docs, 2048)
