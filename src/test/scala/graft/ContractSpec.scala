@@ -24,9 +24,10 @@ class ContractSpec extends SparkSpec {
     // plans pure equi-joins on (table_id, bucket) now)
     val allowedCross = Set("dq_outliers", "dq_alerts", "count_reconciliation",
       "dq_row_validation", "similarity_topk",
-      // tfidf broadcasts the 1-row corpus-count frame into every (doc, term)
-      // score — the same single-row-stats cross-join family as dq_outliers
-      "tfidf_terms")
+      // tfidf / quality_tiers / shard_manifest broadcast a 1-row corpus-count
+      // frame into per-row scoring — the same single-row-stats cross-join
+      // family as dq_outliers
+      "tfidf_terms", "quality_tiers", "shard_manifest")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.optimizedPlan.toString
       assert(!plan.contains("UnresolvedRelation"), s"$name has unresolved relations")
