@@ -130,6 +130,9 @@ object SparkEntry {
       core.Tables.documents(s, dir))),
     "quality_tiers"        -> ((s, dir) => ext.TextAnalysis.qualityTiers(
       core.Tables.documents(s, dir), 10)),
+    "dedup_incremental"    -> ((s, dir) => ext.Dedup.incrementalPairTable(s, dir, 0.1)),
+    "mixture_weights"      -> ((s, dir) => ext.Corpus.mixtureWeights(
+      core.Tables.documents(s, dir))),
   )
 
   /** Fixed source-mix rates for the stratified-sample query (a training-mix
@@ -241,5 +244,7 @@ object SparkEntry {
     "shard_manifest"       -> OracleSql.shardManifest(16),
     "lm_familiarity"       -> OracleSql.bigramFamiliarity,
     "quality_tiers"        -> OracleSql.qualityTiers(10),
+    "dedup_incremental"    -> OracleSql.incrementalPairs(0.1),
+    "mixture_weights"      -> OracleSql.mixtureWeights,
   )
 }

@@ -269,6 +269,40 @@ object Corpus {
         coalesce(col("lang"), lit("ALL")).as("lang"),
         col("n_docs"), col("total_tokens"), col("avg_tokens"))
 
+  /** Temperature-smoothed source mixture weights — the multilingual-
+    * pretraining reweighting (the mBERT/XLM exponent trick): sampling a
+    * source ∝ tokens^α with α < 1 upweights small sources so the head
+    * doesn't drown the tail. α is fixed at 1/2 because sqrt is an IEEE
+    * correctly-rounded primitive — bit-identical on every engine — while
+    * pow(x, 0.7) is a libm transcendental whose last ulp varies (the same
+    * reasoning as tfidf's rational idf). Emits natural vs smoothed share
+    * and the resulting boost per source.
+    *
+    * Determinism: the smoothed denominator Σ√tokens is a DECIMAL sum of
+    * per-source sqrt values (order-independent exact addition; a double
+    * sum's value depends on merge order), cast to double only for the
+    * final division; boost divides the already-rounded shares. Scale
+    * shape: one combinable groupBy on source; the totals ride a 1-row
+    * broadcast. */
+  def mixtureWeights(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+    val sqrtTok = sqrt(col("total_tokens").cast("double"))
+    val tot = per.agg(
+      sum(col("total_tokens")).as("__all_tokens"),
+      sum(sqrtTok.cast("decimal(27,10)")).as("__sqrt_sum"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        graft.ops.Ops.rnd(
+          col("total_tokens").cast("double") / col("__all_tokens").cast("double"), 6)
+          .as("natural_share"),
+        graft.ops.Ops.rnd(sqrtTok / col("__sqrt_sum").cast("double"), 6)
+          .as("smoothed_share"))
+      .withColumn("boost",
+        graft.ops.Ops.rnd(col("smoothed_share") / col("natural_share"), 4))
+  }
+
   /** The cleaning funnel: raw → quality-filtered → exact-deduped, reported
     * as per-stage survivor counts (the acceptance report every corpus
     * release ships with). Stage 2 gates on the TextAnalysis quality score

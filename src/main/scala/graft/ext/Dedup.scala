@@ -224,6 +224,63 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental near-dup candidates — the daily-crawl path: a NEW batch of
+    * documents LSH-joined against the EXISTING corpus signatures, never a
+    * fresh corpus self-join. At 100 TB this is the difference between
+    * re-running O(corpus²-bounded) pair generation per refresh and paying
+    * O(batch · bucket-cap): the signature table is the persistent index a
+    * crawl pipeline maintains; each increment probes it and then appends
+    * its own signatures. Batch membership is the samplers' unitHash tail
+    * (`u >= 1 - newFrac`) — deterministic and relayout-stable, so any
+    * engine splits identically and the "new batch" never changes as other
+    * docs arrive.
+    *
+    * Emits `kind`='cross' pairs (one endpoint in the index — the increment
+    * probing history) and 'intra' pairs (both endpoints new — the batch's
+    * internal dups), ids canonicalized doc_a < doc_b. Caps: the index side
+    * caps its flood buckets as usual (boilerplate templates; observable
+    * via minhashOverflowBuckets), and the intra self-join caps the new
+    * side by the same rule — a capped bucket bounds cross fan-out at
+    * `maxBucket` per new row, so nothing goes quadratic. */
+  def incrementalPairs(sh: DataFrame, newFrac: Double = 0.1,
+                       sigPre: Option[DataFrame] = None,
+                       maxBucket: Int = MaxBucket): DataFrame = {
+    val sig = sigPre.getOrElse(minhashSignaturesPre(sh))
+    val isNew = Corpus.unitHash(col("doc_id")) >= lit(1.0 - newFrac)
+    val bands = minhashBands(sig)
+    // the new-batch band table feeds three join sides; the old side two
+    // (cap + semi-join) — checkpoint each so the chain runs once
+    val bandsNew = bands.filter(isNew).localCheckpoint(false)
+    val bandsOld = bands.filter(!isNew)
+    def capped(b: DataFrame): DataFrame = {
+      val ok = b.groupBy("band", "h").agg(count(lit(1)).as("n"))
+        .filter(col("n") <= maxBucket).select("band", "h")
+      b.join(ok, Seq("band", "h"), "left_semi")
+    }
+    val keptOld = capped(bandsOld).localCheckpoint(false)
+    val keptNew = capped(bandsNew)
+    val cross = bandsNew.as("x").join(keptOld.as("y"),
+        col("x.band") === col("y.band") && col("x.h") === col("y.h"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+        lit("cross").as("kind"))
+      .distinct()
+    val intra = keptNew.as("x").join(keptNew.as("y"),
+        col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit("intra").as("kind"))
+      .distinct()
+    cross.unionByName(intra)
+  }
+
+  /** incrementalPairs over the session-cached shingle/signature tables. */
+  def incrementalPairTable(spark: org.apache.spark.sql.SparkSession, dir: String,
+                           newFrac: Double = 0.1): DataFrame =
+    graft.core.FeatureCache.cached(spark, dir, s"incr_pairs_$newFrac")(
+      incrementalPairs(shingleTable(spark, dir), newFrac,
+        sigPre = Some(signatureTable(spark, dir))))
+
   /** 64-bit SimHash (the fingerprint width of Manku, Jarmin & Sarma,
     * "Detecting Near-Duplicates for Web Crawling", WWW'07) over distinct
     * 3-token SHINGLES, not unigrams: on template-heavy corpora unigram

@@ -1271,6 +1271,59 @@ object OracleSql {
        |FROM a""".stripMargin
   }
 
+  /** Incremental near-dup candidates — mirrors ext/Dedup.incrementalPairs
+    * (unitHash tail = the new batch; index side capped, intra self-join
+    * capped on the new side; cross pairs canonicalized LEAST/GREATEST). */
+  def incrementalPairs(newFrac: Double): String = {
+    val sigs = (0 until 4).map(i => s"min(md5('$i|' || sh)) AS h$i").mkString(", ")
+    val bandSel = (0 until 4).map(i => s"SELECT doc_id, $i AS band, h$i AS h FROM sig")
+      .mkString("\n  UNION ALL ")
+    val cut = 1.0 - newFrac
+    val cap = graft.ext.Dedup.MaxBucket
+    s"""WITH t AS (SELECT doc_id,
+       |    unnest(${shingleExpr("string_split(text, ' ')", "text")}) AS sh
+       |  FROM documents),
+       |sig AS (SELECT doc_id, $sigs FROM t GROUP BY doc_id),
+       |bands AS ($bandSel),
+       |${unitHashCtes("")},
+       |nb AS (SELECT b.* FROM bands b JOIN u USING (doc_id)
+       |  WHERE u.unit_hash >= $cut),
+       |ob AS (SELECT b.* FROM bands b JOIN u USING (doc_id)
+       |  WHERE u.unit_hash < $cut),
+       |okO AS (SELECT band, h FROM ob GROUP BY band, h HAVING COUNT(*) <= $cap),
+       |keptO AS (SELECT ob.* FROM ob JOIN okO USING (band, h)),
+       |okN AS (SELECT band, h FROM nb GROUP BY band, h HAVING COUNT(*) <= $cap),
+       |keptN AS (SELECT nb.* FROM nb JOIN okN USING (band, h)),
+       |xp AS (SELECT DISTINCT LEAST(x.doc_id, y.doc_id) AS doc_a,
+       |    GREATEST(x.doc_id, y.doc_id) AS doc_b, 'cross' AS kind
+       |  FROM nb x JOIN keptO y ON x.band = y.band AND x.h = y.h),
+       |ip AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    'intra' AS kind
+       |  FROM keptN x JOIN keptN y
+       |  ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id)
+       |SELECT * FROM xp UNION ALL SELECT * FROM ip""".stripMargin
+  }
+
+  /** Temperature-smoothed mixture weights — mirrors ext/Corpus.
+    * mixtureWeights (α=1/2 via correctly-rounded sqrt; Σ√tokens as a
+    * DECIMAL sum; boost from the rounded shares; SUMs pinned to BIGINT). */
+  val mixtureWeights: String =
+    s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS all_tokens,
+       |    SUM(CAST(sqrt(CAST(total_tokens AS DOUBLE)) AS DECIMAL(27,10))) AS sqrt_sum
+       |  FROM per),
+       |s AS (SELECT source, n_docs, total_tokens,
+       |    ${rnd("CAST(total_tokens AS DOUBLE) / CAST(all_tokens AS DOUBLE)", 6)}
+       |      AS natural_share,
+       |    ${rnd("sqrt(CAST(total_tokens AS DOUBLE)) / CAST(sqrt_sum AS DOUBLE)", 6)}
+       |      AS smoothed_share
+       |  FROM per CROSS JOIN tot)
+       |SELECT source, n_docs, total_tokens, natural_share, smoothed_share,
+       |  ${rnd("smoothed_share / natural_share", 4)} AS boost
+       |FROM s""".stripMargin
+
   /** Quality-decile tiers — mirrors ext/TextAnalysis.qualityTiers. The
     * oracle uses the single global rank window (fine at oracle scale); the
     * engine's two-phase offset+local-rank decomposition produces the

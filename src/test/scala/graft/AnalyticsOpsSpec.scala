@@ -307,6 +307,48 @@ class AnalyticsOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("incremental pairs: endpoints respect batch membership; subset of full candidates") {
+    val sh = ext.Dedup.shingleTable(spark, sf0001)
+    val out = ext.Dedup.incrementalPairs(sh, 0.1).cache()
+    val isNew = ext.Corpus.unitHash(col("doc_id")) >= 0.9
+    val newIds = docs.filter(isNew).select($"doc_id").collect().map(_.getLong(0)).toSet
+    out.collect().foreach { r =>
+      val (a, b, kind) = (r.getLong(0), r.getLong(1), r.getString(2))
+      assert(a < b, "pairs are canonicalized")
+      val newEnds = Seq(a, b).count(newIds)
+      if (kind == "cross") assert(newEnds == 1, s"cross pair ($a,$b) has $newEnds new ends")
+      else assert(newEnds == 2, s"intra pair ($a,$b) has $newEnds new ends")
+    }
+    // every incremental candidate involving a new doc is found by the full
+    // (uncapped-equivalent) self-join too: the increment misses nothing the
+    // batch could collide on
+    val full = ext.Dedup.minhashPairsPre(sh)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incr = out.select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr.subsetOf(full),
+      s"incremental emitted pairs the full join lacks: ${(incr -- full).take(5)}")
+    assert(full.filter { case (a, b) => newIds(a) || newIds(b) } == incr,
+      "increment finds exactly the full join's new-endpoint pairs at this cap")
+    out.unpersist()
+  }
+
+  test("mixture weights: shares sum to 1, sqrt-smoothing boosts the tail source") {
+    val out = ext.Corpus.mixtureWeights(docs).cache()
+    assert(math.abs(out.agg(sum("natural_share")).head().getDouble(0) - 1.0) < 1e-4)
+    assert(math.abs(out.agg(sum("smoothed_share")).head().getDouble(0) - 1.0) < 1e-4)
+    val rows = out.orderBy($"total_tokens".desc).collect()
+    assert(rows.length >= 2, "need at least two sources to compare")
+    // α=1/2 compresses the range: the biggest source is damped, the
+    // smallest boosted
+    assert(rows.head.getAs[Double]("boost") < 1.0, "head source must damp")
+    assert(rows.last.getAs[Double]("boost") > 1.0, "tail source must boost")
+    assert(out.agg(sum("total_tokens")).head().getLong(0) ==
+      docs.select(sum(size(split($"text", " ")))).head().getLong(0))
+    out.unpersist()
+  }
+
   test("cluster tables are session-cached: second call reuses blocks") {
     val a = ext.Dedup.clusterTable(spark, sf0001, 0.5)
     val n1 = a.count()

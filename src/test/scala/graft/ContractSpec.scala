@@ -27,7 +27,7 @@ class ContractSpec extends SparkSpec {
       // tfidf / quality_tiers / shard_manifest broadcast a 1-row corpus-count
       // frame into per-row scoring — the same single-row-stats cross-join
       // family as dq_outliers
-      "tfidf_terms", "quality_tiers", "shard_manifest")
+      "tfidf_terms", "quality_tiers", "shard_manifest", "mixture_weights")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.optimizedPlan.toString
       assert(!plan.contains("UnresolvedRelation"), s"$name has unresolved relations")
