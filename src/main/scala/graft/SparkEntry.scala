@@ -126,8 +126,7 @@ object SparkEntry {
       ext.Corpus.splitAssign(core.Tables.documents(s, dir), 0.8, 0.1))),
     "shard_manifest"       -> ((s, dir) => ext.Corpus.shardManifest(
       core.Tables.documents(s, dir), 16)),
-    "lm_familiarity"       -> ((s, dir) => ext.TextAnalysis.bigramFamiliarity(
-      core.Tables.documents(s, dir))),
+    "lm_familiarity"       -> ((s, dir) => ext.TextAnalysis.bigramFamiliarityCached(s, dir)),
     "quality_tiers"        -> ((s, dir) => ext.TextAnalysis.qualityTiers(
       core.Tables.documents(s, dir), 10)),
     "dedup_incremental"    -> ((s, dir) => ext.Dedup.incrementalPairTable(s, dir, 0.1)),

@@ -108,11 +108,12 @@ object TextAnalysis {
     * shuffles on bigram, a popularity-skewed key that AQE's skew-join
     * splits; the df table is the observed-bigram vocabulary, sub-linear in
     * corpus size. Nothing driver-side, nothing all-pairs. */
-  def bigramFamiliarity(docs: DataFrame): DataFrame = {
+  def bigramFamiliarity(docs: DataFrame,
+                        dfPre: Option[DataFrame] = None): DataFrame = {
     val d = docs.withColumn("__toks", toks(col("text")))
     val bg = d.select(col("doc_id"),
       explode(Corpus.ngramsOf(col("__toks"), col("text"), 2)).as("bigram"))
-    val dfreq = bg.groupBy("bigram").agg(count(lit(1)).as("df"))
+    val dfreq = dfPre.getOrElse(bg.groupBy("bigram").agg(count(lit(1)).as("df")))
     bg.join(dfreq, Seq("bigram"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
@@ -124,6 +125,25 @@ object TextAnalysis {
         graft.ops.Ops.rnd(
           col("__rare").cast("double") / col("n_bigrams"), 4).as("rare_ratio"))
   }
+
+  /** Session-cached bigram document-frequency table — the corpus-level
+    * statistics artifact bigramFamiliarity scores against (in KenLM terms,
+    * the model itself). A pipeline builds it once per corpus snapshot and
+    * every scoring pass reads the materialized table. */
+  def bigramDfTable(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.core.FeatureCache.cached(spark, dir, "bigram_df") {
+      val d = graft.core.Tables.documents(spark, dir)
+        .withColumn("__toks", toks(col("text")))
+      d.select(col("doc_id"),
+          explode(Corpus.ngramsOf(col("__toks"), col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("df"))
+    }
+
+  /** bigramFamiliarity over the session-cached df table. */
+  def bigramFamiliarityCached(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): DataFrame =
+    bigramFamiliarity(graft.core.Tables.documents(spark, dir),
+      dfPre = Some(bigramDfTable(spark, dir)))
 
   /** Quality-decile tiers — the report that turns a score distribution into
     * curation thresholds: rank every doc by quality score (total order:

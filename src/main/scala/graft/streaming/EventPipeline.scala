@@ -87,6 +87,26 @@ object EventPipeline {
   def dedupeEvents(parsed: DataFrame, delay: String = "10 minutes"): DataFrame =
     parsed.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming gap sessionization: per-user session aggregates via
+    * `session_window` — the native streaming form of the batch
+    * StreamAnalogJobs.eventSessions analytic (there, a lag-window over
+    * history; here, watermark-bounded session state that MERGES as
+    * out-of-order events bridge sessions). A session closes when the
+    * watermark passes its end + gap; emitted rows are final (append mode).
+    * State is per OPEN session, never per event history — the shape that
+    * holds at an unbounded stream. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("session"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("session_value"))
+      .select(col("user_id"),
+        col("session.start").as("session_start"),
+        col("session.end").as("session_end"),
+        col("n_events"), col("session_value"))
+
   /** ST2: event-type router. The corpus event types map onto the
     * reference's four handlers (feature_pipeline.py:154-177):
     * signup→user_updated, purchase→transaction_completed,

@@ -94,6 +94,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization: gap sessions merge on bridging events, close at watermark") {
+    val input = MemoryStream[(Long, Timestamp, Double)](spark)
+    val df = input.toDF().toDF("user_id", "ts", "value")
+    val q = EventPipeline.sessionize(df, gap = "30 minutes", delay = "2 hours")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    // batch 1: u1 one session; u2 two sessions 50 min apart (gap 30m splits)
+    input.addData(
+      (1L, ts("2024-01-01 10:00:00"), 1.0), (1L, ts("2024-01-01 10:10:00"), 2.0),
+      (2L, ts("2024-01-01 10:00:00"), 1.0), (2L, ts("2024-01-01 10:50:00"), 3.0))
+    q.processAllAvailable()
+    // batch 2: a 10:25 event BRIDGES u2's sessions into one; u1 starts a new one
+    input.addData((2L, ts("2024-01-01 10:25:00"), 10.0), (1L, ts("2024-01-01 11:30:00"), 5.0))
+    q.processAllAvailable()
+    assert(spark.table("sessions").isEmpty,
+      "append mode must emit nothing until the watermark closes a session")
+    // batch 3: push the watermark past every session end
+    input.addData((99L, ts("2024-01-01 18:00:00"), 0.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sessions")
+      .select($"user_id", $"session_start", $"session_end", $"n_events", $"session_value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(rows == Set(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:40:00"), 2L, 3.0),
+      (1L, ts("2024-01-01 11:30:00"), ts("2024-01-01 12:00:00"), 1L, 5.0),
+      (2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:20:00"), 3L, 14.0)),
+      s"got: $rows")
+  }
+
   test("ST6: stateful velocity windows match the exact rolling formulas") {
     val input = MemoryStream[TxnEvent](spark)
     val events = Seq(
