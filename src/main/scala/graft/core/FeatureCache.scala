@@ -41,22 +41,37 @@ object FeatureCache {
   @volatile var ttlNanos: Long = 3600L * 1000 * 1000 * 1000
   @volatile private[graft] var clock: () => Long = () => System.nanoTime()
 
-  // memo-wide lock: persist() only MARKS the plan (materialization happens
-  // at the first action, outside the lock), so holding it across build is
-  // cheap — and it closes the race where two concurrent builders both
-  // persist and one marked plan leaks with no surviving handle.
+  // Per-key build locks: most builds only MARK a lazy plan, but some
+  // artifacts (the cluster keeper maps) run an eager multi-job fixpoint in
+  // `build` — holding the memo-wide lock across that would block every
+  // other cache lookup in the session for the build's full duration. The
+  // global lock therefore guards only map ops (cheap); `build` runs under
+  // its key's own lock, which still closes the duplicate-builder race
+  // where two concurrent persists leak one handle-less marked plan.
+  private val buildLocks = TrieMap.empty[(String, String, String), Object]
+
   def cached(spark: SparkSession, dir: String, name: String)
-            (build: => DataFrame): DataFrame = memo.synchronized {
-    sweepLocked()
+            (build: => DataFrame): DataFrame = {
     val key = (idOf(spark), dir, name)
-    val now = clock()
-    memo.get(key) match {
-      case Some(e) if now - e.bornAtNanos < ttlNanos => e.df
-      case stale =>
-        stale.foreach(_.df.unpersist())
-        val df = build.persist(StorageLevel.MEMORY_AND_DISK)
-        memo.put(key, Entry(df, now))
-        df
+    def fresh(): Option[DataFrame] = memo.synchronized {
+      sweepLocked()
+      memo.get(key) match {
+        case Some(e) if clock() - e.bornAtNanos < ttlNanos => Some(e.df)
+        case _ => None
+      }
+    }
+    fresh().getOrElse {
+      buildLocks.getOrElseUpdate(key, new Object).synchronized {
+        // double-check: another thread may have published while we waited
+        fresh().getOrElse {
+          val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+          memo.synchronized {
+            memo.remove(key).foreach(e => scala.util.Try(e.df.unpersist()))
+            memo.put(key, Entry(df, clock()))
+          }
+          df
+        }
+      }
     }
   }
 

@@ -69,14 +69,16 @@ object Tables {
   final case class Ingest(valid: DataFrame, quarantine: DataFrame,
                           release: () => Unit)
 
-  def readJsonl(spark: SparkSession, path: String,
-                schema: org.apache.spark.sql.types.StructType): Ingest = {
-    val withCorrupt = schema.add("_corrupt_record", "string")
-    val parsed = spark.read
-      .schema(withCorrupt)
+  // One ingest contract, two formats: the corrupt-column add, the cached
+  // split, and the release scoping are format-independent — `load` gets a
+  // PERMISSIVE reader already carrying the corrupt-extended schema.
+  private def ingestWith(spark: SparkSession,
+                         schema: org.apache.spark.sql.types.StructType)
+                        (load: org.apache.spark.sql.DataFrameReader => DataFrame): Ingest = {
+    val parsed = load(spark.read
+      .schema(schema.add("_corrupt_record", "string"))
       .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
+      .option("columnNameOfCorruptRecord", "_corrupt_record"))
       .cache()
     val valid = parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
     val quarantine = parsed.filter(col("_corrupt_record").isNotNull)
@@ -84,26 +86,18 @@ object Tables {
     Ingest(valid, quarantine, () => parsed.unpersist(false))
   }
 
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): Ingest =
+    ingestWith(spark, schema)(_.json(path))
+
   /** CSV flavor of the same ingest contract (header-less, declared schema,
     * PERMISSIVE + quarantine): rows whose cells fail to parse under the
     * declared types land in quarantine as the raw line instead of silently
     * nulling out. Same cache scoping as readJsonl — call `release()` once
     * both frames are consumed. */
   def readCsv(spark: SparkSession, path: String,
-              schema: org.apache.spark.sql.types.StructType): Ingest = {
-    val withCorrupt = schema.add("_corrupt_record", "string")
-    val parsed = spark.read
-      .schema(withCorrupt)
-      .option("header", "false")
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .csv(path)
-      .cache()
-    val valid = parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
-    val quarantine = parsed.filter(col("_corrupt_record").isNotNull)
-      .select(col("_corrupt_record").as("raw_line"))
-    Ingest(valid, quarantine, () => parsed.unpersist(false))
-  }
+              schema: org.apache.spark.sql.types.StructType): Ingest =
+    ingestWith(spark, schema)(_.option("header", "false").csv(path))
 }
 
 /** Deterministic "as of" instants (SURVEY §7.4.4: jobs never call now();

@@ -248,16 +248,18 @@ object Dedup {
     val sig = sigPre.getOrElse(minhashSignaturesPre(sh))
     val isNew = Corpus.unitHash(col("doc_id")) >= lit(1.0 - newFrac)
     val bands = minhashBands(sig)
-    // the new-batch band table feeds three join sides; the old side two
-    // (cap + semi-join) — checkpoint each so the chain runs once
+    // each side's band table feeds its cap groupBy AND the semi-join probe
+    // (the two exchanges differ, so ReuseExchange can't dedup them), and
+    // the new side additionally feeds the cross join — checkpoint both
+    // BASE band tables so the corpus-sized unpivot runs once per side
     val bandsNew = bands.filter(isNew).localCheckpoint(false)
-    val bandsOld = bands.filter(!isNew)
+    val bandsOld = bands.filter(!isNew).localCheckpoint(false)
     def capped(b: DataFrame): DataFrame = {
       val ok = b.groupBy("band", "h").agg(count(lit(1)).as("n"))
         .filter(col("n") <= maxBucket).select("band", "h")
       b.join(ok, Seq("band", "h"), "left_semi")
     }
-    val keptOld = capped(bandsOld).localCheckpoint(false)
+    val keptOld = capped(bandsOld)
     val keptNew = capped(bandsNew)
     val cross = bandsNew.as("x").join(keptOld.as("y"),
         col("x.band") === col("y.band") && col("x.h") === col("y.h"))

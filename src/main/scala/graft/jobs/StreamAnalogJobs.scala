@@ -256,6 +256,10 @@ object StreamAnalogJobs {
         count(lit(1)).as("n_orders"))
       .select(
         col("o_orderstatus"), col("exact_users"), col("n_orders"),
+        // +1 absolute slack: at tiny group cardinalities a 1-off estimate
+        // exceeds any purely relative bound (exact=5, approx=6 → off by
+        // 20%) without violating the sketch's accuracy contract; the
+        // envelope spec's independent recompute uses the same form
         (abs(col("__approx") - col("exact_users"))
-          <= col("exact_users") * lit(0.15)).as("approx_within_3rsd"))
+          <= col("exact_users") * lit(0.15) + lit(1)).as("approx_within_3rsd"))
 }

@@ -980,37 +980,17 @@ object OracleSql {
 
   def stratifiedSample(rates: Seq[(String, Double)], defaultRate: Double): String = {
     val cases = rates.map { case (s, r) => s"WHEN '$s' THEN $r" }.mkString(" ")
-    s"""WITH d0 AS (SELECT doc_id, source, lang,
-       |    ((doc_id % 4294967296) + 4294967296) % 4294967296 AS a
-       |  FROM documents),
-       |d AS (SELECT doc_id, source, lang, a,
-       |    CAST(floor(a / 65536) AS BIGINT) AS h
-       |  FROM d0),
-       |u AS (SELECT doc_id, source, lang,
-       |    CAST((((h * 2654435761) % 65536) * 65536
-       |      + (a - h * 65536) * 2654435761) % 4294967296 AS DOUBLE)
-       |      / 4294967296.0 AS unit_hash
-       |  FROM d)
+    s"""WITH ${unitHashCtes(", source, lang")}
        |SELECT doc_id, source, lang FROM u
        |WHERE unit_hash < (CASE source $cases ELSE $defaultRate END)""".stripMargin
   }
 
   /** Deterministic train/val/test assignment — mirrors ext/Corpus.
-    * splitAssign (same Knuth unit-hash CTE as stratifiedSample; the val
-    * threshold is computed in Scala so both engines embed the identical
-    * double literal). */
+    * splitAssign (the shared Knuth unit-hash CTE chain; the val threshold
+    * is computed in Scala so both engines embed the identical double
+    * literal). */
   def splitAssign(trainFrac: Double, valFrac: Double): String =
-    s"""WITH d0 AS (SELECT doc_id, source,
-       |    ((doc_id % 4294967296) + 4294967296) % 4294967296 AS a
-       |  FROM documents),
-       |d AS (SELECT doc_id, source, a,
-       |    CAST(floor(a / 65536) AS BIGINT) AS h
-       |  FROM d0),
-       |u AS (SELECT doc_id, source,
-       |    CAST((((h * 2654435761) % 65536) * 65536
-       |      + (a - h * 65536) * 2654435761) % 4294967296 AS DOUBLE)
-       |      / 4294967296.0 AS unit_hash
-       |  FROM d)
+    s"""WITH ${unitHashCtes(", source")}
        |SELECT doc_id, source,
        |  CASE WHEN unit_hash < $trainFrac THEN 'train'
        |       WHEN unit_hash < ${trainFrac + valFrac} THEN 'val'

@@ -46,5 +46,28 @@ class ApproxEnvelopeSpec extends SparkSpec {
       assert(r.getAs[Boolean]("p95_in_envelope"), s"$st: p95 outside rank envelope")
       assert(r.getAs[Long]("n") > 0)
     }
+    // independent witness: bracket the raw sketch VALUE between exact
+    // quantiles at p±m, computed here — if the query's envelope expression
+    // were inverted/vacuous, this still catches a drifting sketch
+    val m = 0.02
+    val raw = core.Tables.orders(spark, sf0001)
+      .groupBy("o_orderstatus")
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50a"),
+        expr(s"percentile(o_totalprice, ${0.5 - m})").as("p50lo"),
+        expr(s"percentile(o_totalprice, ${0.5 + m})").as("p50hi"),
+        percentile_approx(col("o_totalprice"), lit(0.95), lit(1000)).as("p95a"),
+        expr(s"percentile(o_totalprice, ${0.95 - m})").as("p95lo"),
+        expr(s"percentile(o_totalprice, ${0.95 + m})").as("p95hi"))
+      .collect()
+    raw.foreach { r =>
+      val st = r.getAs[String]("o_orderstatus")
+      assert(r.getAs[Double]("p50a") >= r.getAs[Double]("p50lo") &&
+        r.getAs[Double]("p50a") <= r.getAs[Double]("p50hi"),
+        s"$st: p50 sketch outside the independent exact bracket")
+      assert(r.getAs[Double]("p95a") >= r.getAs[Double]("p95lo") &&
+        r.getAs[Double]("p95a") <= r.getAs[Double]("p95hi"),
+        s"$st: p95 sketch outside the independent exact bracket")
+    }
   }
 }
