@@ -72,4 +72,54 @@ class ServingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       svc.getBatch((1L to 101L), Seq("user"), now))
   }
+
+  test("cache: a slow eager build must not block other keys; same key builds once") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val enteredSlow = new CountDownLatch(1)
+    val releaseSlow = new CountDownLatch(1)
+    val slowDone = new CountDownLatch(1)
+    val t1 = new Thread(() => {
+      graft.core.FeatureCache.cached(spark, sf0001, "slow-probe") {
+        enteredSlow.countDown()
+        // an eager artifact build (cluster fixpoint analogue) in progress
+        assert(releaseSlow.await(30, TimeUnit.SECONDS))
+        graft.core.Tables.nation(spark, sf0001)
+      }
+      slowDone.countDown()
+    })
+    t1.start()
+    try {
+      assert(enteredSlow.await(30, TimeUnit.SECONDS))
+      // while key A builds, key B must be servable (the memo-wide lock no
+      // longer spans build) — this would deadlock-timeout under the old lock
+      val otherDone = new CountDownLatch(1)
+      val t2 = new Thread(() => {
+        graft.core.FeatureCache.cached(spark, sf0001, "other-probe") {
+          graft.core.Tables.region(spark, sf0001)
+        }
+        otherDone.countDown()
+      })
+      t2.start()
+      assert(otherDone.await(30, TimeUnit.SECONDS),
+        "a concurrent lookup for another key blocked behind the slow build")
+      // duplicate-builder race stays closed: a second request for the SLOW
+      // key waits for the in-flight build and reuses it (one build total)
+      var builds = 0
+      val t3 = new Thread(() => {
+        graft.core.FeatureCache.cached(spark, sf0001, "slow-probe") {
+          builds += 1
+          graft.core.Tables.nation(spark, sf0001)
+        }: Unit
+      })
+      t3.start()
+      releaseSlow.countDown()
+      assert(slowDone.await(30, TimeUnit.SECONDS))
+      t3.join(30000); t1.join(30000); t2.join(30000)
+      assert(builds == 0, "second requester re-built instead of reusing the in-flight build")
+    } finally {
+      releaseSlow.countDown()
+      Seq("slow-probe", "other-probe").foreach(
+        graft.core.FeatureCache.invalidate(spark, sf0001, _))
+    }
+  }
 }
