@@ -132,6 +132,8 @@ object SparkEntry {
     "dedup_incremental"    -> ((s, dir) => ext.Dedup.incrementalPairTable(s, dir, 0.1)),
     "mixture_weights"      -> ((s, dir) => ext.Corpus.mixtureWeights(
       core.Tables.documents(s, dir))),
+    "chunk_windows"        -> ((s, dir) => ext.Corpus.chunkWindows(
+      core.Tables.documents(s, dir), 64, 48)),
   )
 
   /** Fixed source-mix rates for the stratified-sample query (a training-mix
@@ -245,5 +247,6 @@ object SparkEntry {
     "quality_tiers"        -> OracleSql.qualityTiers(10),
     "dedup_incremental"    -> OracleSql.incrementalPairs(0.1),
     "mixture_weights"      -> OracleSql.mixtureWeights,
+    "chunk_windows"        -> OracleSql.chunkWindows(64, 48),
   )
 }

@@ -269,6 +269,35 @@ object Corpus {
         coalesce(col("lang"), lit("ALL")).as("lang"),
         col("n_docs"), col("total_tokens"), col("avg_tokens"))
 
+  /** Fixed-size overlapping token chunking — the producer-side op that
+    * turns documents into model-input windows (RAG indexing / long-doc
+    * training): window `chunk` tokens, step `stride` (< chunk ⇒ adjacent
+    * windows overlap by chunk−stride tokens, so no boundary-straddling
+    * content is lost). One window starts at every multiple of `stride`
+    * below the doc length; trailing windows shorten at the end of the doc.
+    * Emits the window's md5 fingerprint, never its text — accounting and
+    * dedup downstream ship 32-hex keys, not bodies.
+    *
+    * Scale shape: a pure per-row explode (fan-out ≈ n/stride), map-only —
+    * no shuffle, no state; the projection pushes to the scan. */
+  def chunkWindows(docs: DataFrame, chunk: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunk >= 1 && stride >= 1 && stride <= chunk,
+      "need 1 <= stride <= chunk")
+    docs.withColumn("__toks", split(col("text"), " "))
+      .withColumn("__n", size(col("__toks")))
+      .select(col("doc_id"), col("__n"),
+        posexplode(transform(
+          sequence(lit(0), floor(greatest(col("__n") - 1, lit(0)) / stride).cast("int")),
+          i => struct(
+            (i * stride).as("s"),
+            md5(concat_ws(" ", slice(col("__toks"), i * stride + 1, lit(chunk)))).as("fp")))))
+      .toDF("doc_id", "__n", "chunk_idx", "c")
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.s").cast("long").as("chunk_start"),
+        least(lit(chunk), col("__n") - col("c.s")).cast("long").as("n_tokens"),
+        col("c.fp").as("chunk_fp"))
+  }
+
   /** Temperature-smoothed source mixture weights — the multilingual-
     * pretraining reweighting (the mBERT/XLM exponent trick): sampling a
     * source ∝ tokens^α with α < 1 upweights small sources so the head

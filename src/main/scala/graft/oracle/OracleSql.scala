@@ -1284,6 +1284,22 @@ object OracleSql {
        |SELECT * FROM xp UNION ALL SELECT * FROM ip""".stripMargin
   }
 
+  /** Overlapping token-window chunking — mirrors ext/Corpus.chunkWindows
+    * (stride-multiple starts below doc length, end-truncated windows,
+    * md5 fingerprints; DuckDB lists slice 1-based inclusive). */
+  def chunkWindows(chunk: Int, stride: Int): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |d2 AS (SELECT doc_id, t, len(t) AS n FROM d),
+       |g AS (SELECT doc_id, t, n,
+       |    unnest(generate_series(0, (n - 1) // $stride)) AS chunk_idx
+       |  FROM d2)
+       |SELECT doc_id, chunk_idx,
+       |  chunk_idx * $stride AS chunk_start,
+       |  LEAST($chunk, n - chunk_idx * $stride) AS n_tokens,
+       |  md5(array_to_string(
+       |    t[chunk_idx * $stride + 1 : chunk_idx * $stride + $chunk], ' ')) AS chunk_fp
+       |FROM g""".stripMargin
+
   /** Temperature-smoothed mixture weights — mirrors ext/Corpus.
     * mixtureWeights (α=1/2 via correctly-rounded sqrt; Σ√tokens as a
     * DECIMAL sum; boost from the rounded shares; SUMs pinned to BIGINT). */

@@ -349,6 +349,29 @@ class AnalyticsOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("chunk windows: stride-aligned starts, full coverage, exact overlap") {
+    val out = ext.Corpus.chunkWindows(docs, 64, 48).cache()
+    assert(out.filter(pmod($"chunk_start", lit(48)) =!= 0).count() == 0)
+    assert(out.filter($"n_tokens" < 1 || $"n_tokens" > 64).count() == 0)
+    // chunk count per doc = floor((n-1)/stride)+1; idx dense from 0
+    val lens = docs.select($"doc_id", size(split($"text", " ")).as("n"))
+    val perDoc = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("k"), min("chunk_idx").as("lo"), max("chunk_idx").as("hi"))
+      .join(lens, "doc_id")
+    assert(perDoc.filter($"lo" =!= 0 || $"hi" =!= $"k" - 1).count() == 0)
+    assert(perDoc.filter($"k" =!= floor(($"n" - 1) / 48) + 1).count() == 0)
+    // every token is covered: the last chunk reaches the doc end
+    assert(perDoc.join(
+      out.groupBy("doc_id").agg(max($"chunk_start" + $"n_tokens").as("end")), "doc_id")
+      .filter($"end" =!= $"n").count() == 0)
+    // a doc with exactly one full window: known fingerprint equivalence
+    val one = ext.Corpus.chunkWindows(
+      Seq((7L, "a b c")).toDF("doc_id", "text"), 2, 1).orderBy("chunk_idx").collect()
+    assert(one.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 0L, 2L), (1L, 1L, 2L), (2L, 2L, 1L)))
+    out.unpersist()
+  }
+
   test("cluster tables are session-cached: second call reuses blocks") {
     val a = ext.Dedup.clusterTable(spark, sf0001, 0.5)
     val n1 = a.count()
