@@ -134,6 +134,8 @@ object SparkEntry {
       core.Tables.documents(s, dir))),
     "chunk_windows"        -> ((s, dir) => ext.Corpus.chunkWindows(
       core.Tables.documents(s, dir), 64, 48)),
+    "curation_gate"        -> ((s, dir) => ext.TextAnalysis.curationGate(
+      core.Tables.documents(s, dir))),
   )
 
   /** Fixed source-mix rates for the stratified-sample query (a training-mix
@@ -248,5 +250,6 @@ object SparkEntry {
     "dedup_incremental"    -> OracleSql.incrementalPairs(0.1),
     "mixture_weights"      -> OracleSql.mixtureWeights,
     "chunk_windows"        -> OracleSql.chunkWindows(64, 48),
+    "curation_gate"        -> OracleSql.curationGate(10, 1000, 0.5, 0.2, 20, 0.2),
   )
 }

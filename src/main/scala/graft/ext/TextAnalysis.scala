@@ -369,6 +369,39 @@ object TextAnalysis {
         4).as("share"))
   }
 
+  /** Gopher-style composite curation gate — the ACTUAL keep/drop filter a
+    * pretraining corpus release runs (Rae et al.'s rule family): length
+    * bounds, absolute quality floor, repetition ceiling, and OOV ceiling,
+    * each emitted as its own boolean REASON next to the final verdict so
+    * dropped mass is attributable, never silent (the same observability
+    * posture as the LSH overflow views). `keep` is the conjunction.
+    *
+    * The OOV rule runs against a deliberately small top-`vocabSize` vocab
+    * (the "reference vocabulary" form of the rule); thresholds are
+    * parameters with the documented defaults. Scale shape: three
+    * map-side-combinable per-doc passes (stats, bigram repetition, OOV)
+    * joined on doc_id — co-keyed equi-joins, no new shuffle classes beyond
+    * the component queries themselves. */
+  def curationGate(docs: DataFrame, minTokens: Int = 10, maxTokens: Int = 1000,
+                   minQuality: Double = 0.5, maxTopBigram: Double = 0.2,
+                   vocabSize: Int = 20, maxOov: Double = 0.2): DataFrame = {
+    val stats = textStats(docs).select("doc_id", "token_count", "quality_score")
+    val rep = repetitionStats(docs).select(col("doc_id"), col("top_bigram_ratio"))
+    val oov = oovRate(docs, vocabSize).select(col("doc_id"), col("oov_rate"))
+    stats
+      .join(rep, Seq("doc_id"), "left")   // <2-token docs have no bigrams
+      .join(oov, Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("token_count") < minTokens).as("too_short"),
+        (col("token_count") > maxTokens).as("too_long"),
+        (col("quality_score") < minQuality).as("low_quality"),
+        (coalesce(col("top_bigram_ratio"), lit(0.0)) > maxTopBigram).as("repetitive"),
+        (col("oov_rate") > maxOov).as("high_oov"))
+      .withColumn("keep",
+        !col("too_short") && !col("too_long") && !col("low_quality") &&
+          !col("repetitive") && !col("high_oov"))
+  }
+
   /** Content fingerprints: a positional prefix hash (first five tokens) and
     * the min-shingle-hash (winnowing-style rolling fingerprint — the k=1
     * MinHash band). Shingles come from the materialized-token path — the

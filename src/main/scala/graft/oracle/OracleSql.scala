@@ -1284,6 +1284,48 @@ object OracleSql {
        |SELECT * FROM xp UNION ALL SELECT * FROM ip""".stripMargin
   }
 
+  /** Gopher-style composite curation gate — mirrors ext/TextAnalysis.
+    * curationGate (stats + bigram repetition + OOV joined on doc_id; the
+    * repetition side is a LEFT join with COALESCE 0 for <2-token docs). */
+  def curationGate(minTokens: Int, maxTokens: Int, minQuality: Double,
+                   maxTopBigram: Double, vocabSize: Int, maxOov: Double): String = {
+    val stop = "('the','a','of','and','to','in','is')"
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |st AS (SELECT doc_id, len(t) AS token_count,
+       |    floor((LEAST(1.0, CAST(len(t) AS DOUBLE) / 100) * 0.4
+       |      + (1.0 - CAST(len(list_filter(t, x -> x IN $stop)) AS DOUBLE) / len(t)) * 0.3
+       |      + CAST(len(list_distinct(t)) AS DOUBLE) / len(t) * 0.3) * 10000.0 + 0.5) / 10000.0
+       |      AS quality_score
+       |  FROM d),
+       |bgr AS (SELECT doc_id, len(t) AS n_tokens,
+       |    unnest(list_transform(range(1, len(t)),
+       |      i -> t[i] || ' ' || t[i+1])) AS bigram
+       |  FROM d WHERE len(t) >= 2),
+       |bc AS (SELECT doc_id, n_tokens, bigram, COUNT(*) AS c FROM bgr GROUP BY 1, 2, 3),
+       |rep AS (SELECT doc_id,
+       |    ${rnd("CAST(MAX(c) AS DOUBLE) / (n_tokens - 1)", 4)} AS top_bigram_ratio
+       |  FROM bc GROUP BY doc_id, n_tokens),
+       |tok AS (SELECT doc_id, unnest(t) AS token FROM d),
+       |tc AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1),
+       |v AS (SELECT token FROM tc ORDER BY n DESC, token ASC LIMIT $vocabSize),
+       |ov AS (SELECT tok.doc_id, COUNT(*) AS token_count,
+       |    CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov
+       |  FROM tok LEFT JOIN v ON tok.token = v.token GROUP BY 1),
+       |oo AS (SELECT doc_id,
+       |    ${rnd("CAST(oov AS DOUBLE) / token_count", 4)} AS oov_rate
+       |  FROM ov),
+       |g AS (SELECT st.doc_id,
+       |    st.token_count < $minTokens AS too_short,
+       |    st.token_count > $maxTokens AS too_long,
+       |    st.quality_score < $minQuality AS low_quality,
+       |    COALESCE(rep.top_bigram_ratio, 0.0) > $maxTopBigram AS repetitive,
+       |    oo.oov_rate > $maxOov AS high_oov
+       |  FROM st LEFT JOIN rep USING (doc_id) JOIN oo USING (doc_id))
+       |SELECT *, NOT (too_short OR too_long OR low_quality OR repetitive OR high_oov)
+       |  AS keep
+       |FROM g""".stripMargin
+  }
+
   /** Overlapping token-window chunking — mirrors ext/Corpus.chunkWindows
     * (stride-multiple starts below doc length, end-truncated windows,
     * md5 fingerprints; DuckDB lists slice 1-based inclusive). */

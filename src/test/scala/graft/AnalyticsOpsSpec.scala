@@ -372,6 +372,29 @@ class AnalyticsOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("curation gate: reasons match recomputed signals; keep is their conjunction") {
+    val out = ext.TextAnalysis.curationGate(docs).cache()
+    assert(out.count() == docs.count(), "one verdict per doc")
+    assert(out.filter($"keep" === ($"too_short" || $"too_long" || $"low_quality"
+      || $"repetitive" || $"high_oov")).count() == 0,
+      "keep must be the negated disjunction of the reasons")
+    // cross-check two reasons against the standalone signal queries
+    val stats = ext.TextAnalysis.textStats(docs).select($"doc_id", $"token_count", $"quality_score")
+    val joined = out.join(stats, "doc_id")
+    assert(joined.filter($"too_short" =!= ($"token_count" < 10)).count() == 0)
+    assert(joined.filter($"low_quality" =!= ($"quality_score" < 0.5)).count() == 0)
+    // hand-built edge docs: a 1-token doc (no bigrams → not repetitive,
+    // but too short), and a degenerate repeat (repetitive)
+    val tiny = ext.TextAnalysis.curationGate(Seq(
+      (1L, "solo", "en"),
+      (2L, ("spam " * 40).trim + " "
+        + ("the quick brown fox jumps over lazy dogs again now " * 3).trim, "en")
+    ).toDF("doc_id", "text", "lang")).collect().map(r => r.getLong(0) -> r).toMap
+    assert(tiny(1L).getAs[Boolean]("too_short") && !tiny(1L).getAs[Boolean]("repetitive"))
+    assert(tiny(2L).getAs[Boolean]("repetitive"), "40x repeated bigram must trip the ceiling")
+    out.unpersist()
+  }
+
   test("cluster tables are session-cached: second call reuses blocks") {
     val a = ext.Dedup.clusterTable(spark, sf0001, 0.5)
     val n1 = a.count()
