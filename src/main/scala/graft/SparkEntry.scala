@@ -63,7 +63,7 @@ object SparkEntry {
     "similarity_topk"      -> ((s, dir) => ext.Similarity.bruteTopK(core.Tables.embeddings(s, dir), 5, 10)),
     "ann_buckets"          -> ((s, dir) => ext.Similarity.lshBucketsCached(s, dir)),
     "dedup_embedding"      -> ((s, dir) => ext.Similarity.cosineNearDupsCached(s, dir, 20)),
-    "text_stats"           -> ((s, dir) => ext.TextAnalysis.textStats(core.Tables.documents(s, dir))),
+    "text_stats"           -> ((s, dir) => ext.TextAnalysis.textStatsTable(s, dir)),
     "lang_id"              -> ((s, dir) => ext.TextAnalysis.langId(core.Tables.documents(s, dir))),
     "doc_fingerprints"     -> ((s, dir) => ext.TextAnalysis.fingerprints(core.Tables.documents(s, dir))),
     "media_stats"          -> ((s, dir) => ext.Multimodal.mediaStats(core.Tables.documents(s, dir))),
@@ -83,10 +83,12 @@ object SparkEntry {
     "token_counts"         -> ((s, dir) => ext.TextAnalysis.tokenCounts(core.Tables.documents(s, dir))),
     "frame_sample"         -> ((s, dir) => ext.Multimodal.frameSample(
       ext.Multimodal.asMediaTable(core.Tables.documents(s, dir)), 32, 2)),
-    "repetition_stats"     -> ((s, dir) => ext.TextAnalysis.repetitionStats(core.Tables.documents(s, dir))),
+    "repetition_stats"     -> ((s, dir) => ext.TextAnalysis.repetitionTable(s, dir)),
     "stratified_sample"    -> ((s, dir) => ext.Corpus.stratifiedSample(
       core.Tables.documents(s, dir), SampleRates.bySource, SampleRates.default)),
-    "corpus_funnel"        -> ((s, dir) => ext.Corpus.cleaningFunnel(core.Tables.documents(s, dir))),
+    "corpus_funnel"        -> ((s, dir) => ext.Corpus.cleaningFunnel(
+      core.Tables.documents(s, dir),
+      statsPre = Some(ext.TextAnalysis.textStatsTable(s, dir)))),
     "contamination"        -> ((s, dir) => {
       val docs = core.Tables.documents(s, dir)
       ext.Corpus.contamination(docs, docs.filter(col("doc_id") < 100), 3, 0.1)
@@ -112,8 +114,7 @@ object SparkEntry {
       core.Tables.documents(s, dir), 5)),
     "train_split"          -> ((s, dir) => ext.Corpus.splitAssign(
       core.Tables.documents(s, dir), 0.8, 0.1)),
-    "quality_filter"       -> ((s, dir) => ext.TextAnalysis.qualityFilter(
-      core.Tables.documents(s, dir))),
+    "quality_filter"       -> ((s, dir) => ext.TextAnalysis.qualityFilterCached(s, dir)),
     "snapshot_diff"        -> ((s, dir) => jobs.MigrationValidationJob.snapshotDiff(
       s, dir, "1999-01-01", "2000-01-01")),
     "oov_rate"             -> ((s, dir) => ext.TextAnalysis.oovRate(
@@ -127,15 +128,13 @@ object SparkEntry {
     "shard_manifest"       -> ((s, dir) => ext.Corpus.shardManifest(
       core.Tables.documents(s, dir), 16)),
     "lm_familiarity"       -> ((s, dir) => ext.TextAnalysis.bigramFamiliarityCached(s, dir)),
-    "quality_tiers"        -> ((s, dir) => ext.TextAnalysis.qualityTiers(
-      core.Tables.documents(s, dir), 10)),
+    "quality_tiers"        -> ((s, dir) => ext.TextAnalysis.qualityTiersCached(s, dir, 10)),
     "dedup_incremental"    -> ((s, dir) => ext.Dedup.incrementalPairTable(s, dir, 0.1)),
     "mixture_weights"      -> ((s, dir) => ext.Corpus.mixtureWeights(
       core.Tables.documents(s, dir))),
     "chunk_windows"        -> ((s, dir) => ext.Corpus.chunkWindows(
       core.Tables.documents(s, dir), 64, 48)),
-    "curation_gate"        -> ((s, dir) => ext.TextAnalysis.curationGate(
-      core.Tables.documents(s, dir))),
+    "curation_gate"        -> ((s, dir) => ext.TextAnalysis.curationGateCached(s, dir)),
   )
 
   /** Fixed source-mix rates for the stratified-sample query (a training-mix
@@ -208,8 +207,7 @@ object SparkEntry {
     // the sketch values are engine-specific, so Spark emits a boolean
     // "within the sketch's documented bound of the exact witness" and the
     // oracle asserts TRUE — a semantic check instead of rows-only (A16).
-    // random_sample: rand(seed) is not cross-engine reproducible (O2/F15)
-    // — rows-only check.
+    "random_sample"        -> OracleSql.randomSample(100),
     "approx_distinct"      -> OracleSql.approxDistinct,
     "percentiles_approx"   -> OracleSql.percentilesApprox,
     "asof_risk"            -> OracleSql.asOfRisk,

@@ -85,6 +85,7 @@ object FeatureCache {
     val id = idOf(spark)
     memo.keys.filter(_._1 == id).foreach(k =>
       memo.remove(k).foreach(e => scala.util.Try(e.df.unpersist())))
+    buildLocks.keys.filter(_._1 == id).foreach(buildLocks.remove)
   }
 
   /** Forget entries whose session has been garbage collected (their blocks
@@ -95,5 +96,8 @@ object FeatureCache {
       sessionIds.values.asScala.toSet
     }
     memo.keys.filterNot(k => live(k._1)).foreach(k => memo.remove(k))
+    // prune the per-key build locks with the memo, or each dead session
+    // leaves one Object per cached artifact behind forever
+    buildLocks.keys.filterNot(k => live(k._1)).foreach(buildLocks.remove)
   }
 }

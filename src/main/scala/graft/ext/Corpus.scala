@@ -339,8 +339,11 @@ object Corpus {
     * survivors. Each stage is a single aggregate over the previous one —
     * counts come from the distributed plan, never from driver-side loops. */
   def cleaningFunnel(docs: DataFrame, minQuality: Double = 0.5,
-                     minTokens: Int = 10, maxTokens: Int = 1000): DataFrame = {
-    val stats = TextAnalysis.textStats(docs)
+                     minTokens: Int = 10, maxTokens: Int = 1000,
+                     statsPre: Option[DataFrame] = None): DataFrame = {
+    // statsPre: pass TextAnalysis.textStatsTable to share the session's
+    // cached token pass with the curation gate and tier reports
+    val stats = statsPre.getOrElse(TextAnalysis.textStats(docs))
     val quality = stats.filter(
       col("quality_score") >= minQuality &&
         col("token_count").between(minTokens, maxTokens))

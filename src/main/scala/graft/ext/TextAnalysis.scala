@@ -79,17 +79,57 @@ object TextAnalysis {
     * absolute one: an absolute threshold over-prunes inherently noisy
     * sources (web crawl) and under-prunes clean ones (reference text), so
     * curation pipelines commonly cut per-stratum. The per-source exact
-    * median frame is sources-sized → broadcast back; the corpus side is
-    * one narrow scan + one shuffle for the median aggregation. */
-  def qualityFilter(docs: DataFrame): DataFrame = {
-    val s = docs.select(col("doc_id"), col("source"),
-      qualityExpr(toks(col("text"))).as("quality_score"))
-    val med = s.groupBy("source").agg(
-      graft.ops.Ops.rnd(expr("percentile(quality_score, 0.5)"), 6).as("source_median"))
+    * median frame is sources-sized → broadcast back; the median itself
+    * comes from the count-by-value decomposition (ops/BoundedPercentile),
+    * never a per-group value buffer — scores are 4-dp-rounded so the
+    * count-by-value table is tiny, and the shape stays bounded even for
+    * unbounded score domains. */
+  def qualityFilter(docs: DataFrame): DataFrame =
+    qualityFilterScored(docs.select(col("doc_id"), col("source"),
+      qualityExpr(toks(col("text"))).as("quality_score")))
+
+  /** qualityFilter over the session-cached score table — the curation
+    * consumers (filter, gate, funnel, tiers) share one token pass per
+    * (session, corpus) instead of re-tokenizing the corpus each. */
+  def qualityFilterCached(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): DataFrame =
+    qualityFilterScored(scoreTable(spark, dir))
+
+  private def qualityFilterScored(s: DataFrame): DataFrame = {
+    val med = graft.ops.BoundedPercentile.exact(
+      s.select("source", "quality_score"), "source", "quality_score",
+      Seq(0.5 -> "source_median"), 6).drop("n")
     s.join(broadcast(med), "source")
       .filter(col("quality_score") >= col("source_median"))
       .select("doc_id", "source", "quality_score", "source_median")
   }
+
+  /** Session-cached per-doc (doc_id, source, quality_score) — the scoring
+    * half of the token pass, materialized once per (session, corpus). */
+  def scoreTable(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.core.FeatureCache.cached(spark, dir, "quality_scores") {
+      graft.core.Tables.documents(spark, dir).select(
+        col("doc_id"), col("source"),
+        qualityExpr(toks(col("text"))).as("quality_score"))
+    }
+
+  /** Session-cached textStats / repetitionStats / oovRate artifacts — the
+    * other per-doc token-pass outputs the curation gate and funnel join. */
+  def textStatsTable(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.core.FeatureCache.cached(spark, dir, "text_stats") {
+      textStats(graft.core.Tables.documents(spark, dir))
+    }
+
+  def repetitionTable(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.core.FeatureCache.cached(spark, dir, "repetition_stats") {
+      repetitionStats(graft.core.Tables.documents(spark, dir))
+    }
+
+  def oovTable(spark: org.apache.spark.sql.SparkSession, dir: String,
+               vocabSize: Int): DataFrame =
+    graft.core.FeatureCache.cached(spark, dir, s"oov_rate_$vocabSize") {
+      oovRate(graft.core.Tables.documents(spark, dir), vocabSize)
+    }
 
   /** Bigram familiarity — the count-based proxy for LM-perplexity quality
     * scoring (the CCNet/KenLM shape: score each document against corpus-
@@ -158,11 +198,20 @@ object TextAnalysis {
     * score table into each score's exclusive global rank offset; (2) a
     * row_number PARTITIONED by score ranks within each score; (3) global
     * rank = offset + local rank, exactly the single-window result. */
-  def qualityTiers(docs: DataFrame, tiers: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val scored = docs.withColumn("__t", toks(col("text")))
+  def qualityTiers(docs: DataFrame, tiers: Int = 10): DataFrame =
+    qualityTiersScored(docs.withColumn("__t", toks(col("text")))
       .select(col("doc_id"), qualityExpr(col("__t")).as("q"),
-        size(col("__t")).cast("long").as("n_tokens"))
+        size(col("__t")).cast("long").as("n_tokens")), tiers)
+
+  /** qualityTiers over the session-cached stats table (shared token pass). */
+  def qualityTiersCached(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         tiers: Int = 10): DataFrame =
+    qualityTiersScored(textStatsTable(spark, dir).select(col("doc_id"),
+      col("quality_score").as("q"),
+      col("token_count").cast("long").as("n_tokens")), tiers)
+
+  private def qualityTiersScored(scored: DataFrame, tiers: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wScores = Window.orderBy("q")
     val offsets = scored.groupBy("q").agg(count(lit(1)).as("__c"))
       .withColumn("__offset",
@@ -384,10 +433,29 @@ object TextAnalysis {
     * the component queries themselves. */
   def curationGate(docs: DataFrame, minTokens: Int = 10, maxTokens: Int = 1000,
                    minQuality: Double = 0.5, maxTopBigram: Double = 0.2,
-                   vocabSize: Int = 20, maxOov: Double = 0.2): DataFrame = {
-    val stats = textStats(docs).select("doc_id", "token_count", "quality_score")
-    val rep = repetitionStats(docs).select(col("doc_id"), col("top_bigram_ratio"))
-    val oov = oovRate(docs, vocabSize).select(col("doc_id"), col("oov_rate"))
+                   vocabSize: Int = 20, maxOov: Double = 0.2): DataFrame =
+    curationGateFrom(textStats(docs), repetitionStats(docs),
+      oovRate(docs, vocabSize), minTokens, maxTokens, minQuality,
+      maxTopBigram, maxOov)
+
+  /** curationGate over the session-cached per-doc artifacts — a session
+    * running gate + funnel + tiers tokenizes the corpus once, not once per
+    * report (the cache.py:85-165 cache-aside posture applied to curation). */
+  def curationGateCached(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         minTokens: Int = 10, maxTokens: Int = 1000,
+                         minQuality: Double = 0.5, maxTopBigram: Double = 0.2,
+                         vocabSize: Int = 20, maxOov: Double = 0.2): DataFrame =
+    curationGateFrom(textStatsTable(spark, dir), repetitionTable(spark, dir),
+      oovTable(spark, dir, vocabSize), minTokens, maxTokens, minQuality,
+      maxTopBigram, maxOov)
+
+  private def curationGateFrom(statsIn: DataFrame, repIn: DataFrame,
+                               oovIn: DataFrame, minTokens: Int, maxTokens: Int,
+                               minQuality: Double, maxTopBigram: Double,
+                               maxOov: Double): DataFrame = {
+    val stats = statsIn.select("doc_id", "token_count", "quality_score")
+    val rep = repIn.select(col("doc_id"), col("top_bigram_ratio"))
+    val oov = oovIn.select(col("doc_id"), col("oov_rate"))
     stats
       .join(rep, Seq("doc_id"), "left")   // <2-token docs have no bigrams
       .join(oov, Seq("doc_id"))

@@ -378,6 +378,15 @@ object OracleSql {
     """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
       |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin
 
+  /** Deterministic uniform sample — mirrors serving/Lookups.randomSample:
+    * the engine's shared Knuth unit-hash order over c_custkey. Cross-engine
+    * reproducible (unlike ORDER BY RANDOM(), which this replaces), so the
+    * migration spot-check sample is fully oracle-checkable. */
+  def randomSample(n: Int): String =
+    s"""WITH ${unitHashCtes(", c_name, c_mktsegment", "customer", "c_custkey")}
+       |SELECT c_custkey, c_name, c_mktsegment FROM u
+       |ORDER BY unit_hash, c_custkey LIMIT $n""".stripMargin
+
   def keysetPage(afterKey: Long, pageSize: Int): String =
     s"""SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
        |FROM orders WHERE o_orderkey > $afterKey
@@ -749,7 +758,8 @@ object OracleSql {
        |j AS (SELECT p.probe_id, p.user_id, p.probe_ts,
        |    s.risk_score, s.computed_at, s.score_id
        |  FROM probes p LEFT JOIN sc s
-       |  ON p.user_id = s.user_id AND s.computed_at <= p.probe_ts),
+       |  ON p.user_id = s.user_id AND s.computed_at <= p.probe_ts
+       |    AND s.computed_at >= p.probe_ts - INTERVAL 90 DAY),
        |r AS (SELECT *, ROW_NUMBER() OVER (
        |    PARTITION BY probe_id
        |    ORDER BY computed_at DESC NULLS LAST, score_id DESC NULLS LAST) AS rn
@@ -1185,10 +1195,11 @@ object OracleSql {
   /** Knuth unitHash CTE chain (mirrors ext/Corpus.unitHash term for term;
     * same split-multiply overflow guard). Emits `u(doc_id, ..., unit_hash)`
     * carrying `extraCols` through from documents. */
-  private def unitHashCtes(extraCols: String): String =
-    s"""uh0 AS (SELECT doc_id$extraCols,
-       |    ((doc_id % 4294967296) + 4294967296) % 4294967296 AS a
-       |  FROM documents),
+  private def unitHashCtes(extraCols: String, table: String = "documents",
+                           idCol: String = "doc_id"): String =
+    s"""uh0 AS (SELECT $idCol$extraCols,
+       |    (($idCol % 4294967296) + 4294967296) % 4294967296 AS a
+       |  FROM $table),
        |uh1 AS (SELECT *, CAST(floor(a / 65536) AS BIGINT) AS h FROM uh0),
        |u AS (SELECT * EXCLUDE (a, h),
        |    CAST((((h * 2654435761) % 65536) * 65536

@@ -16,9 +16,11 @@ import graft.jobs.{RiskFeaturesJob, TransactionFeaturesJob, UserFeaturesJob}
   *     (store.py:49,174-175);
   *   - data_freshness_minutes is the age of the OLDEST group
   *     (store.py:189-201);
-  *   - batch requests are capped at 100 (models.py:84-89) and served by one
-  *     set-probe per group — not the reference's 100-per-chunk sequential
-  *     loop (database.py:120-134), which Spark doesn't need.
+  *   - batch requests are capped at 100 (models.py:84-89) and served by ONE
+  *     fused probe job — the id list left-joins every requested group's
+  *     struct-packed rows in a single plan — not the reference's
+  *     100-per-chunk sequential loop (database.py:120-134) nor one Spark
+  *     job per group.
   *
   * The cache tier is Spark's: the three feature tables are `.cache()`d
   * DataFrames (the Redis stand-in), refreshed by `invalidate`. Lookups stay
@@ -58,16 +60,27 @@ class FeatureStoreService(spark: SparkSession, dir: String) {
   def getFeatures(userId: Long, types: Seq[String], now: Instant): FeatureResult =
     getBatch(Seq(userId), types, now).head
 
-  /** Batch lookup (store.py:80-141): one isin probe per requested group. */
+  /** Batch lookup (store.py:80-141): one fused probe — the (≤100-row) id
+    * frame left-joins each requested group's isin-filtered, struct-packed
+    * rows, so the whole batch costs a single collect job regardless of how
+    * many groups were requested. */
   def getBatch(userIds: Seq[Long], types: Seq[String], now: Instant): Seq[FeatureResult] = {
     require(userIds.size <= 100, "batch size cap is 100 (models.py:84-89)")
     val wanted = normalizeTypes(types)
-    val byGroup: Map[String, Map[Long, Row]] = wanted.map { g =>
-      val rows = cache(g).filter(col("user_id").isin(userIds: _*)).collect()
-      g -> rows.map(r => r.getAs[Long]("user_id") -> r).toMap
-    }.toMap
+    import spark.implicits._
+    val ids = userIds.distinct.toDF("user_id")
+    val fused = wanted.foldLeft(ids) { (acc, g) =>
+      acc.join(
+        cache(g).filter(col("user_id").isin(userIds: _*))
+          .select(col("user_id"), struct(col("*")).as(s"__$g")),
+        Seq("user_id"), "left")
+    }
+    val byId: Map[Long, Row] =
+      fused.collect().map(r => r.getAs[Long]("user_id") -> r).toMap
     userIds.map { id =>
-      val found = wanted.flatMap(g => byGroup(g).get(id).map(g -> _)).toMap
+      val probed = byId(id)
+      val found = wanted.flatMap(g =>
+        Option(probed.getAs[Row](s"__$g")).map(g -> _)).toMap
       val hit = found.size == wanted.size // all-types hit rule (store.py:174-175)
       val freshness = Option(found.values.map(r =>
         r.getAs[java.sql.Timestamp]("updated_at").getTime).toSeq)

@@ -48,12 +48,17 @@ object Lookups {
       .orderBy("o_orderkey")
       .limit(pageSize)
 
-  /** Seeded random validation sample (O2/F15 — the reference's ORDER BY
-    * RANDOM() LIMIT 1000, sql/migration_queries.sql:117-122). rand(seed) is
-    * deterministic within Spark but not across engines → rows-only check. */
+  /** Uniform validation sample (O2/F15 — the reference's ORDER BY RANDOM()
+    * LIMIT 1000, sql/migration_queries.sql:117-122). The reference's intent
+    * is "a uniform sample for migration spot-checks"; a keyed hash order
+    * (Corpus.unitHash — the Knuth multiplicative hash every sampler in this
+    * engine shares) satisfies it BETTER than rand(seed): the sample is
+    * identical across engines, retries, and partition relayouts, so an
+    * audit can be re-run bit-for-bit. Ties impossible (c_custkey is the
+    * PK tie-break). Fully oracle-checkable — see OracleSql.randomSample. */
   def randomSample(spark: SparkSession, dir: String, n: Int): DataFrame =
     Tables.customer(spark, dir)
-      .orderBy(rand(42L), col("c_custkey"))
+      .orderBy(graft.ext.Corpus.unitHash(col("c_custkey")), col("c_custkey"))
       .limit(n)
       .select("c_custkey", "c_name", "c_mktsegment")
 
@@ -76,14 +81,17 @@ object Lookups {
 
   /** Percentile profile per status group (O4 — the reference computes p95
     * client-side over sorted latencies, scripts/benchmark.py:101; here it is
-    * a distributed exact percentile). */
+    * a distributed exact percentile). Computed via the count-by-value
+    * decomposition (ops/BoundedPercentile) rather than Spark's exact
+    * `Percentile` aggregate: o_totalprice is an unbounded-cardinality 2-dp
+    * value, so the per-group value→count buffer Percentile keeps would grow
+    * with distinct prices at 100× scale; the decomposition computes the
+    * identical interpolated result through bounded, spillable operators. */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
-      .groupBy("o_orderstatus")
-      .agg(
-        graft.ops.Ops.rnd(expr("percentile(o_totalprice, 0.5)"), 2).as("p50_amount"),
-        graft.ops.Ops.rnd(expr("percentile(o_totalprice, 0.95)"), 2).as("p95_amount"),
-        count(lit(1)).as("n"))
+    graft.ops.BoundedPercentile.exact(
+      Tables.orders(spark, dir).select("o_orderstatus", "o_totalprice"),
+      "o_orderstatus", "o_totalprice",
+      Seq(0.5 -> "p50_amount", 0.95 -> "p95_amount"), 2)
 
   /** A16's sketch form: KLL-style approximate quantiles checked against
     * their exact witness — the cost-optimization path
@@ -96,7 +104,9 @@ object Lookups {
     * real accuracy contract) the boolean is deterministically TRUE and the
     * DuckDB oracle emits TRUE — upgrading the driver's check from
     * rows-only to a semantic gate. Second pass over orders is a broadcast
-    * join against the 3-row sketch table. */
+    * join against the 3-row sketch table; the exact witness percentiles
+    * come from the bounded count-by-value decomposition (same rationale as
+    * `percentiles` above), joined back on the groups-sized frame. */
   def percentilesApprox(spark: SparkSession, dir: String): DataFrame = {
     val m = 0.02
     val orders = Tables.orders(spark, dir)
@@ -109,13 +119,17 @@ object Lookups {
       lt <= (lit(p) + lit(m)) * count(lit(1)) &&
         le >= (lit(p) - lit(m)) * count(lit(1))
     }
+    val exact = graft.ops.BoundedPercentile.exact(
+      orders.select("o_orderstatus", "o_totalprice"),
+      "o_orderstatus", "o_totalprice",
+      Seq(0.5 -> "p50_exact", 0.95 -> "p95_exact"), 2)
     orders.join(broadcast(sk), "o_orderstatus")
       .groupBy("o_orderstatus")
       .agg(
-        graft.ops.Ops.rnd(expr("percentile(o_totalprice, 0.5)"), 2).as("p50_exact"),
-        graft.ops.Ops.rnd(expr("percentile(o_totalprice, 0.95)"), 2).as("p95_exact"),
-        count(lit(1)).as("n"),
         envelope(0.5, "__p50a").as("p50_in_envelope"),
         envelope(0.95, "__p95a").as("p95_in_envelope"))
+      .join(broadcast(exact), "o_orderstatus")
+      .select("o_orderstatus", "p50_exact", "p95_exact", "n",
+        "p50_in_envelope", "p95_in_envelope")
   }
 }

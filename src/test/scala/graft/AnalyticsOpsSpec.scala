@@ -320,17 +320,23 @@ class AnalyticsOpsSpec extends SparkSpec {
       else assert(newEnds == 2, s"intra pair ($a,$b) has $newEnds new ends")
     }
     // every incremental candidate involving a new doc is found by the full
-    // (uncapped-equivalent) self-join too: the increment misses nothing the
-    // batch could collide on
-    val full = ext.Dedup.minhashPairsPre(sh)
+    // self-join too: the increment misses nothing the batch could collide
+    // on. The exact-equality claim runs UNCAPPED on both sides — the two
+    // implementations cap differently (combined bucket vs per-side), so a
+    // bucket near MaxBucket makes the capped sets legitimately diverge;
+    // with caps disabled the accounting rules provably coincide.
+    val fullUncapped = ext.Dedup.minhashPairsPre(sh, maxBucket = Int.MaxValue)
       .select($"doc_a", $"doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val incr = out.select($"doc_a", $"doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(incr.subsetOf(full),
-      s"incremental emitted pairs the full join lacks: ${(incr -- full).take(5)}")
-    assert(full.filter { case (a, b) => newIds(a) || newIds(b) } == incr,
-      "increment finds exactly the full join's new-endpoint pairs at this cap")
+    assert(incr.subsetOf(fullUncapped),
+      s"incremental emitted pairs the full join lacks: ${(incr -- fullUncapped).take(5)}")
+    val incrUncapped = ext.Dedup.incrementalPairs(sh, 0.1, maxBucket = Int.MaxValue)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fullUncapped.filter { case (a, b) => newIds(a) || newIds(b) } == incrUncapped,
+      "uncapped increment finds exactly the full join's new-endpoint pairs")
     out.unpersist()
   }
 

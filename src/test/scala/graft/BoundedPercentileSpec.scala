@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** ops/BoundedPercentile: the count-by-value decomposition must be
+  * bit-identical to Spark's exact `Percentile` aggregate (same interpolation
+  * formula, same null skipping) while never materializing a per-group
+  * value→count buffer. */
+class BoundedPercentileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matches the exact Percentile aggregate bit for bit on orders") {
+    val orders = core.Tables.orders(spark, sf0001)
+      .select("o_orderstatus", "o_totalprice")
+    val dec = ops.BoundedPercentile.exact(orders, "o_orderstatus",
+      "o_totalprice", Seq(0.25 -> "p25", 0.5 -> "p50", 0.95 -> "p95"), 9)
+    val ref = orders.groupBy("o_orderstatus").agg(
+      ops.Ops.rnd(expr("percentile(o_totalprice, 0.25)"), 9).as("p25"),
+      ops.Ops.rnd(expr("percentile(o_totalprice, 0.5)"), 9).as("p50"),
+      ops.Ops.rnd(expr("percentile(o_totalprice, 0.95)"), 9).as("p95"),
+      count(lit(1)).as("n"))
+    assert(dec.exceptAll(ref).isEmpty && ref.exceptAll(dec).isEmpty,
+      "decomposed percentiles diverged from the Percentile aggregate")
+  }
+
+  test("skips nulls; single-value and duplicate-heavy groups interpolate correctly") {
+    val df = Seq[(String, Option[Double])](
+      ("a", Some(1.0)), ("a", Some(3.0)), ("a", None),
+      ("b", Some(5.0)),
+      ("c", Some(2.0)), ("c", Some(2.0)), ("c", Some(2.0)), ("c", Some(4.0)))
+      .toDF("g", "v")
+    val out = ops.BoundedPercentile.exact(df, "g", "v", Seq(0.5 -> "p50"), 6)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out("a") == (2.0, 2L))   // null skipped: median of {1,3}
+    assert(out("b") == (5.0, 1L))   // single value
+    assert(out("c") == (2.0, 4L))   // pos 1.5 falls inside the 2.0 run
+  }
+
+  test("plan carries no per-group value buffer: no exact Percentile aggregate") {
+    val pct = serving.Lookups.percentiles(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    val pa = serving.Lookups.percentilesApprox(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    val qf = ext.TextAnalysis.qualityFilter(core.Tables.documents(spark, sf0001))
+      .queryExecution.optimizedPlan.toString
+    // `percentile(` is the exact aggregate; `percentile_approx(` (bounded
+    // sketch, fine at scale) does not match the pattern
+    for (p <- Seq(pct, pa, qf))
+      assert(!p.contains("percentile("),
+        s"exact Percentile aggregate must not appear:\n${p.take(800)}")
+  }
+}

@@ -6,14 +6,14 @@ package graft
   * cartesian products. */
 class ContractSpec extends SparkSpec {
 
-  test("every oracle key has a query; random_sample is the only rows-only query") {
+  test("every oracle key has a query; every query has an oracle") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(dangling.isEmpty, s"oracles without queries: $dangling")
-    // the sketch queries carry error-envelope oracles since round 6; only
-    // the seeded-rand sample has no cross-engine semantic check
+    // the sketch queries carry error-envelope oracles since round 6, and
+    // random_sample switched to the deterministic unit-hash sampler in
+    // round 7 — every declared query is now fully oracle-checked
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("random_sample"),
-      s"unexpected rows-only queries: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"unexpected rows-only queries: $rowsOnly")
   }
 
   test("every query resolves; fact queries plan without a cartesian join") {
@@ -24,9 +24,9 @@ class ContractSpec extends SparkSpec {
     // plans pure equi-joins on (table_id, bucket) now)
     val allowedCross = Set("dq_outliers", "dq_alerts", "count_reconciliation",
       "dq_row_validation", "similarity_topk",
-      // tfidf / quality_tiers / shard_manifest broadcast a 1-row corpus-count
-      // frame into per-row scoring — the same single-row-stats cross-join
-      // family as dq_outliers
+      // tfidf / quality_tiers / shard_manifest / mixture_weights broadcast a
+      // 1-row corpus-totals frame into per-row scoring — the same
+      // single-row-stats cross-join family as dq_outliers
       "tfidf_terms", "quality_tiers", "shard_manifest", "mixture_weights")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.optimizedPlan.toString

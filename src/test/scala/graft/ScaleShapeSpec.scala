@@ -120,6 +120,18 @@ class ScaleShapeSpec extends SparkSpec {
     for (p <- Seq(sl, sm, qtPlan, lf)) assert(!p.contains("CartesianProduct"))
   }
 
+  test("asOfRisk joins time-banded: the as-of condition carries a lower bound") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val plan = jobs.StreamAnalogJobs.asOfRisk(spark, sf0001)
+      .queryExecution.optimizedPlan
+    val conds = plan.collect { case j: Join => j.condition.map(_.toString).getOrElse("") }
+    // without the maxLookback band every probe matches its key's entire
+    // fact history before the top-1 — unbounded per-probe state at deep
+    // histories; the band shows up as a >= bound on the fact timestamp
+    assert(conds.exists(c => c.contains("computed_at") && c.contains(">=")),
+      s"as-of join must carry the banded lower bound:\n${conds.mkString("\n")}")
+  }
+
   test("pack_sequences prefix sum is chunk-parallel, not one task per source") {
     val docs = core.Tables.documents(spark, sf0001)
     val q = ext.Corpus.packSequences(docs, 2048)

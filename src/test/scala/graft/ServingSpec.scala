@@ -122,4 +122,36 @@ class ServingSpec extends SparkSpec {
         graft.core.FeatureCache.invalidate(spark, sf0001, _))
     }
   }
+
+  test("getBatch fuses the probe: one SQL execution for a 3-group batch") {
+    import java.util.concurrent.atomic.AtomicInteger
+    // warm the group caches so the measured probe is the steady-state path,
+    // then let the async listener bus drain the warm-up's events
+    svc.getBatch(Seq(1L), Seq("user", "transaction", "risk"), now)
+    Thread.sleep(1000)
+    val execs = new AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execs.incrementAndGet(): Unit
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val res = svc.getBatch(Seq(4L, 5L, 9L), Seq("user", "transaction", "risk"), now)
+      assert(res.size == 3)
+      // the bus is async — poll until the count stops moving
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = -1
+      while (System.nanoTime() < deadline && execs.get() != last) {
+        last = execs.get(); Thread.sleep(200)
+      }
+      // AQE's stage materializations share the root execution, so a fused
+      // probe is exactly one SQLExecutionStart; the old per-group loop was 3
+      assert(execs.get() == 1,
+        s"expected one fused probe execution, saw ${execs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
