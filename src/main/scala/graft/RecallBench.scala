@@ -31,26 +31,44 @@ object RecallBench {
 
     val numQueries = 100
     val k = 10
-    val emb = graft.core.Tables.embeddings(spark, sfDir)
-    val exact = Similarity.bruteTopK(emb, numQueries, k)
-      .select("query_id", "neighbor_id").cache()
-    val denom = exact.count().toDouble
 
-    def recall(ann: DataFrame): Double = {
-      val hit = ann.select("query_id", "neighbor_id")
-        .join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
-      math.round(hit / denom * 10000.0) / 10000.0
+    /** recall@k of every ANN path on one embedding table. */
+    def measure(emb: DataFrame): Seq[(String, Double)] = {
+      val exact = Similarity.bruteTopK(emb, numQueries, k)
+        .select("query_id", "neighbor_id").cache()
+      val denom = exact.count().toDouble
+      def recall(ann: DataFrame): Double = {
+        val hit = ann.select("query_id", "neighbor_id")
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+        math.round(hit / denom * 10000.0) / 10000.0
+      }
+      val out = Seq(
+        "ivf_nprobe1" -> Similarity.ivfTopK(emb, numQueries, k, nLists = 16, nprobe = 1),
+        "ivf_nprobe2" -> Similarity.ivfTopK(emb, numQueries, k, nLists = 16, nprobe = 2),
+        "ivf_nprobe4" -> Similarity.ivfTopK(emb, numQueries, k, nLists = 16, nprobe = 4),
+        "sq8"         -> Similarity.quantizedTopK(emb, numQueries, k)
+      ).map { case (name, df) => name -> recall(df) }
+      exact.unpersist()
+      out
     }
 
-    val paths = Seq(
-      "ivf_nprobe1" -> Similarity.ivfTopK(emb, numQueries, k, nLists = 16, nprobe = 1),
-      "ivf_nprobe2" -> Similarity.ivfTopK(emb, numQueries, k, nLists = 16, nprobe = 2),
-      "ivf_nprobe4" -> Similarity.ivfTopK(emb, numQueries, k, nLists = 16, nprobe = 4),
-      "sq8"         -> Similarity.quantizedTopK(emb, numQueries, k)
-    ).map { case (name, df) => name -> recall(df) }
+    // The corpus embeddings are md5-derived near-uniform vectors — the
+    // adversarial no-structure case where recall ≈ nprobe/nLists by
+    // construction. The planted-cluster table (DataGen.clusteredVectors,
+    // cluster size 20 > k, members at cosine ≥ 0.99) is the distribution
+    // IVF's premise assumes: true neighbors co-locate, so probing the
+    // right cell recovers most of the top-k. Publishing both shows what
+    // the index earns where its premise holds and what it costs where it
+    // doesn't.
+    val uniform = measure(graft.core.Tables.embeddings(spark, sfDir))
+    val nVec = graft.core.Tables.embeddings(spark, sfDir).count()
+    val clustered = measure(
+      graft.core.DataGen.clusteredVectors(spark, nVec, clusterSize = 20, dim = 64))
 
-    val ps = paths.map { case (n, r) => "\"" + n + "\":" + r }.mkString("{", ",", "}")
-    println(s"""{"metric":"recall_at_k","k":$k,"queries":$numQueries,"paths":$ps,"sf":"$sfDir"}""")
+    def fmt(xs: Seq[(String, Double)]): String =
+      xs.map { case (n, r) => "\"" + n + "\":" + r }.mkString("{", ",", "}")
+    println(s"""{"metric":"recall_at_k","k":$k,"queries":$numQueries,""" +
+      s""""paths":${fmt(uniform)},"clustered_paths":${fmt(clustered)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

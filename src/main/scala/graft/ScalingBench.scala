@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ext.{Corpus, Similarity, TextAnalysis}
+
+/** Empirical scaling harness: measures the five heaviest corpus queries at
+  * ×1 / ×2 / ×5 data and reports measured growth against the near-linear
+  * prediction — the evidence (vs. assertion) that the plan shapes pinned in
+  * ScaleShapeSpec actually hold as data grows. Published in PERF.md.
+  *
+  * The corpora are SELF-SIMILAR synthetic tables (deterministic md5-derived
+  * text with shared vocabulary across docs, DataGen.clusteredVectors
+  * embeddings with fixed cluster size), so every scale point draws from the
+  * identical distribution and the ratio t(×s)/t(×1) isolates data growth
+  * from distribution shift. Sub-linear measured growth is expected where a
+  * fixed-size side exists (contamination's probe set, capped LSH buckets);
+  * super-linear growth beyond ~1.3× the scale factor would flag a
+  * quadratic/buffer hazard.
+  *
+  * Prints ONE JSON line:
+  * {"metric":"scaling","base_docs":N,"scales":{"x1":{q:sec..},..},
+  *  "growth_x5":{q:ratio..}}
+  */
+object ScalingBench {
+
+  /** Deterministic documents table: ~20-100 tokens per doc, every 5th token
+    * a stopword, word identity keyed on (doc_id % 1000, position) so
+    * documents share n-grams across the corpus (contamination and quality
+    * signals have realistic structure at every scale). */
+  private def genDocs(spark: SparkSession, n: Long): DataFrame = {
+    val len = (lit(20) + pmod(col("id"), lit(80))).cast("int")
+    val words = transform(sequence(lit(0), len - 1), k =>
+      when(pmod(k, lit(5)) === 0, lit("the"))
+        .otherwise(substring(md5(concat(
+          pmod(col("id"), lit(1000)).cast("string"), lit("|"),
+          k.cast("string"))), 1, 6)))
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", words).as("text"),
+      lit("en").as("lang"),
+      concat(lit("src"), pmod(col("id"), lit(5)).cast("string")).as("source"),
+      length(concat_ws(" ", words)).cast("long").as("n_chars"))
+  }
+
+  private def genEmb(spark: SparkSession, n: Long): DataFrame =
+    core.DataGen.clusteredVectors(spark, n, clusterSize = 5, dim = 64)
+      .withColumn("label", pmod(col("vec_id"), lit(8)).cast("int"))
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val baseDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "20000").toLong
+    val baseVecs = sys.env.getOrElse("SPARK_GRAFT_SCALE_VECS", "8000").toLong
+    val root = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft-scaling")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scales = Seq(1, 2, 5)
+    scales.foreach { s =>
+      val dir = s"$root/x$s"
+      if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+        genDocs(spark, baseDocs * s).write.mode("overwrite")
+          .parquet(s"$dir/documents.parquet")
+        genEmb(spark, baseVecs * s).write.mode("overwrite")
+          .parquet(s"$dir/embeddings.parquet")
+      }
+    }
+
+    val queries: Seq[(String, String => DataFrame)] = Seq(
+      "quality_filter" -> (d => TextAnalysis.qualityFilter(Tables.documents(spark, d))),
+      "quality_tiers" -> (d => TextAnalysis.qualityTiers(Tables.documents(spark, d), 10)),
+      "contamination" -> { d =>
+        val docs = Tables.documents(spark, d)
+        Corpus.contamination(docs, docs.filter(col("doc_id") < 100), 3, 0.1)
+      },
+      "embedding_outliers" -> (d => Similarity.embeddingOutliers(Tables.embeddings(spark, d), 5)),
+      "dedup_embedding" -> (d => Similarity.cosineNearDups(Tables.embeddings(spark, d), 20)))
+
+    // warm: footers + codegen once per scale dir
+    scales.foreach { s =>
+      Tables.documents(spark, s"$root/x$s").count()
+      Tables.embeddings(spark, s"$root/x$s").count()
+    }
+    queries.foreach { case (_, fn) => fn(s"$root/x1").count() }
+
+    val Runs = 3
+    val timed: Map[Int, Seq[(String, Double)]] = scales.map { s =>
+      s -> queries.map { case (name, fn) =>
+        val times = (1 to Runs).map { _ =>
+          val t0 = System.nanoTime()
+          fn(s"$root/x$s").count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.sorted.apply(Runs / 2)
+      }
+    }.toMap
+
+    def fmt(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
+        .mkString("{", ",", "}")
+    val x1 = timed(1).toMap
+    val growth = timed(5).map { case (k, v) =>
+      k -> math.round(v / x1(k) * 100) / 100.0 }
+    val sc = scales.map(s => "\"x" + s + "\":" + fmt(timed(s))).mkString("{", ",", "}")
+    println(s"""{"metric":"scaling","base_docs":$baseDocs,"base_vecs":$baseVecs,""" +
+      s""""scales":$sc,"growth_x5":${fmt(growth)}}""")
+    spark.stop()
+  }
+}

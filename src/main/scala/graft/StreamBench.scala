@@ -1,0 +1,118 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.{EventPipeline, VelocityFeatures}
+import graft.streaming.VelocityFeatures.TxnEvent
+
+/** Streaming throughput harness — the measured events/s of the two
+  * streaming paths (PERF.md's gap until round 7: the streaming operators
+  * were correctness-tested but unbenched):
+  *
+  *   1. wire path: JSON parse → validity envelope → type router (the
+  *      stateless per-event work every ingested event pays);
+  *   2. stateful path: the flatMapGroupsWithState velocity windows, under
+  *      a uniform key distribution and under a 95%-hot-key skew at three
+  *      buffer caps — the hot-key-cap degradation curve (the cap trades
+  *      feature completeness for bounded state; this shows what it buys).
+  *
+  * MemoryStream feeds fixed-size chunks with processAllAvailable per chunk,
+  * so the number is steady-state micro-batch throughput (batch boundaries
+  * included), not one giant batch. Prints ONE JSON line.
+  */
+object StreamBench {
+
+  private def eventJson(i: Long, uid: Long): String = {
+    val sec = i % 86400
+    val ts = f"2024-01-01T${sec / 3600}%02d:${sec % 3600 / 60}%02d:${sec % 60}%02dZ"
+    val et = Seq("click", "view", "purchase", "signup", "error")((i % 5).toInt)
+    s"""{"event_id":$i,"ts":"$ts","user_id":$uid,"event_type":"$et","value":${(i % 500) / 10.0},"props":"{}"}"""
+  }
+
+  private def txn(i: Long, uid: Long): TxnEvent =
+    TxnEvent(uid, new Timestamp(1704067200000L + (i % 86400) * 1000),
+      (i % 500) / 10.0, (i % 37).toInt, i % 10 != 0)
+
+  /** Run a streaming query over `chunks` fed one-per-micro-batch; returns
+    * wall seconds for the fed portion (query start/stop excluded). */
+  private def drive[A](spark: SparkSession, input: MemoryStream[A],
+                       out: DataFrame, chunks: Iterator[Seq[A]]): Double = {
+    val q: StreamingQuery = out.writeStream
+      .foreachBatch((b: DataFrame, _: Long) => { b.count(); () })
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-sbench").toString)
+      .outputMode("append")
+      .start()
+    val t0 = System.nanoTime()
+    chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    val secs = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    secs
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "100000").toLong
+    val chunkSize = 10000
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def chunksOf[A](xs: IndexedSeq[A]): Iterator[Seq[A]] =
+      xs.grouped(chunkSize).map(_.toSeq)
+
+    // -- wire path: parse → route over JSON strings --------------------
+    val wire = (0L until n).map(i => eventJson(i, i % 200))
+    val wireIn = MemoryStream[String](spark)
+    // warm-up chunk excluded from timing via a first small drive
+    val wireSecs = {
+      val out = EventPipeline.route(EventPipeline.parse(wireIn.toDF()))
+      val q = out.writeStream
+        .foreachBatch((b: DataFrame, _: Long) => { b.count(); () })
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-sbench").toString)
+        .outputMode("append").start()
+      wireIn.addData(wire.take(chunkSize)); q.processAllAvailable() // warm
+      val t0 = System.nanoTime()
+      chunksOf(wire.drop(chunkSize)).foreach { c =>
+        wireIn.addData(c); q.processAllAvailable()
+      }
+      val s = (System.nanoTime() - t0) / 1e9
+      q.stop(); s
+    }
+    val wireEps = ((n - chunkSize) / wireSecs).toLong
+
+    // -- stateful path: velocity windows, uniform keys -----------------
+    val uniform = (0L until n).map(i => txn(i, i % 200))
+    val uniIn = MemoryStream[TxnEvent](spark)
+    val uniSecs = drive(spark, uniIn,
+      VelocityFeatures.stream(uniIn.toDS()).toDF(), chunksOf(uniform))
+    val uniEps = (n / uniSecs).toLong
+
+    // -- stateful path: 95% of events on one hot key, per buffer cap ---
+    val hot = (0L until n).map(i => txn(i, if (i % 20 != 0) 0L else i % 200))
+    val hotEps = Seq(10000, 1000, 100).map { cap =>
+      val in = MemoryStream[TxnEvent](spark)
+      val secs = drive(spark, in,
+        VelocityFeatures.stream(in.toDS(), maxEventsPerUser = cap).toDF(),
+        chunksOf(hot))
+      cap -> (n / secs).toLong
+    }
+
+    val hotJson = hotEps.map { case (c, e) => "\"cap" + c + "\":" + e }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"stream_events_per_sec","events":$n,"chunk":$chunkSize,""" +
+      s""""parse_route":$wireEps,"velocity_uniform":$uniEps,"velocity_hot95":$hotJson}""")
+    spark.stop()
+  }
+}

@@ -26,7 +26,10 @@ class KafkaGateSpec extends SparkSpec {
 
   test("kafka round-trip: produce via batch sink, consume via kafkaSource, parse") {
     assume(connectorPresent,
-      s"$connectorClass not on classpath — spark-sql-kafka jar absent in this environment")
+      s"$connectorClass not on classpath — to enable the wire test add " +
+        "spark-sql-kafka-0-10_2.13-4.1.2.jar (plus its kafka-clients and " +
+        "commons-pool2 deps) to /opt/spark/jars (no egress in this sandbox, " +
+        "so it cannot be vendored here)")
     val bootstrap = sys.env.get("GRAFT_KAFKA_BOOTSTRAP")
     assume(bootstrap.isDefined,
       "GRAFT_KAFKA_BOOTSTRAP not set — no broker to integrate against")
