@@ -1,0 +1,233 @@
+package graft.serving
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.time.Instant
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.Row
+import org.json4s._
+import org.json4s.jackson.JsonMethods.{compact, parse, render}
+
+/** REST serving face of the engine — the reference's FastAPI surface
+  * (src/feature_store/api.py:26-220, response models models.py:92-133)
+  * re-expressed over FeatureStoreService, with ZERO new dependencies: the
+  * JDK's built-in HttpServer carries the routes and Spark's own json4s
+  * renders the bodies. This closes the one standing SURVEY §7 waiver the
+  * audits kept re-noting: the serving SEMANTICS were always implemented and
+  * tested (type dedup, all-types hit rule, oldest-group freshness, 100-cap
+  * — serving/FeatureStoreService.scala); this is the wire shape around
+  * them. gRPC (src/grpc_server.py, proto/feature_store.proto) remains out:
+  * it needs a protobuf toolchain this environment doesn't ship, and every
+  * RPC there is the same store call this API exposes.
+  *
+  * Endpoints (api.py parity):
+  *   GET    /features/health               → HealthStatus
+  *   GET    /features/stats                → cache/database stats
+  *   GET    /features/user/{id}?feature_types=user&feature_types=risk
+  *                                         → FeatureResponse
+  *   DELETE /features/user/{id}            → group-cache invalidation
+  *   POST   /features/batch                → BatchFeatureResponse
+  *
+  * Documented divergences from api.py, all engine-grain consequences:
+  * user ids are BIGINT (the engine's key type) so a non-numeric id is a
+  * 400 (the reference's string ids accept anything ≤100 chars); DELETE
+  * invalidates at the engine's cache granularity — the feature-group
+  * tables — because the Spark cache tier has no per-user entries
+  * (cache.py's per-user Redis keys do); invalid input anywhere in a batch
+  * rejects the whole body with 400, the same all-or-nothing posture as
+  * FastAPI's 422 body validation.
+  *
+  * Scale posture: the server is a thin driver-side boundary — every
+  * request resolves through the same fused single-job probe getBatch uses,
+  * and nothing here holds state beyond the service's cached tables. A
+  * production deployment fronts many such drivers behind a balancer; the
+  * engine side stays stateless.
+  */
+class FeatureApi(service: FeatureStoreService) {
+
+  private var server: Option[HttpServer] = None
+
+  /** Start on `port` (0 = ephemeral); returns the bound port. */
+  def start(port: Int = 0): Int = synchronized {
+    require(server.isEmpty, "already started")
+    val s = HttpServer.create(new InetSocketAddress(port), 0)
+    s.createContext("/features/health", ex => guard(ex)(handleHealth))
+    s.createContext("/features/stats", ex => guard(ex)(handleStats))
+    s.createContext("/features/batch", ex => guard(ex)(handleBatch))
+    s.createContext("/features/user", ex => guard(ex)(handleUser))
+    s.setExecutor(null) // single-threaded dispatch; Spark does the real work
+    s.start()
+    server = Some(s)
+    s.getAddress.getPort
+  }
+
+  def stop(): Unit = synchronized {
+    server.foreach(_.stop(0))
+    server = None
+  }
+
+  // ---- route handlers ----------------------------------------------------
+
+  private def handleHealth(ex: HttpExchange): Unit = {
+    val dbOk = scala.util.Try(service.groupCounts.values.sum >= 0).isSuccess
+    val checks = JObject(
+      "cache" -> JBool(true), "database" -> JBool(dbOk),
+      "overall" -> JBool(dbOk))
+    val status = if (dbOk) "healthy" else "unhealthy"
+    respond(ex, if (dbOk) 200 else 503, JObject(
+      "status" -> JString(status),
+      "environment" -> JString("local"),
+      "version" -> JString("1.0.0"),
+      "timestamp" -> JDouble(System.currentTimeMillis() / 1000.0),
+      "checks" -> checks))
+  }
+
+  private def handleStats(ex: HttpExchange): Unit = {
+    val counts = service.groupCounts
+    respond(ex, 200, JObject(
+      "cache" -> JObject(
+        "groups" -> JArray(service.featureGroups.map(JString(_)).toList),
+        "tier" -> JString("spark-block-manager")),
+      "database" -> JObject(counts.toList.map { case (g, n) => g -> (JLong(n): JValue) }),
+      "timestamp" -> JDouble(System.currentTimeMillis() / 1000.0)))
+  }
+
+  private def handleUser(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath.stripPrefix("/features/user").stripPrefix("/")
+    if (path.isEmpty || path.contains("/")) { respond(ex, 404, err("not found")); return }
+    val uid = path.toLongOption.getOrElse {
+      respond(ex, 400, err("Invalid user_id: must be a numeric id")); return
+    }
+    ex.getRequestMethod match {
+      case "GET" =>
+        val types = queryValues(ex, "feature_types") match {
+          case Nil => Seq("user") // api.py default
+          case ts  => ts
+        }
+        withTypes(ex, types) { ts =>
+          val t0 = System.nanoTime()
+          val r = service.getFeatures(uid, ts, Instant.now())
+          respond(ex, 200, featureResponse(r, (System.nanoTime() - t0) / 1e6))
+        }
+      case "DELETE" =>
+        service.invalidate()
+        respond(ex, 200, JObject(
+          "message" -> JString(s"Cache invalidated for user $uid " +
+            "(engine cache granularity: feature-group tables)")))
+      case _ => respond(ex, 405, err("method not allowed"))
+    }
+  }
+
+  private def handleBatch(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") { respond(ex, 405, err("method not allowed")); return }
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val reqs = scala.util.Try {
+      val JArray(items) = parse(body) \ "requests"
+      items.map { it =>
+        val uid = it \ "user_id" match {
+          case JString(s) => s.toLong
+          case JInt(n)    => n.toLong
+          case JLong(n)   => n
+          case _          => throw new IllegalArgumentException("user_id required")
+        }
+        val types = it \ "feature_types" match {
+          case JArray(ts) => ts.map { case JString(t) => t
+                                      case _ => throw new IllegalArgumentException("bad type") }
+          case JNothing   => List("user")
+          case _          => throw new IllegalArgumentException("bad feature_types")
+        }
+        (uid, types)
+      }
+    }.getOrElse { respond(ex, 400, err("malformed batch request body")); return }
+    if (reqs.isEmpty || reqs.size > 100) {
+      respond(ex, 400, err("requests must contain between 1 and 100 items")); return
+    }
+    val t0 = System.nanoTime()
+    // one fused probe per DISTINCT requested type-set (usually one), results
+    // re-ordered to the request order — job count stays O(type-sets), not
+    // O(requests)
+    val ok = scala.util.Try {
+      val byTypes = reqs.zipWithIndex.groupBy(_._1._2.map(identity))
+      byTypes.toSeq.flatMap { case (types, members) =>
+        val ts = service.normalizeTypes(types)
+        val results = service.getBatch(members.map(_._1._1), ts, Instant.now())
+        members.map(_._2).zip(results)
+      }.sortBy(_._1).map(_._2)
+    }
+    ok match {
+      case scala.util.Failure(e: IllegalArgumentException) =>
+        respond(ex, 400, err(e.getMessage))
+      case scala.util.Failure(e) => throw e
+      case scala.util.Success(results) =>
+        val ms = (System.nanoTime() - t0) / 1e6
+        val (hits, total, ratio) = service.batchSummary(results)
+        respond(ex, 200, JObject(
+          "responses" -> JArray(results.map(featureResponse(_, ms / total)).toList),
+          "total_requests" -> JInt(total),
+          "successful_requests" -> JInt(total),
+          "failed_requests" -> JInt(0),
+          "total_response_time_ms" -> JDouble(round2(ms)),
+          "cache_hit_ratio" -> JDouble(round2(ratio)),
+          "cache_hits" -> JInt(hits)))
+    }
+  }
+
+  // ---- rendering ---------------------------------------------------------
+
+  private def featureResponse(r: service.FeatureResult, ms: Double): JObject =
+    JObject(
+      "user_id" -> JLong(r.userId),
+      "user_features" -> r.features.get("user").map(rowJson).getOrElse(JNull),
+      "transaction_features" -> r.features.get("transaction").map(rowJson).getOrElse(JNull),
+      "risk_features" -> r.features.get("risk").map(rowJson).getOrElse(JNull),
+      "response_time_ms" -> JDouble(round2(ms)),
+      "cache_hit" -> JBool(r.cacheHit),
+      "data_freshness_minutes" -> r.freshnessMinutes.map(m => JLong(m): JValue).getOrElse(JNull))
+
+  /** Row → JSON by schema (models.py's per-group feature objects). */
+  private def rowJson(row: Row): JValue = JObject(
+    row.schema.fields.zipWithIndex.toList.map { case (f, i) =>
+      f.name -> (if (row.isNullAt(i)) JNull else row.get(i) match {
+        case x: Long => JLong(x)
+        case x: Int => JInt(BigInt(x))
+        case x: Double => JDouble(x)
+        case x: java.math.BigDecimal => JDecimal(BigDecimal(x))
+        case x: Boolean => JBool(x)
+        case x: java.sql.Timestamp => JString(x.toInstant.toString)
+        case x => JString(x.toString)
+      })
+    })
+
+  private def withTypes(ex: HttpExchange, types: Seq[String])(f: Seq[String] => Unit): Unit =
+    scala.util.Try(service.normalizeTypes(types)) match {
+      case scala.util.Success(ts) => f(ts)
+      case scala.util.Failure(e)  => respond(ex, 400, err(e.getMessage))
+    }
+
+  private def queryValues(ex: HttpExchange, key: String): List[String] =
+    Option(ex.getRequestURI.getQuery).toList
+      .flatMap(_.split("&").toList)
+      .map(_.split("=", 2))
+      .collect { case Array(k, v) if k == key => v }
+
+  private def err(msg: String): JObject = JObject("detail" -> JString(msg))
+
+  private def round2(x: Double): Double = math.round(x * 100) / 100.0
+
+  private def guard(ex: HttpExchange)(h: HttpExchange => Unit): Unit =
+    try h(ex)
+    catch {
+      case e: Throwable =>
+        scala.util.Try(respond(ex, 500, err(s"Internal server error: ${e.getMessage}")))
+    }
+
+  private def respond(ex: HttpExchange, status: Int, body: JValue): Unit = {
+    val bytes = compact(render(body)).getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+}

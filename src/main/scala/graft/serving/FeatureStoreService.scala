@@ -90,6 +90,11 @@ class FeatureStoreService(spark: SparkSession, dir: String) {
     }
   }
 
+  /** Per-group cached row counts — the stats/health probe's view of the
+    * cache tier (api.py:190-210's get_feature_store_stats analogue). */
+  def groupCounts: Map[String, Long] =
+    featureGroups.map(g => g -> cache(g).count()).toMap
+
   /** Batch response envelope stats — the reference's cache_hit_ratio
     * (store.py:112-141, models.py:109-116). */
   def batchSummary(results: Seq[FeatureResult]): (Int, Int, Double) = {
