@@ -60,8 +60,9 @@ object RecallBench {
     // right cell recovers most of the top-k. Publishing both shows what
     // the index earns where its premise holds and what it costs where it
     // doesn't.
-    val uniform = measure(graft.core.Tables.embeddings(spark, sfDir))
-    val nVec = graft.core.Tables.embeddings(spark, sfDir).count()
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val nVec = emb.count()
+    val uniform = measure(emb)
     val clustered = measure(
       graft.core.DataGen.clusteredVectors(spark, nVec, clusterSize = 20, dim = 64))
 

@@ -64,13 +64,18 @@ object ScalingBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val scales = Seq(1, 2, 5)
+    // dir name encodes the size params (a rerun with different env vars
+    // regenerates instead of silently benchmarking stale tables), and
+    // documents — the existence marker — is written LAST, so a run killed
+    // mid-generation leaves no dir that passes the check
+    def scaleDir(s: Int) = s"$root/d$baseDocs-v$baseVecs/x$s"
     scales.foreach { s =>
-      val dir = s"$root/x$s"
+      val dir = scaleDir(s)
       if (!new java.io.File(s"$dir/documents.parquet").exists()) {
-        genDocs(spark, baseDocs * s).write.mode("overwrite")
-          .parquet(s"$dir/documents.parquet")
         genEmb(spark, baseVecs * s).write.mode("overwrite")
           .parquet(s"$dir/embeddings.parquet")
+        genDocs(spark, baseDocs * s).write.mode("overwrite")
+          .parquet(s"$dir/documents.parquet")
       }
     }
 
@@ -86,17 +91,17 @@ object ScalingBench {
 
     // warm: footers + codegen once per scale dir
     scales.foreach { s =>
-      Tables.documents(spark, s"$root/x$s").count()
-      Tables.embeddings(spark, s"$root/x$s").count()
+      Tables.documents(spark, scaleDir(s)).count()
+      Tables.embeddings(spark, scaleDir(s)).count()
     }
-    queries.foreach { case (_, fn) => fn(s"$root/x1").count() }
+    queries.foreach { case (_, fn) => fn(scaleDir(1)).count() }
 
     val Runs = 3
     val timed: Map[Int, Seq[(String, Double)]] = scales.map { s =>
       s -> queries.map { case (name, fn) =>
         val times = (1 to Runs).map { _ =>
           val t0 = System.nanoTime()
-          fn(s"$root/x$s").count()
+          fn(scaleDir(s)).count()
           (System.nanoTime() - t0) / 1e9
         }
         name -> times.sorted.apply(Runs / 2)

@@ -37,21 +37,24 @@ object StreamBench {
     TxnEvent(uid, new Timestamp(1704067200000L + (i % 86400) * 1000),
       (i % 500) / 10.0, (i % 37).toInt, i % 10 != 0)
 
-  /** Run a streaming query over `chunks` fed one-per-micro-batch; returns
-    * wall seconds for the fed portion (query start/stop excluded). */
-  private def drive[A](spark: SparkSession, input: MemoryStream[A],
-                       out: DataFrame, chunks: Iterator[Seq[A]]): Double = {
+  /** Run a streaming query over `chunks` fed one-per-micro-batch. The FIRST
+    * chunk is an untimed warm-up (query/state-store/shuffle init — the same
+    * methodology on every path, so the published numbers compare); returns
+    * events/s over the remaining chunks. */
+  private def drive[A](input: MemoryStream[A], out: DataFrame,
+                       chunks: Seq[Seq[A]]): Long = {
     val q: StreamingQuery = out.writeStream
       .foreachBatch((b: DataFrame, _: Long) => { b.count(); () })
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("graft-sbench").toString)
       .outputMode("append")
       .start()
+    input.addData(chunks.head); q.processAllAvailable() // warm-up, untimed
     val t0 = System.nanoTime()
-    chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    chunks.tail.foreach { c => input.addData(c); q.processAllAvailable() }
     val secs = (System.nanoTime() - t0) / 1e9
     q.stop()
-    secs
+    (chunks.tail.map(_.size.toLong).sum / secs).toLong
   }
 
   def main(args: Array[String]): Unit = {
@@ -68,45 +71,28 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    def chunksOf[A](xs: IndexedSeq[A]): Iterator[Seq[A]] =
-      xs.grouped(chunkSize).map(_.toSeq)
+    def chunksOf[A](xs: IndexedSeq[A]): Seq[Seq[A]] =
+      xs.grouped(chunkSize).map(_.toSeq).toSeq
 
     // -- wire path: parse → route over JSON strings --------------------
     val wire = (0L until n).map(i => eventJson(i, i % 200))
     val wireIn = MemoryStream[String](spark)
-    // warm-up chunk excluded from timing via a first small drive
-    val wireSecs = {
-      val out = EventPipeline.route(EventPipeline.parse(wireIn.toDF()))
-      val q = out.writeStream
-        .foreachBatch((b: DataFrame, _: Long) => { b.count(); () })
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-sbench").toString)
-        .outputMode("append").start()
-      wireIn.addData(wire.take(chunkSize)); q.processAllAvailable() // warm
-      val t0 = System.nanoTime()
-      chunksOf(wire.drop(chunkSize)).foreach { c =>
-        wireIn.addData(c); q.processAllAvailable()
-      }
-      val s = (System.nanoTime() - t0) / 1e9
-      q.stop(); s
-    }
-    val wireEps = ((n - chunkSize) / wireSecs).toLong
+    val wireEps = drive(wireIn,
+      EventPipeline.route(EventPipeline.parse(wireIn.toDF())), chunksOf(wire))
 
     // -- stateful path: velocity windows, uniform keys -----------------
     val uniform = (0L until n).map(i => txn(i, i % 200))
     val uniIn = MemoryStream[TxnEvent](spark)
-    val uniSecs = drive(spark, uniIn,
+    val uniEps = drive(uniIn,
       VelocityFeatures.stream(uniIn.toDS()).toDF(), chunksOf(uniform))
-    val uniEps = (n / uniSecs).toLong
 
     // -- stateful path: 95% of events on one hot key, per buffer cap ---
     val hot = (0L until n).map(i => txn(i, if (i % 20 != 0) 0L else i % 200))
     val hotEps = Seq(10000, 1000, 100).map { cap =>
       val in = MemoryStream[TxnEvent](spark)
-      val secs = drive(spark, in,
+      cap -> drive(in,
         VelocityFeatures.stream(in.toDS(), maxEventsPerUser = cap).toDF(),
         chunksOf(hot))
-      cap -> (n / secs).toLong
     }
 
     val hotJson = hotEps.map { case (c, e) => "\"cap" + c + "\":" + e }

@@ -104,13 +104,15 @@ object TextAnalysis {
       .select("doc_id", "source", "quality_score", "source_median")
   }
 
-  /** Session-cached per-doc (doc_id, source, quality_score) — the scoring
-    * half of the token pass, materialized once per (session, corpus). */
+  /** Session-cached per-doc (doc_id, source, quality_score) — DERIVED from
+    * textStatsTable (which already carries quality_score) joined with a
+    * text-free (doc_id, source) projection, so the session tokenizes the
+    * corpus exactly once no matter which curation consumers run. */
   def scoreTable(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     graft.core.FeatureCache.cached(spark, dir, "quality_scores") {
-      graft.core.Tables.documents(spark, dir).select(
-        col("doc_id"), col("source"),
-        qualityExpr(toks(col("text"))).as("quality_score"))
+      graft.core.Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+        .join(textStatsTable(spark, dir).select(col("doc_id"), col("quality_score")),
+          Seq("doc_id"))
     }
 
   /** Session-cached textStats / repetitionStats / oovRate artifacts — the

@@ -52,8 +52,13 @@ object BoundedPercentile {
       .withColumn("__hi", sum(col("__c")).over(w))
       .withColumn("__lo", col("__hi") - col("__c"))
     val tot = cnt.groupBy(groupCol).agg(sum(col("__c")).as("__n"))
-    // the totals frame is one row per group — broadcast it back
-    val j = cum.join(broadcast(tot), groupCol)
+    // the totals frame is one row per group — broadcast it back. The join
+    // is NULL-SAFE on the group key: groupBy keeps a null group (exactly
+    // like the Percentile aggregate), so a plain equi-join would silently
+    // drop it here
+    val j = cum.as("c")
+      .join(broadcast(tot).as("t"), col(s"c.$groupCol") <=> col(s"t.$groupCol"))
+      .drop(col(s"t.$groupCol"))
 
     // a value with cumulative range [lo, hi) owns 0-indexed sorted
     // positions lo .. hi-1 of its group

@@ -70,7 +70,17 @@ class FeatureApi(service: FeatureStoreService) {
 
   // ---- route handlers ----------------------------------------------------
 
+  /** JDK HttpServer contexts match by raw longest prefix (no '/' boundary),
+    * so /features/healthz would land in the /features/health context —
+    * every handler re-checks the exact path and 404s mismatches, matching
+    * the reference router's behavior. */
+  private def exactPath(ex: HttpExchange, path: String): Boolean =
+    ex.getRequestURI.getPath == path
+
   private def handleHealth(ex: HttpExchange): Unit = {
+    if (!exactPath(ex, "/features/health")) { respond(ex, 404, err("not found")); return }
+    // groupCounts is memoized in the service: health polling costs no Spark
+    // jobs after the first call
     val dbOk = scala.util.Try(service.groupCounts.values.sum >= 0).isSuccess
     val checks = JObject(
       "cache" -> JBool(true), "database" -> JBool(dbOk),
@@ -85,6 +95,7 @@ class FeatureApi(service: FeatureStoreService) {
   }
 
   private def handleStats(ex: HttpExchange): Unit = {
+    if (!exactPath(ex, "/features/stats")) { respond(ex, 404, err("not found")); return }
     val counts = service.groupCounts
     respond(ex, 200, JObject(
       "cache" -> JObject(
@@ -95,7 +106,9 @@ class FeatureApi(service: FeatureStoreService) {
   }
 
   private def handleUser(ex: HttpExchange): Unit = {
-    val path = ex.getRequestURI.getPath.stripPrefix("/features/user").stripPrefix("/")
+    val raw = ex.getRequestURI.getPath
+    if (!raw.startsWith("/features/user/")) { respond(ex, 404, err("not found")); return }
+    val path = raw.stripPrefix("/features/user/")
     if (path.isEmpty || path.contains("/")) { respond(ex, 404, err("not found")); return }
     val uid = path.toLongOption.getOrElse {
       respond(ex, 400, err("Invalid user_id: must be a numeric id")); return
@@ -121,6 +134,7 @@ class FeatureApi(service: FeatureStoreService) {
   }
 
   private def handleBatch(ex: HttpExchange): Unit = {
+    if (!exactPath(ex, "/features/batch")) { respond(ex, 404, err("not found")); return }
     if (ex.getRequestMethod != "POST") { respond(ex, 405, err("method not allowed")); return }
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     val reqs = scala.util.Try {

@@ -91,9 +91,20 @@ class FeatureStoreService(spark: SparkSession, dir: String) {
   }
 
   /** Per-group cached row counts — the stats/health probe's view of the
-    * cache tier (api.py:190-210's get_feature_store_stats analogue). */
-  def groupCounts: Map[String, Long] =
-    featureGroups.map(g => g -> cache(g).count()).toMap
+    * cache tier (api.py:190-210's get_feature_store_stats analogue).
+    * MEMOIZED: a load balancer polls health every few seconds, and three
+    * count jobs per poll would serialize behind real lookups; the first
+    * call pays (and materializes the caches), later calls are free until
+    * `invalidate` clears the memo with the tables. */
+  def groupCounts: Map[String, Long] = {
+    countsMemo.getOrElse {
+      val c = featureGroups.map(g => g -> cache(g).count()).toMap
+      countsMemo = Some(c)
+      c
+    }
+  }
+
+  @volatile private var countsMemo: Option[Map[String, Long]] = None
 
   /** Batch response envelope stats — the reference's cache_hit_ratio
     * (store.py:112-141, models.py:109-116). */
@@ -111,5 +122,6 @@ class FeatureStoreService(spark: SparkSession, dir: String) {
       cache(g).unpersist()
       cache = cache.updated(g, computeGroup(g))
     }
+    countsMemo = None
   }
 }

@@ -63,6 +63,11 @@ class ApiSpec extends SparkSpec {
     assert(get("/features/user/not-a-number").statusCode() == 400)
     assert(get("/features/user/5?feature_types=bogus").statusCode() == 400)
     assert(get("/features/user/5/extra").statusCode() == 404)
+    // JDK context prefix-matching must not leak wrong handlers onto
+    // near-miss routes (healthz → health, username → user/{id})
+    assert(get("/features/healthz").statusCode() == 404)
+    assert(get("/features/username").statusCode() == 404)
+    assert(get("/features/user").statusCode() == 404)
   }
 
   test("POST /features/batch: envelope stats + order preserved + cap enforced") {

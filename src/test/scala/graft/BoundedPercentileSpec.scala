@@ -23,17 +23,22 @@ class BoundedPercentileSpec extends SparkSpec {
       "decomposed percentiles diverged from the Percentile aggregate")
   }
 
-  test("skips nulls; single-value and duplicate-heavy groups interpolate correctly") {
-    val df = Seq[(String, Option[Double])](
-      ("a", Some(1.0)), ("a", Some(3.0)), ("a", None),
-      ("b", Some(5.0)),
-      ("c", Some(2.0)), ("c", Some(2.0)), ("c", Some(2.0)), ("c", Some(4.0)))
-      .toDF("g", "v")
+  test("skips null values; keeps the null GROUP; duplicates interpolate correctly") {
+    val df = Seq[(Option[String], Option[Double])](
+      (Some("a"), Some(1.0)), (Some("a"), Some(3.0)), (Some("a"), None),
+      (Some("b"), Some(5.0)),
+      (Some("c"), Some(2.0)), (Some("c"), Some(2.0)), (Some("c"), Some(2.0)),
+      (Some("c"), Some(4.0)),
+      (None, Some(7.0)), (None, Some(9.0))) // the Percentile aggregate
+      .toDF("g", "v")                       // emits a row for a null group
     val out = ops.BoundedPercentile.exact(df, "g", "v", Seq(0.5 -> "p50"), 6)
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
-    assert(out("a") == (2.0, 2L))   // null skipped: median of {1,3}
-    assert(out("b") == (5.0, 1L))   // single value
-    assert(out("c") == (2.0, 4L))   // pos 1.5 falls inside the 2.0 run
+      .collect()
+      .map(r => Option(r.getString(0)).getOrElse("<null>") ->
+        (r.getDouble(1), r.getLong(2))).toMap
+    assert(out("a") == (2.0, 2L))       // null value skipped: median of {1,3}
+    assert(out("b") == (5.0, 1L))       // single value
+    assert(out("c") == (2.0, 4L))       // pos 1.5 falls inside the 2.0 run
+    assert(out("<null>") == (8.0, 2L))  // null group survives the totals join
   }
 
   test("plan carries no per-group value buffer: no exact Percentile aggregate") {
