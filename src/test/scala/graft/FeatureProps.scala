@@ -88,6 +88,23 @@ object FeatureProps extends Properties("graft") {
       nodes.forall(n => got(n) == (keeper(n), size(keeper(n))))
     }
 
+  property("bounded percentile decomposition equals the Percentile aggregate") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.choose(0, 3), Gen.choose(0, 500).map(_ / 10.0))),
+      Gen.oneOf(0.0, 0.25, 0.5, 0.9, 1.0)) { (rows, p) =>
+      // duplicate-heavy values (51 distinct) exercise the [lo, hi) run
+      // logic; groups of wildly different sizes exercise the position math
+      val df = rows.map { case (g, v) => (s"g$g", v) }.toDF("g", "v")
+      val dec = ops.BoundedPercentile.exact(df, "g", "v", Seq(p -> "q"), 9)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      val ref = df.groupBy("g").agg(
+          graft.ops.Ops.rnd(expr(s"percentile(v, $p)"), 9).as("q"),
+          count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      dec == ref
+    }
+
   property("merge-by-key: keyset is the union, updates win") =
     forAll(Gen.listOf(Gen.choose(0L, 9L)), Gen.listOf(Gen.choose(0L, 9L))) { (o, n) =>
       val old = o.distinct.map(k => (k, s"old$k")).toDF("k", "v")
