@@ -1,0 +1,32 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** The one local-session recipe every runnable main shares (Verify, Bench,
+  * ScalingBench, StreamBench, RecallBench, Explain, FeatureApiMain) — the
+  * settings are load-bearing, so they live in exactly one place:
+  *
+  *   - GraftExtensions registers the native codegen expressions;
+  *   - shuffle.partitions = cores (not the 200 default) sizes local runs;
+  *   - UTC pins every timestamp rendering the oracles compare;
+  *   - nanosAsLong is REQUIRED to read events.parquet (TIMESTAMP(NANOS),
+  *     which the vanilla reader rejects — Tables.events converts back);
+  *   - no UI: headless harness runs.
+  */
+object Sessions {
+
+  /** Build (or reuse) the local session. `logLevel` defaults to the
+    * harness-friendly WARN. */
+  def local(cpus: String, logLevel: String = "WARN"): SparkSession = {
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(logLevel)
+    spark
+  }
+}

@@ -10,17 +10,15 @@ object FeatureApiMain {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption
       .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
-    val port = args.lift(1).map(_.toInt).getOrElse(8080)
+    val port = args.lift(1) match {
+      case None => 8080
+      case Some(p) => p.toIntOption.filter(x => x >= 0 && x <= 65535).getOrElse {
+        System.err.println(s"usage: FeatureApiMain [sfDir] [port]; bad port '$p'")
+        sys.exit(2)
+      }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .withExtensions(new graft.plans.GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.core.Sessions.local(cpus)
     val api = new FeatureApi(new FeatureStoreService(spark, dir))
     val bound = api.start(port)
     println(s"[api] serving $dir at http://localhost:$bound/features/health")

@@ -91,10 +91,11 @@ object FeatureProps extends Properties("graft") {
   property("bounded percentile decomposition equals the Percentile aggregate") =
     forAll(
       Gen.nonEmptyListOf(Gen.zip(
-        Gen.choose(0, 3), Gen.choose(0, 500).map(_ / 10.0))),
+        Gen.choose(0, 3), Gen.choose(0, 50).map(_ / 10.0))),
       Gen.oneOf(0.0, 0.25, 0.5, 0.9, 1.0)) { (rows, p) =>
-      // duplicate-heavy values (51 distinct) exercise the [lo, hi) run
-      // logic; groups of wildly different sizes exercise the position math
+      // duplicate-heavy values (only 51 distinct, so lists collide often)
+      // exercise the [lo, hi) run logic; groups of wildly different sizes
+      // exercise the position math
       val df = rows.map { case (g, v) => (s"g$g", v) }.toDF("g", "v")
       val dec = ops.BoundedPercentile.exact(df, "g", "v", Seq(p -> "q"), 9)
         .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
