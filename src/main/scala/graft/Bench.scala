@@ -1,12 +1,27 @@
 package graft
 
+import java.lang.management.ManagementFactory
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): times each SparkEntry query at the
   * given scale dir, prints ONE JSON line. A failed query is reported in a
-  * `failed` list, never as a bogus timing. One untimed warm-up action runs
-  * first so JVM/codegen/session startup isn't billed to whichever query the
-  * map happens to order first.
+  * `failed` list, never as a bogus timing.
+  *
+  * The artifact is SELF-DIAGNOSING (the r7 lesson: four queries "regressed"
+  * 10× in the driver artifact while isolated runs stayed flat — harness
+  * pressure was indistinguishable from plan cost):
+  *
+  *   - EVERY FeatureCache artifact any query reads is warmed up front, so
+  *     no query is billed a cache build and per-query numbers measure the
+  *     query, not map ordering;
+  *   - `runs` carries all three per-query times (the median is what
+  *     `queries` reports) — a noisy outlier among stable runs reads as
+  *     pressure, three consistent slow runs read as plan cost;
+  *   - `gc_ms` carries the GC time that elapsed during each query's three
+  *     runs, plus totals and post-warm-up storage/heap footprints, so a
+  *     slow number can be attributed to collection pressure directly from
+  *     the artifact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -18,12 +33,14 @@ object Bench {
       try graft.core.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
-    // Warm the feature-cache tier too: the reference's baseline numbers are
-    // cache-backed serving latencies (93-96% Redis hit rate), so the
-    // comparable steady state has the daily-batch tables already materialized
-    // — otherwise whichever query first touches a cached table is billed the
-    // entire batch build and the per-query profile measures map ordering,
-    // not the query. The build cost itself is reported by PERF.md, not here.
+    // Warm the ENTIRE feature-cache tier: the reference's baseline numbers
+    // are cache-backed serving latencies (93-96% Redis hit rate), so the
+    // comparable steady state has every session artifact already
+    // materialized — otherwise whichever query first touches a cached table
+    // is billed the artifact build and the per-query profile measures map
+    // ordering, not the query. The build cost itself is reported by
+    // PERF.md, not here. This list mirrors every FeatureCache.cached site
+    // reachable from SparkEntry.queries (args match the query entries).
     Seq[() => Unit](
       () => { graft.jobs.TransactionFeaturesJob(spark, sfDir).count(): Unit },
       () => { graft.jobs.UserFeaturesJob(spark, sfDir).count(): Unit },
@@ -32,23 +49,51 @@ object Bench {
       () => { graft.ext.Dedup.shingleTable(spark, sfDir).count(): Unit },
       () => { graft.ext.Dedup.signatureTable(spark, sfDir).count(): Unit },
       () => { graft.ext.Dedup.candidatePairTable(spark, sfDir).count(): Unit },
+      () => { graft.ext.Dedup.verifiedPairTable(spark, sfDir, 0.5).count(): Unit },
+      () => { graft.ext.Dedup.clusterTable(spark, sfDir, 0.5).count(): Unit },
+      () => { graft.ext.Dedup.incrementalPairTable(spark, sfDir, 0.1).count(): Unit },
       () => { graft.ext.Dedup.simhash64Table(spark, sfDir).count(): Unit },
-      () => { graft.ext.Dedup.simhashPairTable(spark, sfDir).count(): Unit },
-      () => { graft.ext.Dedup.verifiedPairTable(spark, sfDir).count(): Unit }
+      () => { graft.ext.Dedup.simhashPairTable(spark, sfDir, 3).count(): Unit },
+      () => { graft.ext.TextAnalysis.textStatsTable(spark, sfDir).count(): Unit },
+      () => { graft.ext.TextAnalysis.scoreTable(spark, sfDir).count(): Unit },
+      () => { graft.ext.TextAnalysis.repetitionTable(spark, sfDir).count(): Unit },
+      () => { graft.ext.TextAnalysis.oovTable(spark, sfDir, 1000).count(): Unit },
+      () => { graft.ext.TextAnalysis.oovTable(spark, sfDir, 20).count(): Unit },
+      () => { graft.ext.TextAnalysis.docBigramTable(spark, sfDir).count(): Unit },
+      () => { graft.ext.TextAnalysis.bigramDfTable(spark, sfDir).count(): Unit },
+      () => { graft.ext.Similarity.lshBucketsCached(spark, sfDir).count(): Unit },
+      () => { graft.ext.Similarity.cosineNearDupsCached(spark, sfDir, 20).count(): Unit },
+      () => { graft.ext.Similarity.semanticClusterTable(spark, sfDir, 0.2).count(): Unit }
     ).foreach(f => try f() catch { case _: Throwable => () })
-    // Median of 3 runs per query: at this sf, single-run timings are
-    // scheduler-noise dominated (sub-second swings round to round); the
-    // median is the number the per-round comparison can trust.
+
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    def heapMb(): Long =
+      (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
+    def storageMb(): Long =
+      try spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum >> 20
+      catch { case _: Throwable => -1L }
+
+    val gcAfterWarm = gcMillis()
+    val storageAfterWarm = storageMb()
+
+    // Three runs per query: at this sf, single-run timings are scheduler-
+    // noise dominated; `queries` reports the median (the number the
+    // per-round comparison trusts), `runs` the raw triple.
     val Runs = 3
     var failed = List.empty[String]
     val results = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
+        val gc0 = gcMillis()
         val times = (1 to Runs).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }
-        Some(name -> times.sorted.apply(Runs / 2))
+        Some(name -> ((times.sorted.apply(Runs / 2), times, gcMillis() - gc0)))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -56,10 +101,21 @@ object Bench {
           None
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def fmt(d: Double): String = "%.6f".format(d)
+    val qs = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + fmt(med) }
+      .mkString("{", ",", "}")
+    val runs = results.map { case (k, (_, ts, _)) =>
+      "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val gcs = results.map { case (k, (_, _, g)) => "\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s""""runs":$runs,"gc_ms":$gcs,"gc_warm_ms":$gcAfterWarm,""" +
+      s""""gc_total_ms":${gcMillis()},"storage_mb_after_warm":$storageAfterWarm,""" +
+      s""""storage_mb_end":${storageMb()},"heap_mb_end":${heapMb()},""" +
+      s""""failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -156,6 +156,12 @@ object TextAnalysis {
     val bg = d.select(col("doc_id"),
       explode(Corpus.ngramsOf(col("__toks"), col("text"), 2)).as("bigram"))
     val dfreq = dfPre.getOrElse(bg.groupBy("bigram").agg(count(lit(1)).as("df")))
+    scoreBigrams(bg, dfreq)
+  }
+
+  /** The familiarity scoring join itself: doc bigrams ⋈ df → per-doc
+    * combinable aggregate (shared by the ad-hoc and cached entry points). */
+  private def scoreBigrams(bg: DataFrame, dfreq: DataFrame): DataFrame =
     bg.join(dfreq, Seq("bigram"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
@@ -166,26 +172,36 @@ object TextAnalysis {
           col("__df_sum").cast("double") / col("n_bigrams"), 4).as("avg_df"),
         graft.ops.Ops.rnd(
           col("__rare").cast("double") / col("n_bigrams"), 4).as("rare_ratio"))
-  }
+
+  /** Session-cached per-doc bigram table (doc_id, bigram) — the tokenize +
+    * explode pass BOTH sides of familiarity scoring need: the df table
+    * aggregates it, and the scoring join probes it. Cached separately so a
+    * warm session never re-tokenizes the corpus per evaluation (the r7
+    * lm_familiarity regression: the df artifact was cached but every score
+    * call re-ran this explode). */
+  def docBigramTable(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.core.FeatureCache.cached(spark, dir, "doc_bigrams") {
+      val d = graft.core.Tables.documents(spark, dir)
+        .withColumn("__toks", toks(col("text")))
+      d.select(col("doc_id"),
+        explode(Corpus.ngramsOf(col("__toks"), col("text"), 2)).as("bigram"))
+    }
 
   /** Session-cached bigram document-frequency table — the corpus-level
     * statistics artifact bigramFamiliarity scores against (in KenLM terms,
     * the model itself). A pipeline builds it once per corpus snapshot and
-    * every scoring pass reads the materialized table. */
+    * every scoring pass reads the materialized table. Derived from the
+    * cached doc-bigram table, so the two artifacts share one token pass. */
   def bigramDfTable(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     graft.core.FeatureCache.cached(spark, dir, "bigram_df") {
-      val d = graft.core.Tables.documents(spark, dir)
-        .withColumn("__toks", toks(col("text")))
-      d.select(col("doc_id"),
-          explode(Corpus.ngramsOf(col("__toks"), col("text"), 2)).as("bigram"))
-        .groupBy("bigram").agg(count(lit(1)).as("df"))
+      docBigramTable(spark, dir).groupBy("bigram").agg(count(lit(1)).as("df"))
     }
 
-  /** bigramFamiliarity over the session-cached df table. */
+  /** bigramFamiliarity over the session-cached artifacts: the scoring join
+    * reads two cached tables (doc bigrams ⋈ df), zero tokenization. */
   def bigramFamiliarityCached(spark: org.apache.spark.sql.SparkSession,
                               dir: String): DataFrame =
-    bigramFamiliarity(graft.core.Tables.documents(spark, dir),
-      dfPre = Some(bigramDfTable(spark, dir)))
+    scoreBigrams(docBigramTable(spark, dir), bigramDfTable(spark, dir))
 
   /** Quality-decile tiers — the report that turns a score distribution into
     * curation thresholds: rank every doc by quality score (total order:

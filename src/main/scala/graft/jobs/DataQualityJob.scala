@@ -142,7 +142,17 @@ object DataQualityJob {
   /** Alert generation (data_quality.py:354-413): quality metrics against
     * their thresholds → one alert row each, stacked. Thresholds mirror the
     * reference: 2h freshness (data_quality.py:45), 95% completeness, 1%
-    * outlier share. */
+    * outlier share.
+    *
+    * Orders is scanned exactly TWICE (the two-pass outlier shape's
+    * minimum), not once per metric: pass 1 fuses the completeness counts
+    * into the same aggregate as the outlier mean/σ moments, pass 2 counts
+    * outliers against the broadcast 1-row stats frame, and BOTH orders
+    * alert rows unpivot out of that single pass-2 row — a union of selects
+    * over the same frame would recompute the pass per branch. Events stays
+    * its own (single) pass. The arithmetic is expression-for-expression the
+    * standalone completeness()/outliers() queries', so the alert rows match
+    * the metrics a dashboard reads from those. */
   def alerts(spark: SparkSession, dir: String,
              asOf: Instant = AsOf.events): DataFrame = {
     val fresh = freshness(spark, dir, asOf).select(
@@ -151,19 +161,33 @@ object DataQualityJob {
       col("staleness_seconds").cast("double").as("metric_value"),
       lit(7200.0).as("threshold"),
       (col("staleness_seconds") > 7200).as("triggered"))
-    val comp = completeness(spark, dir).select(
-      lit("completeness_custkey").as("alert_type"),
-      lit("warning").as("severity"),
-      col("o_custkey_completeness").as("metric_value"),
-      lit(0.95).as("threshold"),
-      (col("o_custkey_completeness") < 0.95).as("triggered"))
-    val out = outliers(spark, dir).select(
-      lit("amount_outliers").as("alert_type"),
-      lit("warning").as("severity"),
-      (col("outlier_count").cast("double") / col("total_count")).as("metric_value"),
-      lit(0.01).as("threshold"),
-      (col("outlier_count").cast("double") / col("total_count") > 0.01).as("triggered"))
-    fresh.unionByName(comp).unionByName(out)
+    val orders = Tables.orders(spark, dir)
+    val stats = orders.agg(
+      (sumMoney(lit(true), col("o_totalprice")) / count(lit(1))).as("mean_amount"),
+      exactStddev(col("o_totalprice")).as("sd_amount"),
+      (count(col("o_custkey")).cast("double") / count(lit(1))).as("__custkey_compl"))
+    val pass2 = orders.crossJoin(broadcast(stats)).agg(
+      first(col("__custkey_compl")).as("__compl"),
+      countIf(col("o_totalprice") < col("mean_amount") - col("sd_amount") * 3 ||
+              col("o_totalprice") > col("mean_amount") + col("sd_amount") * 3)
+        .as("__outliers"),
+      count(lit(1)).as("__rows"))
+    val outlierShare = col("__outliers").cast("double") / col("__rows")
+    val orderAlerts = pass2.select(explode(array(
+      struct(
+        lit("completeness_custkey").as("alert_type"),
+        lit("warning").as("severity"),
+        col("__compl").as("metric_value"),
+        lit(0.95).as("threshold"),
+        (col("__compl") < 0.95).as("triggered")),
+      struct(
+        lit("amount_outliers").as("alert_type"),
+        lit("warning").as("severity"),
+        outlierShare.as("metric_value"),
+        lit(0.01).as("threshold"),
+        (outlierShare > 0.01).as("triggered")))).as("a"))
+      .select(col("a.*"))
+    fresh.unionByName(orderAlerts)
   }
 
   /** observe()-based inline quality counters — the engine-side stand-in for

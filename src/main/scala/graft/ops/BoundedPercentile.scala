@@ -32,8 +32,25 @@ import org.apache.spark.sql.functions._
   *
   * Nulls in `valueCol` are filtered up front (the same skip-null semantics
   * as `Percentile`), so `n` equals the non-null count per group.
+  *
+  * CONTRACT DELTA vs Spark's `Percentile`: a group whose values are ALL
+  * null is dropped from the output entirely (it never reaches the
+  * count-by-value table), whereas `Percentile` would emit the group with a
+  * NULL percentile. Every current caller feeds a non-null value column;
+  * BoundedPercentileSpec pins the drop so a future caller meets it in a
+  * test, not in production.
   */
 object BoundedPercentile {
+
+  /** Step 1 alone — the count-by-value table `(groupCol, __v, __c)`. The
+    * ONLY pass over the source; everything downstream (exact percentiles,
+    * rank envelopes, sketches over the weight-expanded values) is sized by
+    * distinct values, so a caller needing several of those shares this one
+    * frame (Spark's ReuseExchange then runs the scan+combine once). */
+  def countByValue(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
 
   /** Exact percentiles of `valueCol` per `groupCol`.
     *
@@ -43,10 +60,29 @@ object BoundedPercentile {
     *         (non-null value count)
     */
   def exact(df: DataFrame, groupCol: String, valueCol: String,
-            ps: Seq[(Double, String)], scale: Int): DataFrame = {
-    val cnt = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(groupCol), col(valueCol).cast("double").as("__v"))
-      .agg(count(lit(1)).as("__c"))
+            ps: Seq[(Double, String)], scale: Int): DataFrame =
+    exactFromCounts(countByValue(df, groupCol, valueCol), groupCol, ps, scale)
+
+  /** Steps 2–3 over a pre-built count-by-value table, with optional extra
+    * work fused into the SAME per-group pass — the hook percentilesApprox
+    * uses to ride its envelope rank counts on the pick aggregate instead of
+    * re-scanning the source:
+    *
+    *   - `joined` frames (one row per group, e.g. a sketch frame) are
+    *     broadcast onto the cumulated table before aggregation, so
+    *     `extraAggs` may reference their columns;
+    *   - `extraAggs` are combinable aggregates evaluated next to the value
+    *     picks; they may reference `__v` (value), `__c` (count), `__lo` /
+    *     `__hi` (the value's cumulative [lo, hi) index range) and any
+    *     `joined` column;
+    *   - `extraOut` are output expressions over the agg aliases and `__n`
+    *     (the group's non-null count), appended after the `n` column.
+    */
+  def exactFromCounts(cnt: DataFrame, groupCol: String,
+                      ps: Seq[(Double, String)], scale: Int,
+                      joined: Seq[DataFrame] = Nil,
+                      extraAggs: Seq[Column] = Nil,
+                      extraOut: Seq[Column] = Nil): DataFrame = {
     val w = Window.partitionBy(groupCol).orderBy("__v")
     val cum = cnt
       .withColumn("__hi", sum(col("__c")).over(w))
@@ -56,9 +92,14 @@ object BoundedPercentile {
     // is NULL-SAFE on the group key: groupBy keeps a null group (exactly
     // like the Percentile aggregate), so a plain equi-join would silently
     // drop it here
-    val j = cum.as("c")
+    val j0 = cum.as("c")
       .join(broadcast(tot).as("t"), col(s"c.$groupCol") <=> col(s"t.$groupCol"))
       .drop(col(s"t.$groupCol"))
+    val j = joined.zipWithIndex.foldLeft(j0) { case (acc, (f, i)) =>
+      acc.join(broadcast(f).as(s"j$i"),
+          acc(groupCol) <=> col(s"j$i.$groupCol"))
+        .drop(col(s"j$i.$groupCol"))
+    }
 
     // a value with cumulative range [lo, hi) owns 0-indexed sorted
     // positions lo .. hi-1 of its group
@@ -67,7 +108,7 @@ object BoundedPercentile {
     def pos(p: Double): Column = lit(p) * (col("__n") - 1).cast("double")
     val picks = ps.zipWithIndex.flatMap { case ((p, _), i) =>
       Seq(at(floor(pos(p))).as(s"__vlo$i"), at(ceil(pos(p))).as(s"__vhi$i"))
-    }
+    } ++ extraAggs
     val g = j.groupBy(col(groupCol), col("__n")).agg(picks.head, picks.tail: _*)
     val outs = ps.zipWithIndex.map { case ((p, name), i) =>
       val x = pos(p)
@@ -75,6 +116,6 @@ object BoundedPercentile {
         .otherwise((ceil(x) - x) * col(s"__vlo$i") + (x - floor(x)) * col(s"__vhi$i"))
       Ops.rnd(v, scale).as(name)
     }
-    g.select(col(groupCol) +: outs :+ col("__n").as("n"): _*)
+    g.select(col(groupCol) +: outs ++: (col("__n").as("n") +: extraOut): _*)
   }
 }

@@ -103,32 +103,47 @@ object Lookups {
     * <= 1/1000 for ANY merge order, so with m = 0.02 (20x slack, still a
     * real accuracy contract) the boolean is deterministically TRUE and the
     * DuckDB oracle emits TRUE — upgrading the driver's check from
-    * rows-only to a semantic gate. Second pass over orders is a broadcast
-    * join against the 3-row sketch table; the exact witness percentiles
-    * come from the bounded count-by-value decomposition (same rationale as
-    * `percentiles` above), joined back on the groups-sized frame. */
+    * rows-only to a semantic gate.
+    *
+    * ONE pass over orders: every consumer rides the count-by-value table —
+    * the sketch aggregates the weight-expanded values (the identical
+    * multiset, so the rank-error guarantee is unchanged; ordering never
+    * matters to a mergeable sketch), and the envelope's rank counts
+    * `count(< approx)` / `count(<= approx)` are the cumulative `__hi`
+    * bounds the exact witness already computes, fused into the same pick
+    * aggregate via exactFromCounts' extraAggs hook. The three branches
+    * share one canonical count-by-value subtree, so Spark's ReuseExchange
+    * runs the orders scan + combine once (pinned in ScaleShapeSpec). */
   def percentilesApprox(spark: SparkSession, dir: String): DataFrame = {
     val m = 0.02
-    val orders = Tables.orders(spark, dir)
-    val sk = orders.groupBy("o_orderstatus").agg(
-      percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("__p50a"),
-      percentile_approx(col("o_totalprice"), lit(0.95), lit(1000)).as("__p95a"))
-    def envelope(p: Double, approxCol: String): Column = {
-      val lt = sum(when(col("o_totalprice") < col(approxCol), 1L).otherwise(0L))
-      val le = sum(when(col("o_totalprice") <= col(approxCol), 1L).otherwise(0L))
-      lt <= (lit(p) + lit(m)) * count(lit(1)) &&
-        le >= (lit(p) - lit(m)) * count(lit(1))
-    }
-    val exact = graft.ops.BoundedPercentile.exact(
-      orders.select("o_orderstatus", "o_totalprice"),
-      "o_orderstatus", "o_totalprice",
-      Seq(0.5 -> "p50_exact", 0.95 -> "p95_exact"), 2)
-    orders.join(broadcast(sk), "o_orderstatus")
-      .groupBy("o_orderstatus")
-      .agg(
-        envelope(0.5, "__p50a").as("p50_in_envelope"),
-        envelope(0.95, "__p95a").as("p95_in_envelope"))
-      .join(broadcast(exact), "o_orderstatus")
+    val cnt = graft.ops.BoundedPercentile.countByValue(
+      Tables.orders(spark, dir).select("o_orderstatus", "o_totalprice"),
+      "o_orderstatus", "o_totalprice")
+    val sk = cnt
+      .select(col("o_orderstatus"),
+        explode(array_repeat(col("__v"), col("__c").cast("int"))).as("__v"))
+      .groupBy("o_orderstatus").agg(
+        percentile_approx(col("__v"), lit(0.5), lit(1000)).as("__p50a"),
+        percentile_approx(col("__v"), lit(0.95), lit(1000)).as("__p95a"))
+    // rank counts from the cumulative index ranges: __hi of the largest
+    // value < approx IS count(< approx) (and <= likewise); a group where no
+    // value qualifies has rank count 0
+    def rank(cmp: Column): Column = coalesce(max(when(cmp, col("__hi"))), lit(0L))
+    def envelope(p: Double, lt: String, le: String): Column =
+      col(lt) <= (lit(p) + lit(m)) * col("__n") &&
+        col(le) >= (lit(p) - lit(m)) * col("__n")
+    graft.ops.BoundedPercentile.exactFromCounts(
+      cnt, "o_orderstatus",
+      Seq(0.5 -> "p50_exact", 0.95 -> "p95_exact"), 2,
+      joined = Seq(sk),
+      extraAggs = Seq(
+        rank(col("__v") < col("__p50a")).as("__lt50"),
+        rank(col("__v") <= col("__p50a")).as("__le50"),
+        rank(col("__v") < col("__p95a")).as("__lt95"),
+        rank(col("__v") <= col("__p95a")).as("__le95")),
+      extraOut = Seq(
+        envelope(0.5, "__lt50", "__le50").as("p50_in_envelope"),
+        envelope(0.95, "__lt95", "__le95").as("p95_in_envelope")))
       .select("o_orderstatus", "p50_exact", "p95_exact", "n",
         "p50_in_envelope", "p95_in_envelope")
   }

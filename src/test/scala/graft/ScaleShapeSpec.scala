@@ -120,6 +120,36 @@ class ScaleShapeSpec extends SparkSpec {
     for (p <- Seq(sl, sm, qtPlan, lf)) assert(!p.contains("CartesianProduct"))
   }
 
+  /** Scan count for `table` in the EXECUTED (final adaptive) plan — the
+    * plan string repeats the pre-reuse shape under "== Initial Plan ==",
+    * so counting the whole string would miss exchange reuse. */
+  private def finalScansOf(df: org.apache.spark.sql.DataFrame, table: String): Int =
+    df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+      .split("\n")
+      .count(l => (l.contains("FileScan") || l.contains("Scan parquet"))
+        && l.contains(table))
+
+  test("percentiles_approx rides one orders scan: count-by-value subtree reused, not recomputed") {
+    val q = serving.Lookups.percentilesApprox(spark, sf0001)
+    assert(q.collect().length == 3) // orders has 3 status groups
+    // after execution the adaptive plan is final: the sketch, totals and
+    // cumulative-window branches must all read the ONE count-by-value
+    // exchange (ReusedExchange), never re-running the orders scan per
+    // consumer — the r7 shape scanned orders three times
+    assert(finalScansOf(q, "orders") == 1,
+      s"expected exactly one orders scan:\n${q.queryExecution.executedPlan}")
+  }
+
+  test("dq_alerts scans orders exactly twice (fused completeness + two-pass outliers)") {
+    val q = jobs.DataQualityJob.alerts(spark, sf0001)
+    assert(q.collect().length == 3)
+    assert(finalScansOf(q, "orders") == 2,
+      s"expected the two-pass minimum over orders:\n${q.queryExecution.executedPlan}")
+    assert(finalScansOf(q, "events") == 1,
+      s"expected one events scan:\n${q.queryExecution.executedPlan}")
+  }
+
   test("asOfRisk joins time-banded: the as-of condition carries a lower bound") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val plan = jobs.StreamAnalogJobs.asOfRisk(spark, sf0001)
