@@ -2,6 +2,8 @@ package graft.serving
 
 import java.time.Instant
 
+import scala.collection.concurrent.TrieMap
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -22,10 +24,24 @@ import graft.jobs.{RiskFeaturesJob, TransactionFeaturesJob, UserFeaturesJob}
   *     100-per-chunk sequential loop (database.py:120-134) nor one Spark
   *     job per group.
   *
-  * The cache tier is Spark's: the three feature tables are `.cache()`d
-  * DataFrames (the Redis stand-in), refreshed by `invalidate`. Lookups stay
-  * declarative (isin-filter → pushdown/broadcast); collection happens only
-  * at the API boundary, per looked-up id — never a full-table collect.
+  * TWO cache tiers, mirroring the reference's Redis-over-Postgres split:
+  *
+  *   1. the GROUP tier — the three feature tables as `.cache()`d
+  *     DataFrames (the "database" a probe computes from), refreshed by
+  *     `invalidate`;
+  *   2. the per-user ROW tier — a driver-side (user, group) → row memo,
+  *     the actual Redis analogue (cache.py:85-165: per-user keys, TTL,
+  *     per-user DELETE). A request whose users are all memoized costs no
+  *     Spark job at all — this is what makes point reads meet the
+  *     reference's latency SLA (p95 < 40 ms, test_performance.py:72) —
+  *     and `invalidateUser` evicts at the reference's granularity
+  *     (cache.py:167-196) without touching anyone else's entries.
+  *
+  * Lookups stay declarative (isin-filter → pushdown/broadcast); collection
+  * happens only at the API boundary, per looked-up id — never a full-table
+  * collect. Negative results memoize too (an absent user probes once, not
+  * per request); the row tier shares FeatureCache's TTL/clock so one knob
+  * governs both tiers' expiry.
   */
 class FeatureStoreService(spark: SparkSession, dir: String) {
 
@@ -39,6 +55,19 @@ class FeatureStoreService(spark: SparkSession, dir: String) {
 
   @volatile private var cache: Map[String, DataFrame] =
     featureGroups.map(g => g -> computeGroup(g)).toMap
+
+  /** Row tier: (userId, group) → (row-if-present, bornAtNanos). Bounded by
+    * `rowTierMaxEntries` (evict expired first, then oldest — the Redis
+    * maxmemory-LRU posture at driver scale). */
+  private val rowMemo = TrieMap.empty[(Long, String), (Option[Row], Long)]
+
+  /** Cap on row-tier entries — a driver holds the hot working set, never
+    * the corpus (100k entries ≈ a few hundred MB worst case). */
+  @volatile var rowTierMaxEntries: Int = 100000
+
+  private def tierNow(): Long = graft.core.FeatureCache.clock()
+  private def tierFresh(bornAt: Long): Boolean =
+    tierNow() - bornAt < graft.core.FeatureCache.ttlNanos
 
   /** models.py:71-77 — dedup, preserve order, validate; at least one type
     * is required (an empty request would score as a vacuous cache hit and
@@ -60,27 +89,35 @@ class FeatureStoreService(spark: SparkSession, dir: String) {
   def getFeatures(userId: Long, types: Seq[String], now: Instant): FeatureResult =
     getBatch(Seq(userId), types, now).head
 
-  /** Batch lookup (store.py:80-141): one fused probe — the (≤100-row) id
-    * frame left-joins each requested group's isin-filtered, struct-packed
-    * rows, so the whole batch costs a single collect job regardless of how
-    * many groups were requested. */
+  /** Batch lookup (store.py:80-141). Row-tier hits are served straight from
+    * the memo; only ids with a missing/stale (user, group) entry go to the
+    * ONE fused probe — the (≤100-row) id frame left-joins each requested
+    * group's isin-filtered, struct-packed rows, so the whole miss set costs
+    * a single collect job regardless of how many groups were requested. */
   def getBatch(userIds: Seq[Long], types: Seq[String], now: Instant): Seq[FeatureResult] = {
     require(userIds.size <= 100, "batch size cap is 100 (models.py:84-89)")
     val wanted = normalizeTypes(types)
     import spark.implicits._
-    val ids = userIds.distinct.toDF("user_id")
-    val fused = wanted.foldLeft(ids) { (acc, g) =>
-      acc.join(
-        cache(g).filter(col("user_id").isin(userIds: _*))
-          .select(col("user_id"), struct(col("*")).as(s"__$g")),
-        Seq("user_id"), "left")
+    val distinctIds = userIds.distinct
+    val missIds = distinctIds.filter(id =>
+      wanted.exists(g => !rowMemo.get((id, g)).exists(e => tierFresh(e._2))))
+    if (missIds.nonEmpty) {
+      val ids = missIds.toDF("user_id")
+      val fused = wanted.foldLeft(ids) { (acc, g) =>
+        acc.join(
+          cache(g).filter(col("user_id").isin(missIds: _*))
+            .select(col("user_id"), struct(col("*")).as(s"__$g")),
+          Seq("user_id"), "left")
+      }
+      val born = tierNow()
+      fused.collect().foreach { r =>
+        val id = r.getAs[Long]("user_id")
+        wanted.foreach(g => rowMemo.put((id, g), (Option(r.getAs[Row](s"__$g")), born)))
+      }
+      pruneRowTier()
     }
-    val byId: Map[Long, Row] =
-      fused.collect().map(r => r.getAs[Long]("user_id") -> r).toMap
     userIds.map { id =>
-      val probed = byId(id)
-      val found = wanted.flatMap(g =>
-        Option(probed.getAs[Row](s"__$g")).map(g -> _)).toMap
+      val found = wanted.flatMap(g => rowMemo.get((id, g)).flatMap(_._1).map(g -> _)).toMap
       val hit = found.size == wanted.size // all-types hit rule (store.py:174-175)
       val freshness = Option(found.values.map(r =>
         r.getAs[java.sql.Timestamp]("updated_at").getTime).toSeq)
@@ -89,6 +126,23 @@ class FeatureStoreService(spark: SparkSession, dir: String) {
       FeatureResult(id, found, hit, freshness)
     }
   }
+
+  /** Keep the row tier bounded: expired entries first; if still over the
+    * cap, the oldest entries go (an O(n log n) sweep — n is the cap, the
+    * sweep runs only on overflow, and this is a driver-side map). */
+  private def pruneRowTier(): Unit = {
+    if (rowMemo.size > rowTierMaxEntries) {
+      rowMemo.filterInPlace { case (_, (_, born)) => tierFresh(born) }
+      val over = rowMemo.size - rowTierMaxEntries
+      if (over > 0)
+        rowMemo.toSeq.sortBy(_._2._2).take(over).foreach { case (k, _) => rowMemo.remove(k) }
+    }
+  }
+
+  /** Liveness of the underlying engine session — the health probe's
+    * "can this service still compute" check (a memoized count alone would
+    * keep reporting healthy after the session died). */
+  def alive: Boolean = !spark.sparkContext.isStopped
 
   /** Per-group cached row counts — the stats/health probe's view of the
     * cache tier (api.py:190-210's get_feature_store_stats analogue).
@@ -114,13 +168,23 @@ class FeatureStoreService(spark: SparkSession, dir: String) {
       if (results.isEmpty) 0.0 else hits.toDouble / results.size)
   }
 
-  /** Cache invalidation (the streaming pipeline's ST3 target): drop and
-    * recompute the named groups — the Spark analogue of Redis DELETE +
-    * recompute-on-next-read (cache.py:167-196). */
+  /** Per-user invalidation at the REFERENCE's granularity (cache.py:
+    * 167-196: DELETE removes the user's Redis keys; the database is
+    * untouched and the next read re-fetches). Here: drop the user's row-
+    * tier entries; the group tables stay cached, so an unrelated user's
+    * next read pays nothing. */
+  def invalidateUser(userId: Long): Unit =
+    featureGroups.foreach(g => rowMemo.remove((userId, g)))
+
+  /** Group-tier invalidation (the streaming pipeline's ST3 target): drop
+    * and recompute the named groups — the Spark analogue of a table-wide
+    * refresh after an upstream batch lands. Row-tier entries derived from
+    * the dropped tables go with them. */
   def invalidate(groups: Seq[String] = featureGroups): Unit = synchronized {
     normalizeTypes(groups).foreach { g =>
       cache(g).unpersist()
       cache = cache.updated(g, computeGroup(g))
+      rowMemo.filterInPlace { case ((_, grp), _) => grp != g }
     }
     countsMemo = None
   }

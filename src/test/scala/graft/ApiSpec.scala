@@ -110,4 +110,104 @@ class ApiSpec extends SparkSpec {
     // post-invalidation reads still serve (tables rebuilt on demand)
     assert(get("/features/user/5?feature_types=user").statusCode() == 200)
   }
+
+  /** Count SQLExecutionStart events while `body` runs, polling until the
+    * async listener bus stops moving (the ServingSpec idiom). */
+  private def sqlExecutionsDuring(body: => Unit): Int = {
+    import java.util.concurrent.atomic.AtomicInteger
+    Thread.sleep(1000) // let prior requests' events drain off the async bus
+    val execs = new AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execs.incrementAndGet(): Unit
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = -1
+      while (System.nanoTime() < deadline && execs.get() != last) {
+        last = execs.get(); Thread.sleep(300)
+      }
+      execs.get()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("row tier: warm point reads cost zero Spark jobs; DELETE evicts ONE user's keys") {
+    val all = "?feature_types=user&feature_types=transaction&feature_types=risk"
+    // warm users 4 and 9 through the wire (first touch probes)
+    assert(get(s"/features/user/4$all").statusCode() == 200)
+    assert(get(s"/features/user/9$all").statusCode() == 200)
+    // warm reads are pure row-tier lookups — no SQL execution at all
+    assert(sqlExecutionsDuring {
+      assert(get(s"/features/user/4$all").statusCode() == 200)
+      assert(get(s"/features/user/9$all").statusCode() == 200)
+    } == 0, "warm point reads must not launch Spark work")
+    // DELETE user 4: user 9's next read still costs nothing (the r7 shape
+    // invalidated every group table for everyone — cache.py:167-196 evicts
+    // per-user keys, which is what invalidateUser now does)
+    val d = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port/features/user/4"))
+        .DELETE().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(d.statusCode() == 200)
+    assert(sqlExecutionsDuring {
+      assert(get(s"/features/user/9$all").statusCode() == 200)
+    } == 0, "an unrelated user's read after DELETE must stay a row-tier hit")
+    // the deleted user re-probes: exactly one fused execution
+    assert(sqlExecutionsDuring {
+      assert(get(s"/features/user/4$all").statusCode() == 200)
+    } == 1, "the deleted user's next read must re-probe once")
+  }
+
+  test("dispatch pool: health answers while another request is blocked in the service") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    // a service whose batch path parks on a latch — deterministic slowness,
+    // no timing dependence: under single-threaded dispatch (the r7
+    // setExecutor(null)) the health request could not even START until the
+    // blocked request finished
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val slowService = new FeatureStoreService(spark, sf0001) {
+      override def getBatch(userIds: Seq[Long], types: Seq[String],
+                            now: java.time.Instant): Seq[FeatureResult] = {
+        entered.countDown()
+        assert(release.await(30, TimeUnit.SECONDS))
+        super.getBatch(userIds, types, now)
+      }
+    }
+    val slowApi = new FeatureApi(slowService)
+    val slowPort = slowApi.start(0)
+    try {
+      val slowClient = HttpClient.newHttpClient()
+      val slowDone = new CountDownLatch(1)
+      var slowStatus = 0
+      new Thread(() => {
+        val r = slowClient.send(
+          HttpRequest.newBuilder(
+            URI.create(s"http://localhost:$slowPort/features/user/4")).GET.build(),
+          HttpResponse.BodyHandlers.ofString())
+        slowStatus = r.statusCode()
+        slowDone.countDown()
+      }).start()
+      assert(entered.await(30, TimeUnit.SECONDS), "the slow request never reached the service")
+      // the slow request is provably parked inside its handler right now
+      val h = slowClient.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://localhost:$slowPort/features/health")).GET.build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(h.statusCode() == 200, "health must answer while a request is in flight")
+      assert(slowDone.getCount == 1, "the slow request must still be parked")
+      release.countDown()
+      assert(slowDone.await(30, TimeUnit.SECONDS))
+      assert(slowStatus == 200)
+    } finally {
+      release.countDown()
+      slowApi.stop()
+    }
+  }
 }
