@@ -56,7 +56,11 @@ object ScalingBench {
     val root = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft-scaling")
     val spark = core.Sessions.local(cpus)
 
-    val scales = Seq(1, 2, 5)
+    // scale points are a knob (e.g. "1,10" extends the ladder a rung
+    // without re-timing the middle); growth is reported for the largest
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALE_POINTS", "1,2,5")
+      .split(",").map(_.trim.toInt).toSeq.sorted
+    require(scales.headOption.contains(1), "the ×1 base point is required")
     // dir name encodes the size params (a rerun with different env vars
     // regenerates instead of silently benchmarking stale tables), and
     // documents — the existence marker — is written LAST, so a run killed
@@ -105,11 +109,12 @@ object ScalingBench {
       xs.map { case (k, v) => "\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
         .mkString("{", ",", "}")
     val x1 = timed(1).toMap
-    val growth = timed(5).map { case (k, v) =>
+    val top = scales.max
+    val growth = timed(top).map { case (k, v) =>
       k -> math.round(v / x1(k) * 100) / 100.0 }
     val sc = scales.map(s => "\"x" + s + "\":" + fmt(timed(s))).mkString("{", ",", "}")
     println(s"""{"metric":"scaling","base_docs":$baseDocs,"base_vecs":$baseVecs,""" +
-      s""""scales":$sc,"growth_x5":${fmt(growth)}}""")
+      s""""scales":$sc,"growth_x$top":${fmt(growth)}}""")
     spark.stop()
   }
 }

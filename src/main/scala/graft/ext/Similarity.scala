@@ -76,7 +76,15 @@ object Similarity {
 
   /** Buckets larger than this are excluded from candidate generation: a
     * degenerate bucket (boilerplate / zero vectors) contributes O(n²) pairs
-    * on its own. Dropped buckets stay observable via `overflowBuckets`. */
+    * on its own. Dropped buckets stay observable via `overflowBuckets`.
+    *
+    * The fixed default holds measured-linear through ×10 corpus growth
+    * (PERF.md: 10.26× time on 10× vectors at 200k); if `overflowBuckets`
+    * ever shows buckets saturating as the corpus grows — recall eroding
+    * because real near-dup clusters exceed the cap — scale the cap with
+    * corpus size instead (cap ≈ n / (NumTables·2^PlanesPerTable) times a
+    * small factor), which keeps expected per-bucket occupancy constant
+    * while the O(cap·n) pair bound grows only linearly. */
   val MaxBucketSize = 64
 
   /** ±1 signs of global hyperplane `p` across the 64 dims, derived from the

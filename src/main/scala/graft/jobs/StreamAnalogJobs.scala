@@ -64,20 +64,29 @@ object StreamAnalogJobs {
     MergeByKey.merge(old, updates, Seq("user_id"))
   }
 
+  /** The as-of band: a risk score older than this is stale and serves as
+    * no-score. SEMANTIC constant, not just an optimization — adding the
+    * band changed asOfRisk's output for probes whose latest score predates
+    * it (documented; consistent with risk_features.sql's 7-day recency
+    * posture) — so the job and OracleSql.asOfRisk MUST carry the identical
+    * value; both read this field. */
+  val asOfRiskLookbackDays: Int = 90
+
   /** Point-in-time-correct feature lookup (SURVEY §7.5): the risk score in
     * force at each click event — the leakage-free training-set join. Banded
-    * with a 90-day lookback (AsOfJoin's maxLookback knob): a score older
-    * than the band is stale and serves as no-score (0.0), and the band is
-    * what bounds per-probe join state at deep fact histories — without it
-    * every probe matches its key's ENTIRE score history before top-1. The
-    * oracle carries the identical band. */
+    * with `asOfRiskLookbackDays` (AsOfJoin's maxLookback knob): a score
+    * older than the band is stale and serves as no-score (0.0), and the
+    * band is what bounds per-probe join state at deep fact histories —
+    * without it every probe matches its key's ENTIRE score history before
+    * top-1. The oracle carries the identical band (same constant). */
   def asOfRisk(spark: SparkSession, dir: String): DataFrame = {
     val clicks = Tables.events(spark, dir)
       .filter(col("event_type") === "click")
       .select(col("event_id").as("probe_id"), col("user_id"), col("ts").as("probe_ts"))
     val scores = Roles.riskScores(spark, dir)
     AsOfJoin.asOf(scores, clicks, "user_id", "computed_at", "probe_ts", "score_id",
-        probeId = "probe_id", maxLookback = Some(expr("INTERVAL 90 DAYS")))
+        probeId = "probe_id",
+        maxLookback = Some(expr(s"INTERVAL $asOfRiskLookbackDays DAYS")))
       .select(
         col("probe_id"), col("p.user_id").as("user_id"),
         date_format(col("probe_ts"), "yyyy-MM-dd HH:mm:ss").as("probe_ts"),

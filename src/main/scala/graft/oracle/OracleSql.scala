@@ -382,10 +382,15 @@ object OracleSql {
     * the engine's shared Knuth unit-hash order over c_custkey. Cross-engine
     * reproducible (unlike ORDER BY RANDOM(), which this replaces), so the
     * migration spot-check sample is fully oracle-checkable. */
-  def randomSample(n: Int): String =
-    s"""WITH ${unitHashCtes(", c_name, c_mktsegment", "customer", "c_custkey")}
+  /** `seed` mirrors Lookups.randomSample's XOR-folded draw selector;
+    * seed 0 (the driver-contract default) emits the byte-identical SQL the
+    * r7 gate checked. */
+  def randomSample(n: Int, seed: Long = 0L): String = {
+    val hashExpr = if (seed == 0L) "" else s"xor(c_custkey, $seed)"
+    s"""WITH ${unitHashCtes(", c_name, c_mktsegment", "customer", "c_custkey", hashExpr)}
        |SELECT c_custkey, c_name, c_mktsegment FROM u
        |ORDER BY unit_hash, c_custkey LIMIT $n""".stripMargin
+  }
 
   def keysetPage(afterKey: Long, pageSize: Int): String =
     s"""SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
@@ -750,7 +755,9 @@ object OracleSql {
 
   /** As-of join emulated with the identical window idiom (DuckDB's native
     * ASOF JOIN would also work; the row_number form guarantees the same
-    * tie-break as the Spark implementation). */
+    * tie-break as the Spark implementation). The lookback band is the
+    * SHARED constant (StreamAnalogJobs.asOfRiskLookbackDays) — the band is
+    * semantic, so job and oracle must never drift apart. */
   val asOfRisk: String =
     s"""WITH sc AS ($roleScores),
        |probes AS (SELECT event_id AS probe_id, user_id, ts AS probe_ts
@@ -759,7 +766,8 @@ object OracleSql {
        |    s.risk_score, s.computed_at, s.score_id
        |  FROM probes p LEFT JOIN sc s
        |  ON p.user_id = s.user_id AND s.computed_at <= p.probe_ts
-       |    AND s.computed_at >= p.probe_ts - INTERVAL 90 DAY),
+       |    AND s.computed_at >= p.probe_ts
+       |      - INTERVAL ${graft.jobs.StreamAnalogJobs.asOfRiskLookbackDays} DAY),
        |r AS (SELECT *, ROW_NUMBER() OVER (
        |    PARTITION BY probe_id
        |    ORDER BY computed_at DESC NULLS LAST, score_id DESC NULLS LAST) AS rn
@@ -1194,11 +1202,15 @@ object OracleSql {
 
   /** Knuth unitHash CTE chain (mirrors ext/Corpus.unitHash term for term;
     * same split-multiply overflow guard). Emits `u(doc_id, ..., unit_hash)`
-    * carrying `extraCols` through from documents. */
+    * carrying `extraCols` through from documents. `hashExpr` overrides the
+    * hashed input (the seeded-sample XOR fold) while `idCol` stays the
+    * carried-through key column. */
   private def unitHashCtes(extraCols: String, table: String = "documents",
-                           idCol: String = "doc_id"): String =
+                           idCol: String = "doc_id",
+                           hashExpr: String = ""): String = {
+    val hx = if (hashExpr.isEmpty) idCol else hashExpr
     s"""uh0 AS (SELECT $idCol$extraCols,
-       |    (($idCol % 4294967296) + 4294967296) % 4294967296 AS a
+       |    ((($hx) % 4294967296) + 4294967296) % 4294967296 AS a
        |  FROM $table),
        |uh1 AS (SELECT *, CAST(floor(a / 65536) AS BIGINT) AS h FROM uh0),
        |u AS (SELECT * EXCLUDE (a, h),
@@ -1206,6 +1218,7 @@ object OracleSql {
        |      + (a - h * 65536) * 2654435761) % 4294967296 AS DOUBLE)
        |      / 4294967296.0 AS unit_hash
        |  FROM uh1)""".stripMargin
+  }
 
   /** Near-dup leakage across splits — mirrors ext/Corpus.splitLeakage
     * (verified Jaccard pairs ⋈ splitAssign on both endpoints). */

@@ -55,12 +55,21 @@ object Lookups {
     * engine shares) satisfies it BETTER than rand(seed): the sample is
     * identical across engines, retries, and partition relayouts, so an
     * audit can be re-run bit-for-bit. Ties impossible (c_custkey is the
-    * PK tie-break). Fully oracle-checkable — see OracleSql.randomSample. */
-  def randomSample(spark: SparkSession, dir: String, n: Int): DataFrame =
+    * PK tie-break). Fully oracle-checkable — see OracleSql.randomSample.
+    *
+    * `seed` XORs into the hashed key so REPEATED audits can widen coverage
+    * beyond one fixed subset (the reference redraws per run) while each
+    * seed's sample stays deterministic and oracle-checkable; seed 0 is the
+    * default draw and emits the identical expression as before. */
+  def randomSample(spark: SparkSession, dir: String, n: Int,
+                   seed: Long = 0L): DataFrame = {
+    val key = if (seed == 0L) col("c_custkey")
+              else col("c_custkey").bitwiseXOR(lit(seed))
     Tables.customer(spark, dir)
-      .orderBy(graft.ext.Corpus.unitHash(col("c_custkey")), col("c_custkey"))
+      .orderBy(graft.ext.Corpus.unitHash(key), col("c_custkey"))
       .limit(n)
       .select("c_custkey", "c_name", "c_mktsegment")
+  }
 
   /** JSON feature bundle (F11 — the jsonb_build_object optimization path,
     * docs/PERFORMANCE.md:66-103): one JSON blob per user from the serving

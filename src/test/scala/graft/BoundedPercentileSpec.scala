@@ -41,6 +41,19 @@ class BoundedPercentileSpec extends SparkSpec {
     assert(out("<null>") == (8.0, 2L))  // null group survives the totals join
   }
 
+  test("contract pin: a group whose values are ALL null is dropped (delta vs Percentile)") {
+    val df = Seq[(Option[String], Option[Double])](
+      (Some("a"), Some(1.0)), (Some("a"), Some(3.0)),
+      (Some("z"), None), (Some("z"), None)) // z never reaches count-by-value
+      .toDF("g", "v")
+    val out = ops.BoundedPercentile.exact(df, "g", "v", Seq(0.5 -> "p50"), 6)
+      .collect().map(_.getString(0)).toSet
+    // Spark's Percentile would emit (z, NULL); the decomposition drops z —
+    // the documented contract delta (see the scaladoc). A caller who needs
+    // all-null groups to survive left-joins from a distinct-groups frame.
+    assert(out == Set("a"), s"all-null group must drop per contract, got $out")
+  }
+
   test("plan carries no per-group value buffer: no exact Percentile aggregate") {
     val pct = serving.Lookups.percentiles(spark, sf0001)
       .queryExecution.optimizedPlan.toString
