@@ -18,7 +18,22 @@ import graft.ops.Ops._
 object MigrationValidationJob {
 
   /** Stacked named checks, one row per check (U2 union-all of counts —
-    * sql/migration_queries.sql:8-45 stacks per-table results the same way). */
+    * sql/migration_queries.sql:8-45 stacks per-table results the same way).
+    *
+    * Scan discipline: every row-level check is rewritten over shared
+    * KEY-GROUPED frames — `lineitem.groupBy(l_orderkey)` feeds both the
+    * multi-line check (keys with count > 1) and the orphan check, the
+    * PK-count frames feed both the dup checks and the orphan probes, and
+    * `orders.groupBy(o_custkey)` feeds the orphan-order and null-key
+    * checks. Orphans are LEFT JOIN + IS NULL over the grouped frames with
+    * SUM of per-key counts (identical to counting orphan rows) — written
+    * as an outer join deliberately: an anti-join would be pushed BELOW the
+    * aggregate by PushDownLeftSemiAntiJoin, splitting the shared subtree
+    * back into one scan per check, while the outer join keeps the grouped
+    * subtrees byte-identical so ReuseExchange runs each fact scan ONCE
+    * (lineitem: 1 scan; orders: 2 — the two distinct grouping keys;
+    * pinned in ScaleShapeSpec). The join shuffles (key, count) rows,
+    * never raw fact rows. */
   def checks(spark: SparkSession, dir: String): DataFrame = {
     val customer = Tables.customer(spark, dir)
     val orders   = Tables.orders(spark, dir)
@@ -27,19 +42,41 @@ object MigrationValidationJob {
     def cnt(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("violation_count"))
         .select(lit(name).as("check_name"), col("violation_count"))
+    // row-weighted check over a grouped frame: SUM of per-key counts ==
+    // count of underlying rows (empty → 0, matching count(*) over empty)
+    def summed(name: String, df: DataFrame): DataFrame =
+      df.agg(coalesce(sum(col("c")), lit(0L)).as("violation_count"))
+        .select(lit(name).as("check_name"), col("violation_count"))
+
+    // PK-grouped frames filter null keys explicitly: PKs are NOT NULL by
+    // the reference's DDL (postgresql_schema.sql), so this is semantics-
+    // faithful — and it keeps each frame byte-identical to its orphan
+    // probe's subtree (the left join INFERS IsNotNull on the probe key;
+    // without the matching filter the shared scan splits per check)
+    val custKeys = customer.filter(col("c_custkey").isNotNull)
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("c"))
+    val orderKeys = orders.filter(col("o_orderkey").isNotNull)
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+    val lineGroups = lineitem.groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+    val orderCust  = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
 
     Seq(
-      cnt("dup_user_pk",
-        customer.groupBy("c_custkey").count().filter(col("count") > 1)),
-      cnt("dup_order_pk",
-        orders.groupBy("o_orderkey").count().filter(col("count") > 1)),
-      cnt("multi_line_orders",
-        lineitem.groupBy("l_orderkey").count().filter(col("count") > 1)),
-      cnt("orphan_orders",
-        orders.join(customer, col("o_custkey") === col("c_custkey"), "left_anti")),
-      cnt("orphan_lineitems",
-        lineitem.join(orders, col("l_orderkey") === col("o_orderkey"), "left_anti")),
-      cnt("null_user_orders", orders.filter(col("o_custkey").isNull)),
+      cnt("dup_user_pk", custKeys.filter(col("c") > 1)),
+      cnt("dup_order_pk", orderKeys.filter(col("c") > 1)),
+      cnt("multi_line_orders", lineGroups.filter(col("c") > 1)),
+      // the probe sides filter on `c > 0` (vacuously true for a count) so
+      // column pruning can't strip the count from the probe's aggregate —
+      // a pruned probe subtree would no longer match the dup-check's frame
+      // and the shared scan would split back into one per check
+      summed("orphan_orders",
+        orderCust.join(custKeys.filter(col("c") > 0).select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left")
+          .filter(col("c_custkey").isNull)),
+      summed("orphan_lineitems",
+        lineGroups.join(orderKeys.filter(col("c") > 0).select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .filter(col("o_orderkey").isNull)),
+      summed("null_user_orders", orderCust.filter(col("o_custkey").isNull)),
     ).reduce(_ unionByName _)
   }
 

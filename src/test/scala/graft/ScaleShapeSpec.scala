@@ -150,6 +150,21 @@ class ScaleShapeSpec extends SparkSpec {
       s"expected one events scan:\n${q.queryExecution.executedPlan}")
   }
 
+  test("migration_checks scans each fact table minimally (shared key-grouped frames)") {
+    val q = jobs.MigrationValidationJob.checks(spark, sf0001)
+    assert(q.collect().length == 6)
+    // lineitem: multi-line + orphan checks share one grouped frame → ONE
+    // scan of the biggest table; orders: two distinct grouping keys
+    // (o_orderkey for dup+orphan-probe, o_custkey for orphan+null) → two;
+    // customer: one grouped frame serves dup + the orphan probe
+    assert(finalScansOf(q, "lineitem") == 1,
+      s"lineitem must scan once:\n${q.queryExecution.executedPlan}")
+    assert(finalScansOf(q, "orders") == 2,
+      s"orders must scan once per grouping key:\n${q.queryExecution.executedPlan}")
+    assert(finalScansOf(q, "customer") == 1,
+      s"customer must scan once:\n${q.queryExecution.executedPlan}")
+  }
+
   test("asOfRisk joins time-banded: the as-of condition carries a lower bound") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val plan = jobs.StreamAnalogJobs.asOfRisk(spark, sf0001)

@@ -123,6 +123,60 @@ class ServingSpec extends SparkSpec {
     }
   }
 
+  test("row tier never serves stale rows: group invalidation evicts derived entries") {
+    val svc2 = new FeatureStoreService(spark, sf0001)
+    import spark.implicits._
+    val building = graft.core.Roles.users(spark, sf0001)
+      .filter($"recently_updated").select("user_id").as[Long].head()
+    val first = svc2.getFeatures(building, Seq("user"), now)
+    assert(first.cacheHit)
+    // a group-tier refresh (the ST3 target — upstream data changed) must
+    // not leave row-tier entries computed from the OLD table: the next
+    // read re-probes rather than serving the memoized stale row
+    svc2.invalidate(Seq("user"))
+    import java.util.concurrent.atomic.AtomicInteger
+    Thread.sleep(1000)
+    val execs = new AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execs.incrementAndGet(): Unit
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val again = svc2.getFeatures(building, Seq("user"), now)
+      assert(again.features.contains("user"))
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = -1
+      while (System.nanoTime() < deadline && execs.get() != last) {
+        last = execs.get(); Thread.sleep(200)
+      }
+      assert(execs.get() >= 1,
+        "post-invalidation read must re-probe, not serve the stale row-tier entry")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("row tier honors the shared TTL: expired entries re-probe") {
+    var fakeNow = 0L
+    val origClock = graft.core.FeatureCache.clock
+    try {
+      graft.core.FeatureCache.clock = () => fakeNow
+      val svc2 = new FeatureStoreService(spark, sf0001)
+      import spark.implicits._
+      val building = graft.core.Roles.users(spark, sf0001)
+        .filter($"recently_updated").select("user_id").as[Long].head()
+      svc2.getFeatures(building, Seq("user"), now)
+      fakeNow = graft.core.FeatureCache.ttlNanos + 1
+      // expired → the probe path runs again (observable as a fresh result,
+      // not an exception: the memo entry is replaced, not trusted)
+      val res = svc2.getFeatures(building, Seq("user"), now)
+      assert(res.cacheHit && res.features.contains("user"))
+    } finally graft.core.FeatureCache.clock = origClock
+  }
+
   test("getBatch fuses the probe: one SQL execution for a 3-group batch") {
     import java.util.concurrent.atomic.AtomicInteger
     // warm the group caches so the measured probe is the steady-state path,
