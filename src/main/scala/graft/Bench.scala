@@ -101,7 +101,10 @@ object Bench {
           None
       }
     }
-    def fmt(d: Double): String = "%.6f".format(d)
+    // Locale.ROOT: "%.6f" under a comma-decimal default locale would emit
+    // "1,500000" and corrupt the one-line JSON artifact
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
     val qs = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
     val runs = results.map { case (k, (_, ts, _)) =>

@@ -117,8 +117,7 @@ object SparkEntry {
     "quality_filter"       -> ((s, dir) => ext.TextAnalysis.qualityFilterCached(s, dir)),
     "snapshot_diff"        -> ((s, dir) => jobs.MigrationValidationJob.snapshotDiff(
       s, dir, "1999-01-01", "2000-01-01")),
-    "oov_rate"             -> ((s, dir) => ext.TextAnalysis.oovRate(
-      core.Tables.documents(s, dir), 1000)),
+    "oov_rate"             -> ((s, dir) => ext.TextAnalysis.oovTable(s, dir, 1000)),
     "embedding_outliers"   -> ((s, dir) => ext.Similarity.embeddingOutliers(
       core.Tables.embeddings(s, dir), 5)),
     "semantic_clusters"    -> ((s, dir) => ext.Similarity.semanticClusterTable(s, dir, 0.2)),

@@ -223,11 +223,18 @@ object OracleSql {
 
   // ---- migration validation (sql/migration_queries.sql:8-137) ----
 
+  /** Dup-PK checks exclude null keys on BOTH sides (engine mirror:
+    * MigrationValidationJob.checks' not-null PK filters) — PKs are NOT
+    * NULL by the reference's DDL, so a null key can never be a
+    * "duplicate"; null-key anomalies surface through the orphan/null
+    * checks, not the dup counters. */
   val migrationChecks: String =
     """SELECT 'dup_user_pk' AS check_name, COUNT(*) AS violation_count
-      |  FROM (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1)
+      |  FROM (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL
+      |        GROUP BY c_custkey HAVING COUNT(*) > 1)
       |UNION ALL SELECT 'dup_order_pk', COUNT(*)
-      |  FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+      |  FROM (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL
+      |        GROUP BY o_orderkey HAVING COUNT(*) > 1)
       |UNION ALL SELECT 'multi_line_orders', COUNT(*)
       |  FROM (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1)
       |UNION ALL SELECT 'orphan_orders', COUNT(*)

@@ -41,7 +41,9 @@ object ApiBench {
       val s = xs.sorted
       s(math.min(s.size - 1, math.ceil(p * s.size).toInt - 1))
     }
-    def fmt(d: Double): String = "%.3f".format(d)
+    // Locale.ROOT: a comma-decimal default locale would corrupt the JSON
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
     val client = HttpClient.newHttpClient()
     import org.apache.spark.sql.functions.col
@@ -57,9 +59,12 @@ object ApiBench {
     ids.foreach(id => send(client, s"/features/user/$id$qs"))
 
     // sustained load: `requests` point reads round-robin over warm ids
-    // from `threads` concurrent clients
+    // from `threads` concurrent clients. Failed requests are COUNTED, not
+    // silently dropped — a bench that loses a dead worker's samples would
+    // report understated RPS as a clean measurement.
     val lat = new ConcurrentLinkedQueue[Double]()
-    val perThread = requests / threads
+    val errors = new java.util.concurrent.atomic.AtomicInteger(0)
+    val perThread = math.max(1, requests / threads)
     val t0 = System.nanoTime()
     val workers = (0 until threads).map { t =>
       new Thread(() => {
@@ -67,7 +72,11 @@ object ApiBench {
         var i = 0
         while (i < perThread) {
           val id = ids((t * perThread + i) % ids.size)
-          lat.add(send(c, s"/features/user/$id$qs"))
+          try lat.add(send(c, s"/features/user/$id$qs"))
+          catch { case e: Throwable =>
+            errors.incrementAndGet()
+            System.err.println(s"[api-bench] request failed: ${e.getMessage}")
+          }
           i += 1
         }
       })
@@ -76,10 +85,12 @@ object ApiBench {
     val wallSec = (System.nanoTime() - t0) / 1e9
     import scala.jdk.CollectionConverters._
     val warm = lat.asScala.toSeq
+    require(warm.nonEmpty, s"no successful requests (${errors.get()} errors)")
     val health = (1 to 200).map(_ => send(client, "/features/health"))
 
     println(s"""{"metric":"api_rps","value":${fmt(warm.size / wallSec)},""" +
       s""""unit":"req/sec","threads":$threads,"requests":${warm.size},""" +
+      s""""errors":${errors.get()},""" +
       s""""warm_ms":{"p50":${fmt(pct(warm, 0.5))},"p95":${fmt(pct(warm, 0.95))},""" +
       s""""p99":${fmt(pct(warm, 0.99))},"max":${fmt(warm.max)}},""" +
       s""""cold_ms":{"p50":${fmt(pct(cold, 0.5))},"p95":${fmt(pct(cold, 0.95))}},""" +

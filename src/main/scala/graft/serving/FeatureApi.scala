@@ -35,9 +35,16 @@ import org.json4s.jackson.JsonMethods.{compact, parse, render}
   * 400 (the reference's string ids accept anything ≤100 chars); invalid
   * input anywhere in a batch rejects the whole body with 400, the same
   * all-or-nothing posture as FastAPI's 422 body validation. DELETE
-  * matches the reference exactly since the row tier landed: it evicts the
-  * user's own (user, group) cache keys (cache.py:167-196) and nothing
-  * else — an unrelated user's next read pays nothing.
+  * matches the reference's EVICTION granularity since the row tier
+  * landed: it evicts the user's own (user, group) cache keys
+  * (cache.py:167-196) and nothing else — an unrelated user's next read
+  * pays nothing. One honest delta remains: the reference's post-DELETE
+  * read hits Postgres (always current), while here the re-probe reads
+  * the cached group tables — a computed snapshot. Upstream-data
+  * freshness is the PIPELINE's duty (the streaming ST3 path calls
+  * service.invalidate() when events change features), not DELETE's; the
+  * API deliberately exposes no table-refresh route because api.py has
+  * none either.
   *
   * Scale posture: the server is a thin driver-side boundary — every
   * request resolves through the service's row tier or its fused

@@ -61,6 +61,16 @@ class FeatureStoreService(spark: SparkSession, dir: String) {
     * maxmemory-LRU posture at driver scale). */
   private val rowMemo = TrieMap.empty[(Long, String), (Option[Row], Long)]
 
+  /** Group-tier generation, bumped by `invalidate` under the service lock.
+    * A probe snapshots it before collecting and memoizes ONLY if it is
+    * unchanged (checked under the same lock): with concurrent dispatch, a
+    * probe that raced an invalidation may have read the PRE-invalidation
+    * tables, and inserting those rows after the row tier was cleared would
+    * serve stale features until TTL — the probe's own response still
+    * carries the old rows (indistinguishable from a request that completed
+    * just before the invalidation), but nothing stale outlives it. */
+  @volatile private var groupGeneration: Long = 0L
+
   /** Cap on row-tier entries — a driver holds the hot working set, never
     * the corpus (100k entries ≈ a few hundred MB worst case). */
   @volatile var rowTierMaxEntries: Int = 100000
@@ -101,7 +111,9 @@ class FeatureStoreService(spark: SparkSession, dir: String) {
     val distinctIds = userIds.distinct
     val missIds = distinctIds.filter(id =>
       wanted.exists(g => !rowMemo.get((id, g)).exists(e => tierFresh(e._2))))
+    val probed = scala.collection.mutable.Map.empty[(Long, String), Option[Row]]
     if (missIds.nonEmpty) {
+      val gen0 = groupGeneration
       val ids = missIds.toDF("user_id")
       val fused = wanted.foldLeft(ids) { (acc, g) =>
         acc.join(
@@ -112,12 +124,21 @@ class FeatureStoreService(spark: SparkSession, dir: String) {
       val born = tierNow()
       fused.collect().foreach { r =>
         val id = r.getAs[Long]("user_id")
-        wanted.foreach(g => rowMemo.put((id, g), (Option(r.getAs[Row](s"__$g")), born)))
+        wanted.foreach(g => probed((id, g)) = Option(r.getAs[Row](s"__$g")))
+      }
+      // memoize under the service lock so the generation check and the
+      // puts are atomic w.r.t. invalidate's bump-then-clear
+      synchronized {
+        if (groupGeneration == gen0) {
+          probed.foreach { case (k, v) => rowMemo.put(k, (v, born)) }
+        }
       }
       pruneRowTier()
     }
     userIds.map { id =>
-      val found = wanted.flatMap(g => rowMemo.get((id, g)).flatMap(_._1).map(g -> _)).toMap
+      val found = wanted.flatMap(g =>
+        probed.get((id, g)).orElse(rowMemo.get((id, g)).map(_._1))
+          .flatten.map(g -> _)).toMap
       val hit = found.size == wanted.size // all-types hit rule (store.py:174-175)
       val freshness = Option(found.values.map(r =>
         r.getAs[java.sql.Timestamp]("updated_at").getTime).toSeq)
@@ -181,6 +202,7 @@ class FeatureStoreService(spark: SparkSession, dir: String) {
     * refresh after an upstream batch lands. Row-tier entries derived from
     * the dropped tables go with them. */
   def invalidate(groups: Seq[String] = featureGroups): Unit = synchronized {
+    groupGeneration += 1 // before the clear: see the generation scaladoc
     normalizeTypes(groups).foreach { g =>
       cache(g).unpersist()
       cache = cache.updated(g, computeGroup(g))

@@ -160,6 +160,7 @@ class ServingSpec extends SparkSpec {
   }
 
   test("row tier honors the shared TTL: expired entries re-probe") {
+    import java.util.concurrent.atomic.AtomicInteger
     var fakeNow = 0L
     val origClock = graft.core.FeatureCache.clock
     try {
@@ -170,10 +171,30 @@ class ServingSpec extends SparkSpec {
         .filter($"recently_updated").select("user_id").as[Long].head()
       svc2.getFeatures(building, Seq("user"), now)
       fakeNow = graft.core.FeatureCache.ttlNanos + 1
-      // expired → the probe path runs again (observable as a fresh result,
-      // not an exception: the memo entry is replaced, not trusted)
-      val res = svc2.getFeatures(building, Seq("user"), now)
-      assert(res.cacheHit && res.features.contains("user"))
+      // expired → the probe path must RUN (an SQL execution), not trust
+      // the stale memo entry; without the execution count this test would
+      // pass even if the tier ignored TTL entirely
+      Thread.sleep(1000)
+      val execs = new AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onOtherEvent(event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+          event match {
+            case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+              execs.incrementAndGet(): Unit
+            case _ => ()
+          }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val res = svc2.getFeatures(building, Seq("user"), now)
+        assert(res.cacheHit && res.features.contains("user"))
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        var last = -1
+        while (System.nanoTime() < deadline && execs.get() != last) {
+          last = execs.get(); Thread.sleep(200)
+        }
+        assert(execs.get() >= 1, "expired row-tier entry must re-probe")
+      } finally spark.sparkContext.removeSparkListener(listener)
     } finally graft.core.FeatureCache.clock = origClock
   }
 
