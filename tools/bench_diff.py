@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Round-over-round bench triage (dev tool only). Usage:
+
+    python3 tools/bench_diff.py OLD_BENCH.json NEW_BENCH.json [--ratio 2.0]
+
+Accepts either a raw `graft.Bench` JSON line (possibly with an sbt
+"[info] " prefix) or the driver's BENCH_r{N}.json wrapper (whose `tail`
+field embeds the line). For every query present in both artifacts it
+reports the median ratio; queries beyond --ratio (default 2x, min 0.2s)
+are flagged and — when the NEW artifact carries the round-8 self-
+diagnosis fields — auto-adjudicated:
+
+  - runs spread > 2x between min and max  -> "noisy run" (pressure,
+    rerun before believing it)
+  - per-query gc_ms > 30% of the median   -> "GC pressure"
+  - otherwise                             -> "consistent slowdown"
+    (three agreeing runs: treat as a real plan-cost change)
+
+This encodes the round-7 lesson: a 10x driver-side regression on
+unchanged code was indistinguishable from plan cost until the artifact
+carried per-run and GC data."""
+import json
+import re
+import sys
+
+
+def load(path):
+    text = open(path).read()
+    # driver wrapper: {"n":..,"tail":"...{\"metric\":...}\n..."} — the tail
+    # keeps only the END of the output, so the line may start mid-JSON
+    try:
+        outer = json.loads(text)
+        if isinstance(outer, dict) and "queries" not in outer and "tail" in outer:
+            text = outer["tail"]
+    except json.JSONDecodeError:
+        pass
+    m = re.search(r'\{"metric".*\}', text)
+    if m:
+        return json.loads(m.group(0))
+    # truncated fragment: scrape "name":float pairs out of the queries
+    # region (everything before the first close-brace of the queries dict)
+    region = re.split(r'\},"(?:runs|failed|gc_ms)"', text)[0]
+    pairs = re.findall(r'"([a-z0-9_]+)":([0-9]+(?:\.[0-9]+)?)', region)
+    queries = {k: float(v) for k, v in pairs if k not in ("metric", "value", "sf")}
+    if not queries:
+        sys.exit(f"no bench JSON line found in {path}")
+    return {"queries": queries}
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    ratio_gate = 2.0
+    for i, a in enumerate(sys.argv):
+        if a == "--ratio":
+            ratio_gate = float(sys.argv[i + 1])
+    if len(args) != 2:
+        sys.exit(__doc__)
+    old, new = load(args[0]), load(args[1])
+    oq, nq = old["queries"], new["queries"]
+    shared = sorted(set(oq) & set(nq))
+    print(f"shared queries: {len(shared)}  "
+          f"old total {sum(oq[k] for k in shared):.1f}s  "
+          f"new total {sum(nq[k] for k in shared):.1f}s")
+    flagged = []
+    for k in shared:
+        a, b = oq[k], nq[k]
+        if b > ratio_gate * a and b > 0.2:
+            verdict = "consistent slowdown (likely real)"
+            runs = new.get("runs", {}).get(k)
+            gc = new.get("gc_ms", {}).get(k)
+            if runs and max(runs) > 2 * min(runs):
+                verdict = f"noisy run {['%.2f' % r for r in runs]} — rerun"
+            elif gc is not None and gc > 300 * b:  # gc_ms vs median(s): 30%
+                verdict = f"GC pressure ({gc} ms during 3 runs)"
+            flagged.append((k, a, b, verdict))
+    if not flagged:
+        print(f"no query regressed beyond {ratio_gate}x — clean round")
+        return
+    print(f"\n{len(flagged)} regression(s) beyond {ratio_gate}x:")
+    for k, a, b, verdict in sorted(flagged, key=lambda x: -x[2] / x[1]):
+        print(f"  {k}: {a:.2f}s -> {b:.2f}s ({b / a:.1f}x)  [{verdict}]")
+    new_only = sorted(set(nq) - set(oq))
+    if new_only:
+        print(f"\nnew queries (no baseline): {', '.join(new_only)}")
+
+
+if __name__ == "__main__":
+    main()
