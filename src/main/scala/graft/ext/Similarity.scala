@@ -264,29 +264,46 @@ object Similarity {
     * outlier pruning (docs far from their group's centroid are mislabeled
     * or garbled; a curation pass drops or reviews them).
     *
-    * Determinism: element-wise means and the dot/norm reductions run as
-    * DECIMAL sums (order-independent exact arithmetic — a double sum's
-    * value depends on partition merge order), cast to double only after
-    * the sum; ties in the outlier rank break on vec_id. Scale shape: the
-    * positional explode is a narrow 64x fan-out, the (label, pos) mean is
-    * map-side combinable, the centroid frame is labels x 64 rows and
-    * BROADCAST back, and the per-vec reduction keys on vec_id — nothing
-    * shuffles the corpus except the one inevitable per-vec aggregation. */
-  def embeddingOutliers(embeddings: DataFrame, k: Int = 5): DataFrame = {
-    val pos = embeddings.select(col("vec_id"), col("label"),
-      posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
-    val cent = pos.groupBy("label", "pos").agg(
-      (sum(col("x").cast("decimal(27,10)")).cast("double")
-        / count(lit(1))).as("c"))
-    val scored = pos.join(broadcast(cent), Seq("label", "pos"))
-      .groupBy("vec_id", "label")
-      .agg(
-        sum((col("x") * col("c")).cast("decimal(30,15)")).cast("double").as("__dot"),
-        sum((col("x") * col("x")).cast("decimal(30,15)")).cast("double").as("__nx"),
-        sum((col("c") * col("c")).cast("decimal(30,15)")).cast("double").as("__nc"))
+    * Determinism: the cross-row element means run as DECIMAL sums
+    * (order-independent exact arithmetic — a double sum's value depends on
+    * partition merge order) and the per-vec dot/norm reductions as DECIMAL
+    * folds (row-local, but pinned to the same decimal(30,15) element terms
+    * the oracle sums), cast to double only at the end; ties in the outlier
+    * rank break on vec_id. Scale shape: ONE pass over the corpus computes
+    * all `dim` centroid sums as combinable column aggregates (no positional
+    * explode — the 64x row fan-out and its re-join are gone), the labels x
+    * dim centroid frame folds to one array row per label and BROADCASTs
+    * back, and scoring is row-local arithmetic — nothing shuffles the
+    * corpus at all; only the labels-row centroid frame and the final
+    * per-label top-k rank move. Assumes fixed-width `dim` vectors (the
+    * table contract; ragged or null embeddings would change the per-pos
+    * counts vs the exploded form). */
+  def embeddingOutliers(embeddings: DataFrame, k: Int = 5, dim: Int = 64): DataFrame = {
+    val x = col("embedding")
+    // decimal(30,15) element terms, exact decimal accumulation — the
+    // codegen'd loop form of the oracle's SUM(CAST(xᵢ·cᵢ AS DECIMAL(30,15)))
+    // (plans/DecimalVectorDot; widens floats per element, so no per-row
+    // array<double> cast copy).
+    def decDot(a: Column, b: Column): Column =
+      call_function("decimal_vector_dot", a, b)
+    val cent = embeddings.groupBy("label").agg(
+      count(lit(1)).as("__n"),
+      (0 until dim).map(i =>
+        // scalar element cast — NOT x.cast(array<double>)(i), which would
+        // re-materialize the cast array once per dimension per row
+        sum(x.getItem(i).cast("double").cast("decimal(27,10)")).as(s"__s$i")): _*)
+    val centArr = cent.select(col("label"),
+        array((0 until dim).map(i =>
+          col(s"__s$i").cast("double") / col("__n")): _*).as("__c"))
+      // the centroid's self-norm is constant per label — fold it once in
+      // the labels-row frame, not once per corpus row
+      .withColumn("__nc", decDot(col("__c"), col("__c")))
+    val scored = embeddings.join(broadcast(centArr), Seq("label"))
       .select(col("vec_id"), col("label"),
         graft.ops.Ops.rnd(
-          col("__dot") / sqrt(col("__nx") * col("__nc")), 6).as("cos_to_centroid"))
+          decDot(x, col("__c")) /
+            sqrt(decDot(x, x) * col("__nc")), 6)
+          .as("cos_to_centroid"))
     scored
       .withColumn("outlier_rank", row_number().over(
         Window.partitionBy("label")

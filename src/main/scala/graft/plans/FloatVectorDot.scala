@@ -83,6 +83,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FloatVectorDot(args(0), args(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("decimal_vector_dot"),
+      new ExpressionInfo(classOf[DecimalVectorDot].getName, "decimal_vector_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "decimal_vector_dot(a, b) takes two arguments")
+        DecimalVectorDot(args(0), args(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("bitstring_hamming"),
       new ExpressionInfo(classOf[BitStringHamming].getName, "bitstring_hamming"),
       (args: Seq[Expression]) => {

@@ -57,6 +57,52 @@ class SinksAndExtSpec extends SparkSpec {
     both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("DecimalVectorDot matches the decimal fold bit-for-bit; non-finite nulls the sum") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    // the expression-tree form it replaced: per-element decimal(30,15)
+    // terms, exact decimal accumulation, double out
+    def fold(a: Column, b: Column): Column =
+      aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
+          (p, q) => (p * q).cast("decimal(30,15)")),
+        lit(0).cast("decimal(32,15)"),
+        (acc, e) => (acc + e).cast("decimal(32,15)")).cast("double")
+    val emb = graft.core.Tables.embeddings(spark, sf0001).limit(100)
+      .select(col("embedding"), col("embedding").cast("array<double>").as("d"))
+    // float x float, float x double (mixed widths), double x double
+    val rows = emb.select(
+      fold(col("embedding"), col("embedding")).as("f_ff"),
+      call_function("decimal_vector_dot", col("embedding"), col("embedding")).as("n_ff"),
+      fold(col("embedding"), col("d")).as("f_fd"),
+      call_function("decimal_vector_dot", col("embedding"), col("d")).as("n_fd"),
+      fold(col("d"), col("d")).as("f_dd"),
+      call_function("decimal_vector_dot", col("d"), col("d")).as("n_dd")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(2) == r.getDouble(3))
+      assert(r.getDouble(4) == r.getDouble(5))
+    }
+    // interpreted eval path agrees with codegen
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val again = emb.select(
+        fold(col("embedding"), col("d")).as("f"),
+        call_function("decimal_vector_dot", col("embedding"), col("d")).as("n")).collect()
+      again.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    // a NaN/Inf product nulls the whole sum (the cast-to-decimal fold's result)
+    val bad = Seq(Tuple1(Array(1.0, Double.NaN)), Tuple1(Array(1.0, 2.0)))
+      .toDF("v")
+      .select(call_function("decimal_vector_dot", col("v"), col("v")).as("s"))
+      .collect()
+    assert(bad.count(_.isNullAt(0)) == 1)
+    assert(bad.exists(r => !r.isNullAt(0) && r.getDouble(0) == 5.0))
+  }
+
   test("brute-force top-k is k rows per query, self excluded, ranks contiguous") {
     val emb = graft.core.Tables.embeddings(spark, sf0001)
     val topk = Similarity.bruteTopK(emb, 3, 5).collect()
