@@ -76,7 +76,7 @@ object ScalingBench {
       }
     }
 
-    val queries: Seq[(String, String => DataFrame)] = Seq(
+    val allQueries: Seq[(String, String => DataFrame)] = Seq(
       "quality_filter" -> (d => TextAnalysis.qualityFilter(Tables.documents(spark, d))),
       "quality_tiers" -> (d => TextAnalysis.qualityTiers(Tables.documents(spark, d), 10)),
       "contamination" -> { d =>
@@ -85,6 +85,16 @@ object ScalingBench {
       },
       "embedding_outliers" -> (d => Similarity.embeddingOutliers(Tables.embeddings(spark, d), 5)),
       "dedup_embedding" -> (d => Similarity.cosineNearDups(Tables.embeddings(spark, d), 20)))
+    // query filter knob: refresh one query's ladder after a plan change
+    // without re-timing the expensive rungs of the other four
+    val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {
+      case Some(names) =>
+        val want = names.split(",").map(_.trim).toSet
+        val unknown = want -- allQueries.map(_._1).toSet
+        require(unknown.isEmpty, s"unknown scale queries: ${unknown.mkString(", ")}")
+        allQueries.filter(q => want(q._1))
+      case None => allQueries
+    }
 
     // warm: footers + codegen once per scale dir
     scales.foreach { s =>
