@@ -78,6 +78,34 @@ object BoundedPercentile {
     *   - `extraOut` are output expressions over the agg aliases and `__n`
     *     (the group's non-null count), appended after the `n` column.
     */
+  /** Expand `(value, count)` rows back into `count` rows of `value` with
+    * BOUNDED intermediates: three nested chunk levels, so no single row
+    * ever materializes an array longer than `chunk` (level 3) or
+    * `count / chunk²` (level 1 — 60k elements even at a trillion rows of
+    * ONE exact value in one group, with chunk = 4096). The naive
+    * `array_repeat(v, count.cast("int"))` both wraps counts past 2³¹
+    * (silently DROPPING that value's weight) and builds a count-element
+    * array in one row — this is the scale-safe form. Exact for counts up
+    * to chunk² · 2³¹ (≈ 3.6·10¹⁶ at the default — beyond any physical
+    * table). Output: `keep` columns plus `out` (the expanded value). */
+  def weightExpand(cnt: DataFrame, keep: Seq[String], valueCol: String,
+                   countCol: String, out: String, chunk: Int = 4096): DataFrame = {
+    val c1 = chunk.toLong
+    val c2 = c1 * c1
+    val keepCols = keep.map(col)
+    // `div`, not `/`: Spark's / on longs is double division, which loses
+    // exactness past 2⁵³ — the very regime this helper exists for
+    cnt.filter(col(countCol) > 0)
+      .select(keepCols ++ Seq(col(valueCol), col(countCol).cast("long").as("__w"),
+        explode(sequence(lit(0L), expr(s"(cast(`$countCol` as bigint) - 1L) div ${c2}L"))).as("__k2")): _*)
+      .select(keepCols ++ Seq(col(valueCol),
+        least(lit(c2), col("__w") - col("__k2") * c2).as("__r2")): _*)
+      .select(keepCols ++ Seq(col(valueCol), col("__r2"),
+        explode(sequence(lit(0L), expr(s"(`__r2` - 1L) div ${c1}L"))).as("__k1")): _*)
+      .select(keepCols :+ explode(array_repeat(col(valueCol),
+        least(lit(c1), col("__r2") - col("__k1") * c1).cast("int"))).as(out): _*)
+  }
+
   def exactFromCounts(cnt: DataFrame, groupCol: String,
                       ps: Seq[(Double, String)], scale: Int,
                       joined: Seq[DataFrame] = Nil,

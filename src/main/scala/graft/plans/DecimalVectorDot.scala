@@ -24,8 +24,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * function — interpreted per element, an intermediate array allocation
   * per evaluated pair, and a Decimal wrapper per term. This loop stays
   * inside whole-stage codegen with one BigDecimal term per element and
-  * nothing else. A non-finite product (NaN/Inf embeddings) nulls the whole
-  * sum — the same result the cast-to-decimal fold produced.
+  * nothing else. Null semantics match the fold exactly: a null element, a
+  * length mismatch (zip_with null-pads the shorter side), or a non-finite
+  * product (NaN/Inf embeddings; the decimal cast would null it) each null
+  * the whole sum.
   *
   * Inputs may be array<float> or array<double> independently (floats are
   * widened per element, identical to casting the array first — without
@@ -60,10 +62,12 @@ case class DecimalVectorDot(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val lf = isFloat(left.dataType)
     val rf = isFloat(right.dataType)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null // zip_with would null-pad → null sum
     var acc = java.math.BigDecimal.ZERO
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null // null term nulls the fold
       val p = (if (lf) x.getFloat(i).toDouble else x.getDouble(i)) *
         (if (rf) y.getFloat(i).toDouble else y.getDouble(i))
       if (!java.lang.Double.isFinite(p)) return null
@@ -83,15 +87,20 @@ case class DecimalVectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val p = ctx.freshName("p")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |java.math.BigDecimal $acc = java.math.BigDecimal.ZERO;
+         |int $n = $x.numElements();
+         |java.math.BigDecimal $acc =
+         |  $n == $y.numElements() ? java.math.BigDecimal.ZERO : null;
          |for (int $i = 0; $i < $n && $acc != null; $i++) {
-         |  double $p = ${get(x, i, isFloat(left.dataType))} *
-         |    ${get(y, i, isFloat(right.dataType))};
-         |  $acc = java.lang.Double.isFinite($p)
-         |    ? $acc.add(java.math.BigDecimal.valueOf($p)
-         |        .setScale(15, java.math.RoundingMode.HALF_UP))
-         |    : null;
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) {
+         |    $acc = null;
+         |  } else {
+         |    double $p = ${get(x, i, isFloat(left.dataType))} *
+         |      ${get(y, i, isFloat(right.dataType))};
+         |    $acc = java.lang.Double.isFinite($p)
+         |      ? $acc.add(java.math.BigDecimal.valueOf($p)
+         |          .setScale(15, java.math.RoundingMode.HALF_UP))
+         |      : null;
+         |  }
          |}
          |${ev.isNull} = $acc == null;
          |${ev.value} = $acc == null ? -1.0 : $acc.doubleValue();

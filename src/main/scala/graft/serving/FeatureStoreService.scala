@@ -109,8 +109,17 @@ class FeatureStoreService(spark: SparkSession, dir: String) {
     val wanted = normalizeTypes(types)
     import spark.implicits._
     val distinctIds = userIds.distinct
+    // ONE read per (id, group): the fresh entries are snapshotted at miss
+    // detection, so a concurrent invalidate between here and assembly can't
+    // make a previously-fresh user come back empty without a re-probe
+    // (assembly re-reading the memo was exactly that race)
+    val snap = scala.collection.mutable.Map.empty[(Long, String), Option[Row]]
+    for (id <- distinctIds; g <- wanted)
+      rowMemo.get((id, g)).foreach { case (v, born) =>
+        if (tierFresh(born)) snap((id, g)) = v
+      }
     val missIds = distinctIds.filter(id =>
-      wanted.exists(g => !rowMemo.get((id, g)).exists(e => tierFresh(e._2))))
+      wanted.exists(g => !snap.contains((id, g))))
     val probed = scala.collection.mutable.Map.empty[(Long, String), Option[Row]]
     if (missIds.nonEmpty) {
       val gen0 = groupGeneration
@@ -137,7 +146,7 @@ class FeatureStoreService(spark: SparkSession, dir: String) {
     }
     userIds.map { id =>
       val found = wanted.flatMap(g =>
-        probed.get((id, g)).orElse(rowMemo.get((id, g)).map(_._1))
+        probed.get((id, g)).orElse(snap.get((id, g)))
           .flatten.map(g -> _)).toMap
       val hit = found.size == wanted.size // all-types hit rule (store.py:174-175)
       val freshness = Option(found.values.map(r =>

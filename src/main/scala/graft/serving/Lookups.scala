@@ -128,9 +128,8 @@ object Lookups {
     val cnt = graft.ops.BoundedPercentile.countByValue(
       Tables.orders(spark, dir).select("o_orderstatus", "o_totalprice"),
       "o_orderstatus", "o_totalprice")
-    val sk = cnt
-      .select(col("o_orderstatus"),
-        explode(array_repeat(col("__v"), col("__c").cast("int"))).as("__v"))
+    val sk = graft.ops.BoundedPercentile
+      .weightExpand(cnt, Seq("o_orderstatus"), "__v", "__c", out = "__v")
       .groupBy("o_orderstatus").agg(
         percentile_approx(col("__v"), lit(0.5), lit(1000)).as("__p50a"),
         percentile_approx(col("__v"), lit(0.95), lit(1000)).as("__p95a"))

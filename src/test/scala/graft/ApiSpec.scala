@@ -111,32 +111,6 @@ class ApiSpec extends SparkSpec {
     assert(get("/features/user/5?feature_types=user").statusCode() == 200)
   }
 
-  /** Count SQLExecutionStart events while `body` runs, polling until the
-    * async listener bus stops moving (the ServingSpec idiom). */
-  private def sqlExecutionsDuring(body: => Unit): Int = {
-    import java.util.concurrent.atomic.AtomicInteger
-    Thread.sleep(1000) // let prior requests' events drain off the async bus
-    val execs = new AtomicInteger(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onOtherEvent(event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
-        event match {
-          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
-            execs.incrementAndGet(): Unit
-          case _ => ()
-        }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      body
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      var last = -1
-      while (System.nanoTime() < deadline && execs.get() != last) {
-        last = execs.get(); Thread.sleep(300)
-      }
-      execs.get()
-    } finally spark.sparkContext.removeSparkListener(listener)
-  }
-
   test("row tier: warm point reads cost zero Spark jobs; DELETE evicts ONE user's keys") {
     val all = "?feature_types=user&feature_types=transaction&feature_types=risk"
     // warm users 4 and 9 through the wire (first touch probes)

@@ -54,6 +54,23 @@ class BoundedPercentileSpec extends SparkSpec {
     assert(out == Set("a"), s"all-null group must drop per contract, got $out")
   }
 
+  test("weightExpand reproduces every count exactly across all three chunk levels") {
+    // chunk=3 → level boundaries at 3 and 9: counts 1..30 cover sub-chunk,
+    // chunk-straddling, and multi-chunk² paths (and 0 must vanish)
+    val cnt = ((0L to 30L).map(c => ("g" + (c % 4), c.toDouble, c)))
+      .toDF("grp", "__v", "__c")
+    val out = graft.ops.BoundedPercentile
+      .weightExpand(cnt, Seq("grp"), "__v", "__c", out = "v", chunk = 3)
+      .groupBy("grp", "v").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    (1L to 30L).foreach { c =>
+      assert(out(("g" + (c % 4), c.toDouble)) == c, s"count $c must expand to $c rows")
+    }
+    assert(!out.contains(("g0", 0.0)), "zero-count values must not appear")
+    // arrays stay bounded: the widest generator output at chunk=3 is 3
+    // (pinned implicitly — a 30-element array_repeat would need chunk>=30)
+  }
+
   test("plan carries no per-group value buffer: no exact Percentile aggregate") {
     val pct = serving.Lookups.percentiles(spark, sf0001)
       .queryExecution.optimizedPlan.toString

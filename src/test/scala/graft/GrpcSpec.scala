@@ -13,13 +13,26 @@ import graft.serving.FeatureProto._
   * shaded client stubs with the SAME hand-written codecs — so a mismatch
   * between codec and wire format fails loudly on the real transport, not
   * in a loopback of the codec against itself. */
-class GrpcSpec extends SparkSpec {
+class GrpcSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
   private lazy val service = new FeatureStoreService(spark, sf0001)
   private lazy val grpc = new FeatureGrpc(service)
   private lazy val port = grpc.start(0)
-  private lazy val channel =
+  private var live = false // only tear down what a test actually started
+  private lazy val channel = {
+    live = true
     ManagedChannelBuilder.forAddress("localhost", port).usePlaintext().build()
+  }
+
+  override def afterAll(): Unit = {
+    // the sbt test JVM is shared across invocations — leaking the bound
+    // port, channel, and Netty event-loop threads would accumulate per run
+    if (live) {
+      channel.shutdownNow()
+      grpc.stop()
+    }
+    super.afterAll()
+  }
 
   private def call[Req, Resp](m: org.sparkproject.connect.grpc.MethodDescriptor[Req, Resp],
                               req: Req): Resp =

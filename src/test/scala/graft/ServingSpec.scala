@@ -134,33 +134,15 @@ class ServingSpec extends SparkSpec {
     // not leave row-tier entries computed from the OLD table: the next
     // read re-probes rather than serving the memoized stale row
     svc2.invalidate(Seq("user"))
-    import java.util.concurrent.atomic.AtomicInteger
-    Thread.sleep(1000)
-    val execs = new AtomicInteger(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onOtherEvent(event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
-        event match {
-          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
-            execs.incrementAndGet(): Unit
-          case _ => ()
-        }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
+    val execs = sqlExecutionsDuring {
       val again = svc2.getFeatures(building, Seq("user"), now)
       assert(again.features.contains("user"))
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      var last = -1
-      while (System.nanoTime() < deadline && execs.get() != last) {
-        last = execs.get(); Thread.sleep(200)
-      }
-      assert(execs.get() >= 1,
-        "post-invalidation read must re-probe, not serve the stale row-tier entry")
-    } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    assert(execs >= 1,
+      "post-invalidation read must re-probe, not serve the stale row-tier entry")
   }
 
   test("row tier honors the shared TTL: expired entries re-probe") {
-    import java.util.concurrent.atomic.AtomicInteger
     var fakeNow = 0L
     val origClock = graft.core.FeatureCache.clock
     try {
@@ -174,59 +156,23 @@ class ServingSpec extends SparkSpec {
       // expired → the probe path must RUN (an SQL execution), not trust
       // the stale memo entry; without the execution count this test would
       // pass even if the tier ignored TTL entirely
-      Thread.sleep(1000)
-      val execs = new AtomicInteger(0)
-      val listener = new org.apache.spark.scheduler.SparkListener {
-        override def onOtherEvent(event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
-          event match {
-            case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
-              execs.incrementAndGet(): Unit
-            case _ => ()
-          }
-      }
-      spark.sparkContext.addSparkListener(listener)
-      try {
+      val execs = sqlExecutionsDuring {
         val res = svc2.getFeatures(building, Seq("user"), now)
         assert(res.cacheHit && res.features.contains("user"))
-        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-        var last = -1
-        while (System.nanoTime() < deadline && execs.get() != last) {
-          last = execs.get(); Thread.sleep(200)
-        }
-        assert(execs.get() >= 1, "expired row-tier entry must re-probe")
-      } finally spark.sparkContext.removeSparkListener(listener)
+      }
+      assert(execs >= 1, "expired row-tier entry must re-probe")
     } finally graft.core.FeatureCache.clock = origClock
   }
 
   test("getBatch fuses the probe: one SQL execution for a 3-group batch") {
-    import java.util.concurrent.atomic.AtomicInteger
-    // warm the group caches so the measured probe is the steady-state path,
-    // then let the async listener bus drain the warm-up's events
+    // warm the group caches so the measured probe is the steady-state path
     svc.getBatch(Seq(1L), Seq("user", "transaction", "risk"), now)
-    Thread.sleep(1000)
-    val execs = new AtomicInteger(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onOtherEvent(event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
-        event match {
-          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
-            execs.incrementAndGet(): Unit
-          case _ => ()
-        }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
+    val execs = sqlExecutionsDuring {
       val res = svc.getBatch(Seq(4L, 5L, 9L), Seq("user", "transaction", "risk"), now)
       assert(res.size == 3)
-      // the bus is async — poll until the count stops moving
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      var last = -1
-      while (System.nanoTime() < deadline && execs.get() != last) {
-        last = execs.get(); Thread.sleep(200)
-      }
-      // AQE's stage materializations share the root execution, so a fused
-      // probe is exactly one SQLExecutionStart; the old per-group loop was 3
-      assert(execs.get() == 1,
-        s"expected one fused probe execution, saw ${execs.get()}")
-    } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    // AQE's stage materializations share the root execution, so a fused
+    // probe is exactly one SQLExecutionStart; the old per-group loop was 3
+    assert(execs == 1, s"expected one fused probe execution, saw $execs")
   }
 }

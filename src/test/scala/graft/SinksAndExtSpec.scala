@@ -101,6 +101,21 @@ class SinksAndExtSpec extends SparkSpec {
       .collect()
     assert(bad.count(_.isNullAt(0)) == 1)
     assert(bad.exists(r => !r.isNullAt(0) && r.getDouble(0) == 5.0))
+    // null elements and ragged lengths null the sum, same as the fold
+    // (zip_with null-pads the shorter side; a null term nulls the fold)
+    val edge = spark.sql(
+      """SELECT
+        |  decimal_vector_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(2.0d, 3.0d)) AS null_elem,
+        |  decimal_vector_dot(array(1.0d, 2.0d, 3.0d), array(1.0d, 2.0d)) AS ragged,
+        |  decimal_vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS ok
+        |""".stripMargin).collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
+    assert(edge.getDouble(2) == 11.0)
+    val edgeFold = Seq((Array[java.lang.Double](1.0, null), Array(2.0, 3.0)),
+        (Array[java.lang.Double](1.0, 2.0, 3.0), Array(1.0, 2.0)))
+      .toDF("a", "b")
+      .select(fold(col("a"), col("b")).as("f")).collect()
+    assert(edgeFold.forall(_.isNullAt(0)), "fold must agree: null on null-elem and ragged")
   }
 
   test("brute-force top-k is k rows per query, self excluded, ranks contiguous") {

@@ -48,11 +48,19 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    args = []
     ratio_gate = 2.0
-    for i, a in enumerate(sys.argv):
-        if a == "--ratio":
-            ratio_gate = float(sys.argv[i + 1])
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--ratio":
+            if i + 1 >= len(argv):
+                sys.exit("--ratio needs a value\n" + __doc__)
+            ratio_gate = float(argv[i + 1])
+            i += 2
+        else:
+            args.append(argv[i])
+            i += 1
     if len(args) != 2:
         sys.exit(__doc__)
     old, new = load(args[0]), load(args[1])
