@@ -164,6 +164,41 @@ class ServingSpec extends SparkSpec {
     } finally graft.core.FeatureCache.clock = origClock
   }
 
+  test("getBatch never returns empty features for an existing user under concurrent invalidation") {
+    // regression pin for the snapshot-at-miss-detection fix: with assembly
+    // re-reading the memo, an invalidateUser between the freshness check
+    // and assembly made a warm user come back featureless without a
+    // re-probe. Hammer reads against a per-user invalidator; every read
+    // must either serve the snapshot or re-probe — never return empty.
+    val svc2 = new FeatureStoreService(spark, sf0001)
+    import spark.implicits._
+    val ids = graft.core.Roles.users(spark, sf0001).filter($"recently_updated")
+      .select("user_id").as[Long].head(4).toSeq
+    assert(svc2.getBatch(ids, Seq("user"), now).forall(_.features.contains("user")))
+    @volatile var stop = false
+    val bad = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val readers = (1 to 3).map { _ =>
+      new Thread(() => {
+        while (!stop) {
+          try svc2.getBatch(ids, Seq("user"), now).foreach { r =>
+            if (!r.features.contains("user")) bad.incrementAndGet(): Unit
+          } catch { case _: Throwable => errs.incrementAndGet(): Unit }
+        }
+      })
+    }
+    val invalidator = new Thread(() => {
+      while (!stop) { ids.foreach(svc2.invalidateUser); Thread.sleep(1) }
+    })
+    (readers :+ invalidator).foreach(_.start())
+    Thread.sleep(2000)
+    stop = true
+    (readers :+ invalidator).foreach(_.join())
+    assert(errs.get() == 0, s"${errs.get()} reads threw")
+    assert(bad.get() == 0,
+      s"${bad.get()} reads returned no user features for an existing user")
+  }
+
   test("getBatch fuses the probe: one SQL execution for a 3-group batch") {
     // warm the group caches so the measured probe is the steady-state path
     svc.getBatch(Seq(1L), Seq("user", "transaction", "risk"), now)
