@@ -382,10 +382,28 @@ object TextAnalysis {
     * vocabulary. Nothing driver-side, nothing all-pairs. */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val terms = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    // the explicit isNotNull matches the IsNotNull(doc_id) the doc_len
+    // join INFERS onto its branch's scan — without it the two copies of
+    // the tf subtree differ by that one pushed filter and ReuseExchange
+    // sees different subtrees (doc_id is the PK, so no row is dropped)
+    val terms = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val docLen = terms.groupBy("doc_id").agg(count(lit(1)).as("doc_len"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // doc_len = Σ tf per doc and df = row count per term — BOTH derived
+    // from the aggregated tf table, not second groupBys over `terms`
+    // (which would tokenize the corpus once per consumer; at 100 TB the
+    // tokenize IS the query's cost). df must consume tf's VALUE in a way
+    // the optimizer can't eliminate: a bare count(1) (or even count(tf),
+    // tf being provably non-null) lets Catalyst rewrite this branch's
+    // copy of the tf aggregate to a keys-only distinct, which breaks
+    // subtree identity with the other consumers and stops ReuseExchange
+    // from running the tokenize once. count(tf >= 1) depends on the
+    // count's value, survives, and equals count(1) exactly (every
+    // grouped term occurs at least once). Pinned in ScaleShapeSpec: one
+    // text-reading documents scan in the final plan.
+    val docLen = tf.groupBy("doc_id").agg(sum("tf").as("doc_len"))
+    val dfreq = tf.groupBy("term")
+      .agg(count(when(col("tf") >= 1, 1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
       .join(docLen, Seq("doc_id"))

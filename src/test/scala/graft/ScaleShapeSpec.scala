@@ -141,6 +141,23 @@ class ScaleShapeSpec extends SparkSpec {
       s"expected exactly one orders scan:\n${q.queryExecution.executedPlan}")
   }
 
+  test("tfidf tokenizes the corpus once: one documents scan, tf exchange reused") {
+    val q = ext.TextAnalysis.tfidfTopTerms(
+      graft.core.Tables.documents(spark, sf0001), 3)
+    assert(q.collect().nonEmpty)
+    // doc_len derives from the aggregated tf table (Σ tf per doc), and
+    // dfreq likewise — all three consumers must read the ONE tf exchange;
+    // a second TEXT-reading scan means a branch re-ran the corpus
+    // tokenize. (n_docs legitimately adds a metadata-only count scan —
+    // ReadSchema struct<>, served from parquet footers — excluded here.)
+    val textScans = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0).split("\n")
+      .count(l => (l.contains("FileScan") || l.contains("Scan parquet"))
+        && l.contains("documents") && l.contains("text"))
+    assert(textScans == 1,
+      s"expected one text-reading documents scan:\n${q.queryExecution.executedPlan}")
+  }
+
   test("dq_alerts scans orders exactly twice (fused completeness + two-pass outliers)") {
     val q = jobs.DataQualityJob.alerts(spark, sf0001)
     assert(q.collect().length == 3)
