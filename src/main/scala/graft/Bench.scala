@@ -24,23 +24,24 @@ import org.apache.spark.sql.SparkSession
   *     the artifact.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = graft.core.Sessions.local(cpus)
-    // Warm-up: session, codegen, and parquet footers — not query results.
+
+  /** Warm the session (codegen, parquet footers) and the ENTIRE
+    * feature-cache tier: the reference's baseline numbers are cache-backed
+    * serving latencies (93-96% Redis hit rate), so the comparable steady
+    * state has every session artifact already materialized — otherwise
+    * whichever query first touches a cached table is billed the artifact
+    * build and the per-query profile measures map ordering, not the query.
+    * The build cost itself is reported by PERF.md, not here. The list
+    * mirrors every FeatureCache.cached site reachable from
+    * SparkEntry.queries (args match the query entries). Shared by Bench and
+    * ShuffleAudit so both measurement mains see the same steady state
+    * (BenchOne deliberately stays cold — its point is iteration speed).
+    */
+  private[graft] def warmAll(spark: SparkSession, sfDir: String): Unit = {
     graft.core.Tables.all.foreach { t =>
       try graft.core.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
-    // Warm the ENTIRE feature-cache tier: the reference's baseline numbers
-    // are cache-backed serving latencies (93-96% Redis hit rate), so the
-    // comparable steady state has every session artifact already
-    // materialized — otherwise whichever query first touches a cached table
-    // is billed the artifact build and the per-query profile measures map
-    // ordering, not the query. The build cost itself is reported by
-    // PERF.md, not here. This list mirrors every FeatureCache.cached site
-    // reachable from SparkEntry.queries (args match the query entries).
     Seq[() => Unit](
       () => { graft.jobs.TransactionFeaturesJob(spark, sfDir).count(): Unit },
       () => { graft.jobs.UserFeaturesJob(spark, sfDir).count(): Unit },
@@ -65,6 +66,13 @@ object Bench {
       () => { graft.ext.Similarity.cosineNearDupsCached(spark, sfDir, 20).count(): Unit },
       () => { graft.ext.Similarity.semanticClusterTable(spark, sfDir, 0.2).count(): Unit }
     ).foreach(f => try f() catch { case _: Throwable => () })
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.Sessions.local(cpus)
+    warmAll(spark, sfDir)
 
     def gcMillis(): Long = {
       import scala.jdk.CollectionConverters._
