@@ -134,6 +134,10 @@ object SparkEntry {
     "chunk_windows"        -> ((s, dir) => ext.Corpus.chunkWindows(
       core.Tables.documents(s, dir), 64, 48)),
     "curation_gate"        -> ((s, dir) => ext.TextAnalysis.curationGateCached(s, dir)),
+    "source_quota"         -> ((s, dir) => ext.Corpus.sourceQuota(
+      core.Tables.documents(s, dir), QuotaCaps.bySource, QuotaCaps.default)),
+    "bpe_merge_pairs"      -> ((s, dir) => ext.Vocab.charPairStats(
+      core.Tables.documents(s, dir), 30)),
   )
 
   /** Fixed source-mix rates for the stratified-sample query (a training-mix
@@ -154,6 +158,15 @@ object SparkEntry {
     // everywhere, the default tail truncates moderately.
     val bySource: Map[String, Long] = Map("src0" -> 2000L, "src1" -> 400L)
     val default: Long = 800L
+  }
+
+  /** Per-source document caps for the quota query (anti-domination: src0
+    * generous — keeps everything at sf0.01 but truncates at sf0.1 — src1
+    * tight, the default tail moderate; per-source counts are 25 at sf0.01,
+    * 250 at sf0.1, so every branch genuinely bites somewhere). */
+  private object QuotaCaps {
+    val bySource: Map[String, Long] = Map("src0" -> 40L, "src1" -> 10L)
+    val default: Long = 15L
   }
 
   /** Deterministic probe-id sets for the lookup queries (S2/S3): a handful
@@ -248,5 +261,8 @@ object SparkEntry {
     "mixture_weights"      -> OracleSql.mixtureWeights,
     "chunk_windows"        -> OracleSql.chunkWindows(64, 48),
     "curation_gate"        -> OracleSql.curationGate(10, 1000, 0.5, 0.2, 20, 0.2),
+    "source_quota"         -> OracleSql.sourceQuota(
+      QuotaCaps.bySource.toSeq.sortBy(_._1), QuotaCaps.default),
+    "bpe_merge_pairs"      -> OracleSql.bpeMergePairs(30),
   )
 }

@@ -251,6 +251,45 @@ object Corpus {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("prior_tokens"))
   }
 
+  /** Per-source document quota — the anti-domination cap a web-corpus mix
+    * applies so one giant crawl can't drown the blend (the doc-count twin of
+    * mixtureSample's token budgets). Documents are admitted in unitHash
+    * order — deterministic, engine-independent, and stable when OTHER
+    * sources grow — and `prior_docs` (how many of the source's docs precede
+    * this one in that order) < cap is the membership rule, so the survivor
+    * set is reproducible under retries and incremental refreshes.
+    *
+    * Scale shape: the same two-phase distributed prefix as mixtureSample —
+    * per-(source, hash-chunk) counts cumsum on a 64-row-per-source frame,
+    * then a chunk-local row_number — so a skewed giant source ranks on
+    * 64-way parallelism, never one core. A plain
+    * `row_number() OVER (PARTITION BY source)` would serialize the hot
+    * source through a single partition; this shape is why it doesn't. */
+  def sourceQuota(docs: DataFrame, caps: Map[String, Long],
+                  defaultCap: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("source"))
+      .withColumn("__h", unitHash(col("doc_id")))
+      .withColumn("__chunk", floor(col("__h") * 64).cast("long"))
+    val wChunks = Window.partitionBy("source").orderBy("__chunk")
+    val offsets = base.groupBy("source", "__chunk")
+      .agg(count(lit(1)).as("__chunk_docs"))
+      .withColumn("__chunk_offset",
+        coalesce(sum(col("__chunk_docs"))
+          .over(wChunks.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "__chunk", "__chunk_offset")
+    val wLocal = Window.partitionBy("source", "__chunk")
+      .orderBy(col("__h"), col("doc_id"))
+    val cap = caps.foldLeft(lit(defaultCap)) { case (acc, (s, c)) =>
+      when(col("source") === s, lit(c)).otherwise(acc)
+    }
+    base.join(offsets, Seq("source", "__chunk"))
+      .withColumn("prior_docs",
+        col("__chunk_offset") + row_number().over(wLocal).cast("long") - 1L)
+      .filter(col("prior_docs") < cap)
+      .select(col("doc_id"), col("source"), col("prior_docs"))
+  }
+
   /** Multi-level corpus accounting via ROLLUP — per-(source, lang) token
     * totals with source subtotals and a grand total in one pass (the OLAP
     * grouping-sets shape; rolled-up levels render as 'ALL' so the output is

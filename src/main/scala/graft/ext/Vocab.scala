@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tokenizer-induction operators: the corpus statistics a BPE/WordPiece
+  * vocabulary build runs over a pretraining corpus. The expensive part of
+  * BPE training is corpus-sized (pair counting); the learned state is
+  * vocab-sized (the merge list). The split here mirrors that: every count
+  * is a distributed combinable aggregate, and only the merge list — one
+  * row per learned merge — ever reaches the driver.
+  */
+object Vocab {
+
+  /** Word-frequency table: the standard BPE preprocessing step — pair
+    * counting runs over DISTINCT words weighted by occurrence count, so the
+    * corpus-sized token stream collapses to a vocab-sized frame before any
+    * symbol work happens (the classic Sennrich-BPE optimization; at 100 TB
+    * the distinct-word table is megabytes where the token stream is
+    * terabytes). One explode + one map-side-combinable groupBy. */
+  def wordFreq(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("wcount"))
+
+  /** Adjacent character-pair frequencies — the statistic the FIRST BPE merge
+    * round maximizes (symbols = characters), weighted by word occurrence.
+    * Top-k with a total-order tie-break (count desc, pair asc) so the
+    * boundary is deterministic cross-engine.
+    *
+    * Scale shape: the pair explode runs over the vocab-sized wordFreq frame,
+    * not the corpus; the aggregate is map-side combinable on a symbol²-
+    * bounded key space; top-k is TakeOrderedAndProject (O(k) per partition,
+    * no global sort). */
+  def charPairStats(docs: DataFrame, k: Int): DataFrame =
+    wordFreq(docs).filter(length(col("word")) >= 2)
+      .select(col("wcount"), explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("wcount")).as("pair_count"))
+      .orderBy(desc("pair_count"), asc("pair"))
+      .limit(k)
+
+  /** One greedy left-to-right merge pass over a symbol array: every
+    * non-overlapping adjacent (a, b) becomes the fused symbol a+b, leftmost
+    * first ("aaa" under (a,a) → [aa, a] — the reference BPE behavior). A
+    * pure codegen'd fold over the row's own array; no shuffle, no UDF. */
+  private def mergeSyms(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+
+  /** Pair frequencies over the current symbol decomposition (any round, not
+    * just characters): one row per adjacent (sym_a, sym_b), weighted by
+    * word count. Same scale shape as charPairStats. */
+  def pairStats(words: DataFrame): DataFrame =
+    words.filter(size(col("syms")) >= 2)
+      .select(col("wcount"), explode(transform(
+        sequence(lit(1), size(col("syms")) - 1),
+        i => struct(element_at(col("syms"), i).as("sym_a"),
+          element_at(col("syms"), i + 1).as("sym_b")))).as("p"))
+      .groupBy(col("p.sym_a").as("sym_a"), col("p.sym_b").as("sym_b"))
+      .agg(sum(col("wcount")).as("pair_count"))
+
+  /** The full BPE training loop: `merges` rounds of count-pairs →
+    * take-argmax → apply-merge, returning the learned merge list in order.
+    * The driver holds ONLY that list (one 1-row collect per round — the
+    * vocab-sized state); the corpus-sized work is a distributed combinable
+    * aggregate per round over the cached vocab frame, and each round's
+    * merged decomposition is re-cached so plans stay shallow instead of
+    * stacking `merges` folds. Ties at the argmax break (count desc, sym_a,
+    * sym_b) — the learned vocabulary is deterministic cross-run. */
+  def bpeLearn(docs: DataFrame, merges: Int): Seq[(String, String)] = {
+    var words = wordFreq(docs).withColumn("syms",
+      transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))))
+      .select("word", "wcount", "syms")
+      .cache()
+    words.count(): Unit
+    val learned = Seq.newBuilder[(String, String)]
+    var done = false
+    var round = 0
+    while (round < merges && !done) {
+      val top = pairStats(words)
+        .orderBy(desc("pair_count"), asc("sym_a"), asc("sym_b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        learned += ((a, b))
+        val next = words
+          .withColumn("syms", mergeSyms(col("syms"), a, b))
+          .cache()
+        next.count(): Unit
+        words.unpersist()
+        words = next
+      }
+      round += 1
+    }
+    words.unpersist()
+    learned.result()
+  }
+}

@@ -1227,6 +1227,36 @@ object OracleSql {
        |  FROM uh1)""".stripMargin
   }
 
+  /** Per-source document quota — mirrors ext/Corpus.sourceQuota (unitHash
+    * admission order with doc_id tie-break; `prior_docs` < cap membership;
+    * the oracle's global ROW_NUMBER equals the engine's two-phase chunked
+    * prefix because floor(h·64) chunk order is consistent with h order). */
+  def sourceQuota(caps: Seq[(String, Long)], defaultCap: Long): String = {
+    val capExpr = caps.map { case (s, c) => s"WHEN source = '$s' THEN $c" }
+      .mkString("CASE ", " ", s" ELSE $defaultCap END")
+    s"""WITH ${unitHashCtes(", source")},
+       |r AS (SELECT doc_id, source, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY source ORDER BY unit_hash, doc_id) - 1 AS BIGINT)
+       |    AS prior_docs FROM u)
+       |SELECT doc_id, source, prior_docs FROM r
+       |WHERE prior_docs < $capExpr""".stripMargin
+  }
+
+  /** BPE first-round merge candidates — mirrors ext/Vocab.charPairStats
+    * (occurrence-weighted adjacent char pairs over the distinct-word frame;
+    * top-k with the (count desc, pair asc) total-order tie-break; SUM
+    * pinned to BIGINT). */
+  def bpeMergePairs(k: Int): String =
+    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |wf AS (SELECT word, COUNT(*) AS wcount FROM w WHERE len(word) > 0 GROUP BY 1),
+       |p AS (SELECT substr(word, i, 2) AS pair, wcount
+       |  FROM wf CROSS JOIN UNNEST(generate_series(1, len(word) - 1)) AS t(i)
+       |  WHERE len(word) >= 2),
+       |agg AS (SELECT pair, CAST(SUM(wcount) AS BIGINT) AS pair_count
+       |  FROM p GROUP BY 1)
+       |SELECT pair, pair_count FROM agg
+       |ORDER BY pair_count DESC, pair ASC LIMIT $k""".stripMargin
+
   /** Near-dup leakage across splits — mirrors ext/Corpus.splitLeakage
     * (verified Jaccard pairs ⋈ splitAssign on both endpoints). */
   def splitLeakage(threshold: Double, trainFrac: Double, valFrac: Double): String =

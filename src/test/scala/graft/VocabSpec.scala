@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Tokenizer induction (ext/Vocab) and the per-source quota sampler
+  * (ext/Corpus.sourceQuota). charPairStats and sourceQuota values are
+  * oracle-pinned (bpe_merge_pairs / source_quota in tools/check.py); these
+  * tests pin what the oracle can't see — the iterative bpeLearn loop (no
+  * SQL oracle can replay a driver loop), greedy merge semantics, the
+  * equivalence of the two pair formulations, and the quota sampler's
+  * incremental-refresh stability.
+  */
+class VocabSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = core.Tables.documents(spark, sf0001)
+
+  test("bpeLearn reproduces the classic BPE example, ties broken lexically") {
+    // Sennrich's worked example: newest/widest share -est, low/lower share
+    // lo-. Hand-computed pair counts: es=st=9 (tie -> (e,s) by sym_a order),
+    // then (es,t)=9, then lo=ow=7 (tie -> (l,o)).
+    val corpus = Seq(
+      (("low " * 5) + ("lower " * 2) + ("newest " * 6) + ("widest " * 3)).trim)
+      .toDF("text")
+    val merges = ext.Vocab.bpeLearn(corpus, 3)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o")),
+      s"learned $merges")
+  }
+
+  test("bpeLearn merges greedily left-to-right and stops when no pairs remain") {
+    // "aaa" under (a,a) must become [aa, a] (leftmost first, no overlap),
+    // then (aa,a) -> [aaa]; with every word a single symbol the loop ends
+    // early even though the budget allows 5 merges.
+    val corpus = Seq("aaa aaa").toDF("text")
+    val merges = ext.Vocab.bpeLearn(corpus, 5)
+    assert(merges == Seq(("a", "a"), ("aa", "a")), s"learned $merges")
+  }
+
+  test("charPairStats equals round-1 pairStats over the char decomposition") {
+    // Two formulations of the same statistic: the oracle-checked substring
+    // form and the symbol-array form bpeLearn iterates on. They must agree
+    // on the full (unlimited) pair table.
+    val viaChars = ext.Vocab.charPairStats(docs, Int.MaxValue)
+      .select($"pair", $"pair_count")
+    val words = ext.Vocab.wordFreq(docs).withColumn("syms",
+      transform(sequence(lit(1), length($"word")), i => $"word".substr(i, lit(1))))
+    val viaSyms = ext.Vocab.pairStats(words)
+      .select(concat($"sym_a", $"sym_b").as("pair"), $"pair_count")
+    assert(viaChars.exceptAll(viaSyms).count() == 0)
+    assert(viaSyms.exceptAll(viaChars).count() == 0)
+  }
+
+  test("sourceQuota keeps min(cap, n) per source, equal to the window form") {
+    val caps = Map("src0" -> 40L, "src1" -> 10L)
+    val out = ext.Corpus.sourceQuota(docs, caps, 15L).cache()
+    // sf0.001 has exactly 25 docs per source: src0 keeps all 25 (cap 40),
+    // src1 truncates to 10, the tail to 15.
+    val bySource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("src0") == 25 && bySource("src1") == 10 &&
+      bySource("src2") == 15, s"got $bySource")
+    // The two-phase chunked prefix must equal the textbook single-window
+    // rank (the shape it exists to replace at scale).
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(ext.Corpus.unitHash($"doc_id"), $"doc_id")
+    val capCol = when($"source" === "src0", 40L)
+      .when($"source" === "src1", 10L).otherwise(15L)
+    val windowed = docs
+      .withColumn("prior_docs", row_number().over(w).cast("long") - 1L)
+      .filter($"prior_docs" < capCol)
+      .select("doc_id", "source", "prior_docs")
+    assert(out.exceptAll(windowed).count() == 0)
+    assert(windowed.exceptAll(out).count() == 0)
+    out.unpersist()
+  }
+
+  test("sourceQuota survivors are stable when another source shrinks") {
+    // The incremental-refresh property the unitHash admission order buys:
+    // a source's survivor set depends only on its OWN rows, so re-running
+    // curation after another crawl is dropped must not reshuffle anyone.
+    val caps = Map.empty[String, Long]
+    val before = ext.Corpus.sourceQuota(docs, caps, 15L)
+      .filter($"source" === "src1")
+    val after = ext.Corpus.sourceQuota(docs.filter($"source" =!= "src2"), caps, 15L)
+      .filter($"source" === "src1")
+    assert(before.exceptAll(after).count() == 0)
+    assert(after.exceptAll(before).count() == 0)
+  }
+}
