@@ -221,6 +221,30 @@ class ScaleShapeSpec extends SparkSpec {
       "two-phase prefix sum diverged from the sequential-window reference")
   }
 
+  test("round-8 ops keep their scale shapes: chunked quota rank, top-k without global sort") {
+    val docs = core.Tables.documents(spark, sf0001)
+    // source_quota: same two-phase prefix discipline as pack_sequences —
+    // every full-row window (the ones ordering by doc_id) must partition by
+    // (source, chunk), never source alone, or the hot crawl serializes
+    val sq = ext.Corpus.sourceQuota(docs, Map("src0" -> 40L), 15L)
+    val sqPlan = sq.queryExecution.executedPlan.toString
+    val docIdWindows = sqPlan.split("\n")
+      .filter(l => l.contains("Window [") && l.contains("doc_id"))
+    assert(docIdWindows.nonEmpty, s"expected the chunk-local rank window:\n${sqPlan.take(800)}")
+    assert(docIdWindows.forall(_.contains("__chunk")),
+      s"full-row window must be chunk-partitioned:\n${docIdWindows.mkString("\n")}")
+    // bpe_merge_pairs: top-k must be TakeOrderedAndProject (O(k) per
+    // partition), not a global Sort; the aggregate must partial (map-side
+    // combine) before the exchange
+    val bp = ext.Vocab.charPairStats(docs, 30)
+    val bpPlan = bp.queryExecution.executedPlan.toString
+    assert(bpPlan.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n${bpPlan.take(800)}")
+    assert(bpPlan.contains("partial_sum") || bpPlan.contains("partial sum"),
+      s"pair counts must combine map-side:\n${bpPlan.take(800)}")
+    for (p <- Seq(sqPlan, bpPlan)) assert(!p.contains("CartesianProduct"))
+  }
+
   test("streaming keeps serving fresh: event → point update → invalidated cache serves it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // store: versioned dirs + atomic CURRENT pointer (a delete-then-move
