@@ -84,7 +84,13 @@ object ScalingBench {
         Corpus.contamination(docs, docs.filter(col("doc_id") < 100), 3, 0.1)
       },
       "embedding_outliers" -> (d => Similarity.embeddingOutliers(Tables.embeddings(spark, d), 5)),
-      "dedup_embedding" -> (d => Similarity.cosineNearDups(Tables.embeddings(spark, d), 20)))
+      "dedup_embedding" -> (d => Similarity.cosineNearDups(Tables.embeddings(spark, d), 20)),
+      // round-8 additions: the quota rank touches every row of the hot
+      // source (caps sized so all five synthetic sources overflow at ×1),
+      // and the pair counts run over the vocab-sized distinct-word frame
+      "source_quota" -> (d => Corpus.sourceQuota(
+        Tables.documents(spark, d), Map("src0" -> 500L), 1000L)),
+      "bpe_merge_pairs" -> (d => ext.Vocab.charPairStats(Tables.documents(spark, d), 30)))
     // query filter knob: refresh one query's ladder after a plan change
     // without re-timing the expensive rungs of the other four
     val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {
