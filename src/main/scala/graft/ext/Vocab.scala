@@ -64,6 +64,35 @@ object Vocab {
       .groupBy(col("p.sym_a").as("sym_a"), col("p.sym_b").as("sym_b"))
       .agg(sum(col("wcount")).as("pair_count"))
 
+  /** Apply a learned merge list to tokenize text — the corpus-sized hot
+    * path (training runs once over word frequencies; ENCODING runs over
+    * every byte of the 100 TB corpus, forever). Merges apply in learned
+    * order, each greedily left-to-right (the same semantics bpeLearn's
+    * argmax assumed), as one fused column expression: `merges` chained
+    * folds over the row's own symbol array — embarrassingly parallel,
+    * no shuffle, no UDF, no driver state beyond the vocab-sized list. */
+  def encodeSyms(word: Column, merges: Seq[(String, String)]): Column = {
+    val chars = transform(sequence(lit(1), length(word)),
+      i => word.substr(i, lit(1)))
+    merges.foldLeft(chars) { case (syms, (a, b)) => mergeSyms(syms, a, b) }
+  }
+
+  /** Tokenization fertility — the vocab-quality metric a tokenizer team
+    * tracks per source: tokens/word and chars/token (compression) under a
+    * given merge list. One explode to words, the encode fold, two
+    * combinable aggregates; the merge list rides into the plan as
+    * literals (vocab-sized, broadcast-free). */
+  def fertility(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    docs.select(col("source"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col("source"), length(col("word")).cast("long").as("n_chars"),
+        size(encodeSyms(col("word"), merges)).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+
   /** The full BPE training loop: `merges` rounds of count-pairs →
     * take-argmax → apply-merge, returning the learned merge list in order.
     * The driver holds ONLY that list (one 1-row collect per round — the

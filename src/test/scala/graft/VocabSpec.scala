@@ -50,6 +50,55 @@ class VocabSpec extends SparkSpec {
     assert(viaSyms.exceptAll(viaChars).count() == 0)
   }
 
+  /** Local reference BPE: apply each merge in order, greedily
+    * left-to-right non-overlapping — the textbook semantics encodeSyms'
+    * column fold must reproduce. */
+  private def refEncode(word: String, merges: Seq[(String, String)]): List[String] = {
+    def one(syms: List[String], a: String, b: String): List[String] = syms match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: one(rest, a, b)
+      case x :: rest => x :: one(rest, a, b)
+      case Nil => Nil
+    }
+    merges.foldLeft(word.map(_.toString).toList) { case (s, (a, b)) => one(s, a, b) }
+  }
+
+  test("encodeSyms matches the reference greedy encoder on every short {a,b} word") {
+    // Exhaustive over all 126 words of length 1-6 on {a,b}, under a merge
+    // list exercising chained merges, merged-symbol-as-operand, and
+    // overlap suppression. One DataFrame pass evaluates all words.
+    val merges = Seq(("a", "a"), ("aa", "b"), ("b", "a"), ("aab", "ba"))
+    val words = (1 to 6).flatMap(n =>
+      (0 until (1 << n)).map(m =>
+        (0 until n).map(i => if (((m >> i) & 1) == 0) "a" else "b").mkString))
+    val got = words.toDF("word")
+      .select($"word", ext.Vocab.encodeSyms($"word", merges).as("syms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    words.foreach { w =>
+      assert(got(w) == refEncode(w, merges), s"word $w: got ${got(w)}")
+    }
+  }
+
+  test("fertility aggregates the per-word encode (learned merges round-trip)") {
+    // Learn 4 merges on the corpus, then encode with them: fertility's
+    // per-source sums must equal the locally-computed reference totals.
+    val merges = ext.Vocab.bpeLearn(docs, 4)
+    assert(merges.length == 4)
+    val out = ext.Vocab.fertility(docs, merges)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val expected = docs.select($"source", $"text").collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(w => r.getString(0) -> w))
+      .groupBy(_._1).map { case (src, ws) =>
+        src -> (ws.length.toLong,
+          ws.map(x => refEncode(x._2, merges).length.toLong).sum,
+          ws.map(_._2.length.toLong).sum)
+      }
+    assert(out == expected, s"got $out")
+    // compression must be real: tokens strictly below chars, at or above words
+    out.values.foreach { case (nw, nt, nc) => assert(nw <= nt && nt < nc) }
+  }
+
   test("sourceQuota keeps min(cap, n) per source, equal to the window form") {
     val caps = Map("src0" -> 40L, "src1" -> 10L)
     val out = ext.Corpus.sourceQuota(docs, caps, 15L).cache()
