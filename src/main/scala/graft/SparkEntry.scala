@@ -138,6 +138,8 @@ object SparkEntry {
       core.Tables.documents(s, dir), QuotaCaps.bySource, QuotaCaps.default)),
     "bpe_merge_pairs"      -> ((s, dir) => ext.Vocab.charPairStats(
       core.Tables.documents(s, dir), 30)),
+    "quality_model"        -> ((s, dir) => ext.TextAnalysis.modelQualityScore(
+      core.Tables.documents(s, dir))),
   )
 
   /** Fixed source-mix rates for the stratified-sample query (a training-mix
@@ -264,5 +266,6 @@ object SparkEntry {
     "source_quota"         -> OracleSql.sourceQuota(
       QuotaCaps.bySource.toSeq.sortBy(_._1), QuotaCaps.default),
     "bpe_merge_pairs"      -> OracleSql.bpeMergePairs(30),
+    "quality_model"        -> OracleSql.qualityModel,
   )
 }

@@ -420,6 +420,49 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "tfidf", "rank")
   }
 
+  /** Model-based quality scoring — the classifier-filter shape (a
+    * fasttext/DCLM-style quality model applied at corpus scale), expressed
+    * as a transductive centroid classifier so the whole pipeline is
+    * deterministic and cross-engine exact: a weak integer label per doc
+    * (stopword mass ≥ 20% of tokens, by cross-multiplication — no
+    * division), per-term document frequencies split by label, and a
+    * per-doc score = Σ df_pos / Σ df_all over the doc's distinct terms —
+    * integer sums throughout, ONE correctly-rounded double division at
+    * the end. `model_keep` (score ≥ 1/2) is again integer-exact.
+    *
+    * Scale shape: the corpus is tokenized ONCE — labels, the df table and
+    * the scoring join all derive from the single (doc_id, term)-grained tf
+    * aggregate, whose exchange Catalyst reuses across the three consumers
+    * (same discipline as tfidfTopTerms; both join keys carry explicit
+    * isNotNull so join-inferred filters can't split the shared subtree,
+    * and df's count consumes tf's value so the aggregate can't collapse
+    * to a keys-only distinct). Everything after the tokenize is
+    * vocab-sized or doc-count-sized; all aggregates combine map-side. */
+  def modelQualityScore(docs: DataFrame): DataFrame = {
+    val terms = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .filter(col("term").isNotNull)
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val lab = tf.groupBy("doc_id").agg(
+      (coalesce(sum(when(col("term").isin(enStop.map(lit): _*), col("tf"))),
+        lit(0L)) * 5 >= sum(col("tf"))).cast("int").as("is_pos"))
+    val dfreq = tf.join(lab, Seq("doc_id"))
+      .groupBy("term")
+      .agg(count(when(col("tf") >= 1, 1)).as("df_all"),
+        sum(col("is_pos")).cast("long").as("df_pos"))
+    // the always-true tf >= 1 keeps this copy of the tf aggregate
+    // value-consuming — without it Catalyst rewrites it to a keys-only
+    // distinct, which breaks subtree identity and costs a third tokenize
+    tf.filter(col("tf") >= 1).join(dfreq, Seq("term"))
+      .groupBy("doc_id")
+      .agg(sum(col("df_pos")).as("pos_evidence"),
+        sum(col("df_all")).as("total_evidence"))
+      .select(col("doc_id"), col("pos_evidence"), col("total_evidence"),
+        graft.ops.Ops.rnd(col("pos_evidence").cast("double")
+          / col("total_evidence").cast("double"), 6).as("model_score"),
+        (col("pos_evidence") * 2 >= col("total_evidence")).as("model_keep"))
+  }
+
   /** Top-k tokens per source — the per-stratum vocabulary report (the
     * grouped form of the global word count). The rank window partitions by
     * source, so a partition holds one source's VOCABULARY (sub-linear in

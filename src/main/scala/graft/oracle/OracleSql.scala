@@ -1257,6 +1257,32 @@ object OracleSql {
        |SELECT pair, pair_count FROM agg
        |ORDER BY pair_count DESC, pair ASC LIMIT $k""".stripMargin
 
+  /** Model-based quality score — mirrors ext/TextAnalysis.modelQualityScore
+    * (integer weak label by cross-multiplication, label-split dfs from the
+    * one tf grain, integer evidence sums, single rounded division; BIGINT
+    * pins on every SUM). */
+  val qualityModel: String = {
+    val stop = "('the','a','of','and','to','in','is')"
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM t WHERE term IS NOT NULL GROUP BY 1, 2),
+       |lab AS (SELECT doc_id, CASE WHEN 5 * COALESCE(SUM(CASE WHEN term IN
+       |    $stop THEN tf END), 0) >= SUM(tf) THEN 1 ELSE 0 END AS is_pos
+       |  FROM tf GROUP BY 1),
+       |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_all,
+       |    CAST(SUM(is_pos) AS BIGINT) AS df_pos
+       |  FROM tf JOIN lab USING (doc_id) GROUP BY 1),
+       |agg AS (SELECT tf.doc_id,
+       |    CAST(SUM(df.df_pos) AS BIGINT) AS pos_evidence,
+       |    CAST(SUM(df.df_all) AS BIGINT) AS total_evidence
+       |  FROM tf JOIN df USING (term) GROUP BY 1)
+       |SELECT doc_id, pos_evidence, total_evidence,
+       |  ${rnd("CAST(pos_evidence AS DOUBLE) / total_evidence", 6)} AS model_score,
+       |  2 * pos_evidence >= total_evidence AS model_keep
+       |FROM agg""".stripMargin
+  }
+
   /** Near-dup leakage across splits — mirrors ext/Corpus.splitLeakage
     * (verified Jaccard pairs ⋈ splitAssign on both endpoints). */
   def splitLeakage(threshold: Double, trainFrac: Double, valFrac: Double): String =

@@ -245,6 +245,14 @@ class ScaleShapeSpec extends SparkSpec {
     for (p <- Seq(sqPlan, bpPlan)) assert(!p.contains("CartesianProduct"))
   }
 
+  test("quality_model tokenizes the corpus once: labels, dfs and scoring share the tf exchange") {
+    val q = ext.TextAnalysis.modelQualityScore(core.Tables.documents(spark, sf0001))
+    assert(q.collect().length == 500) // one row per document; collect()
+    // (not count()) so THIS query's adaptive plan is the one that finalizes
+    assert(finalScansOf(q, "documents") == 1,
+      s"expected exactly one documents scan:\n${q.queryExecution.executedPlan}")
+  }
+
   test("streaming keeps serving fresh: event → point update → invalidated cache serves it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // store: versioned dirs + atomic CURRENT pointer (a delete-then-move
