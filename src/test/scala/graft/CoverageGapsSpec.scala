@@ -95,6 +95,48 @@ class CoverageGapsSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // The join-side twin of the salted aggregation: when one key owns the
+    // fact table, AQE's OptimizeSkewedJoin must split that partition into
+    // parallel sub-joins at runtime. Thresholds are lowered so local-scale
+    // data trips the same code path a 100 TB hot key would.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> util.Try(spark.conf.get(k)).toOption.flatMap(Option(_))).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      val facts = spark.range(0, 60000).select(
+        when($"id" % 100 === 0, concat(lit("k"), ($"id" % 7).cast("string")))
+          .otherwise(lit("hot")).as("k"),
+        $"id".as("v"))
+      val dims = (Seq("hot") ++ (0 until 7).map(i => s"k$i")).toDF("k")
+        .withColumn("w", length($"k").cast("long"))
+      // no aggregate AFTER the join: a downstream distribution requirement
+      // makes OptimizeSkewedJoin decline (splitting the partition would
+      // force a re-shuffle), which is itself part of the semantics pinned
+      // keep v (distinct longs) in the output: the shuffled partition must
+      // be incompressible enough to cross the lowered byte threshold —
+      // a pruned all-"hot" column compresses to almost nothing
+      val joined = facts.join(dims, "k").select($"k", $"v")
+      val rows = joined.collect()
+      assert(rows.count(_.getString(0) == "hot") == 59400, "join result wrong")
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("skew=true"),
+        s"AQE skew-join must engage on the hot key:\n${plan.take(1200)}")
+    } finally restore.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("observe() counters ride the job's own pass") {
     val (df, obs) = jobs.DataQualityJob.withObservedCounts(
       graft.core.Roles.transactions(spark, sf0001))
