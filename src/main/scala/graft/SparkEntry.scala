@@ -140,6 +140,7 @@ object SparkEntry {
       core.Tables.documents(s, dir), 30)),
     "quality_model"        -> ((s, dir) => ext.TextAnalysis.modelQualityScore(
       core.Tables.documents(s, dir))),
+    "heavy_hitters"        -> ((s, dir) => jobs.StreamAnalogJobs.hotKeys(s, dir, 16)),
   )
 
   /** Fixed source-mix rates for the stratified-sample query (a training-mix
@@ -267,5 +268,6 @@ object SparkEntry {
       QuotaCaps.bySource.toSeq.sortBy(_._1), QuotaCaps.default),
     "bpe_merge_pairs"      -> OracleSql.bpeMergePairs(30),
     "quality_model"        -> OracleSql.qualityModel,
+    "heavy_hitters"        -> OracleSql.heavyHitters(16),
   )
 }

@@ -261,6 +261,48 @@ object StreamAnalogJobs {
     * boolean, is deterministic under any partitioning; the DuckDB oracle
     * emits TRUE and the driver's hash compare becomes a semantic gate on
     * the sketch's accuracy contract rather than a rows-only count. */
+  /** Sketch-based hot-key detection over the event stream — the workload
+    * SpaceSaving was built for (Metwally et al.: popular items in a stream
+    * a counter table can't hold). The generator's tables are deliberately
+    * UNIFORM (TPC-H style), so the hot entities a production stream would
+    * contain are derived deterministically from the event row itself —
+    * 3 of every 4 events collapse onto 4 hot entity keys, the rest keep
+    * per-user keys (~150-entity tail) — the same integer expression on
+    * both engines, openly synthetic and documented as such.
+    *
+    * For every TRUE hot key (exact count × `capacity` > stream length, by
+    * cross-multiplication) the query reports the exact count plus two
+    * booleans the SpaceSaving summary (ops/SpaceSavingAggregator) must
+    * satisfy BY THEOREM: presence in the capacity-bounded summary, and
+    * est ≥ true ≥ est − err. The oracle emits the same exacts with
+    * TRUE/TRUE — the guarantees are deterministic, not probabilistic, so
+    * the envelope is hashable (same pattern as approxDistinct below).
+    *
+    * Scale shape: the exact side is one combinable groupBy (the local
+    * WITNESS; at 100 TB you'd ship only the sketch — capacity×partitions
+    * rows of state, no corpus-sized shuffle); the sketch side is a single
+    * partial-aggregated SpaceSaving pass whose 1-row summary broadcasts
+    * back over the (entity-sized) hot-key frame. */
+  def hotKeys(spark: SparkSession, dir: String, capacity: Int): DataFrame = {
+    val keys = Tables.events(spark, dir).select(
+      when(col("event_id") % 4 < 3, concat(lit("u"), (col("user_id") % 4).cast("string")))
+        .otherwise(concat(lit("u"), (col("user_id") + 100).cast("string")))
+        .as("entity"))
+    val counts = keys.groupBy("entity").agg(count(lit(1)).as("n_events"))
+    val total = keys.agg(count(lit(1)).as("__n"))
+    val sketch = keys.agg(
+      graft.ops.SpaceSavingAggregator.column(col("entity"), capacity).as("__sk"))
+    val entry = element_at(col("__sk"), col("entity"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("n_events") * capacity > col("__n"))
+      .crossJoin(broadcast(sketch))
+      .select(col("entity"), col("n_events"),
+        entry.isNotNull.as("sketch_found"),
+        (entry.getField("_1") >= col("n_events") &&
+          entry.getField("_1") - entry.getField("_2") <= col("n_events"))
+          .as("est_within_bounds"))
+  }
+
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy("o_orderstatus")

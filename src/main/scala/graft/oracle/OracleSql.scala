@@ -1283,6 +1283,20 @@ object OracleSql {
        |FROM agg""".stripMargin
   }
 
+  /** Hot-key certainty envelope — mirrors jobs/StreamAnalogJobs.hotKeys
+    * (deterministic hot-entity overlay on the uniform event stream; exact
+    * counts for true hot keys; the sketch booleans are theorems of the
+    * SpaceSaving summary, so TRUE here). */
+  def heavyHitters(capacity: Int): String =
+    s"""WITH k AS (SELECT CASE WHEN event_id % 4 < 3
+       |    THEN 'u' || CAST(user_id % 4 AS VARCHAR)
+       |    ELSE 'u' || CAST(user_id + 100 AS VARCHAR) END AS entity
+       |  FROM events),
+       |c AS (SELECT entity, CAST(COUNT(*) AS BIGINT) AS n_events FROM k GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n FROM k)
+       |SELECT entity, n_events, TRUE AS sketch_found, TRUE AS est_within_bounds
+       |FROM c, n WHERE n_events * $capacity > n""".stripMargin
+
   /** Near-dup leakage across splits — mirrors ext/Corpus.splitLeakage
     * (verified Jaccard pairs ⋈ splitAssign on both endpoints). */
   def splitLeakage(threshold: Double, trainFrac: Double, valFrac: Double): String =

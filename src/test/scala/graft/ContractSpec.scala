@@ -27,7 +27,10 @@ class ContractSpec extends SparkSpec {
       // tfidf / quality_tiers / shard_manifest / mixture_weights broadcast a
       // 1-row corpus-totals frame into per-row scoring — the same
       // single-row-stats cross-join family as dq_outliers
-      "tfidf_terms", "quality_tiers", "shard_manifest", "mixture_weights")
+      "tfidf_terms", "quality_tiers", "shard_manifest", "mixture_weights",
+      // heavy_hitters broadcasts the 1-row stream total and the 1-row
+      // SpaceSaving summary into the hot-key frame
+      "heavy_hitters")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.optimizedPlan.toString
       assert(!plan.contains("UnresolvedRelation"), s"$name has unresolved relations")
