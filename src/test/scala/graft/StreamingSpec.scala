@@ -207,6 +207,46 @@ class StreamingSpec extends SparkSpec {
       s"capping must be observable: 30 events capped to 10 -> 20 dropped, saw ${last.events_dropped}")
   }
 
+  test("streaming hot keys: the SpaceSaving summary stays bracketed across micro-batches") {
+    // The sketch's native habitat: a complete-mode streaming aggregation
+    // whose STATE is the capacity-bounded summary itself — each micro-batch
+    // reduces into it incrementally (never a re-scan of the stream), and
+    // after every batch the summary must bracket the exact prefix counts.
+    val input = MemoryStream[String](spark)
+    val q = input.toDF().toDF("entity")
+      .agg(graft.ops.SpaceSavingAggregator.column($"entity", 4).as("sk"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hotkeys_sketch").start()
+    try {
+      def summary(): Map[String, (Long, Long)] =
+        spark.table("hotkeys_sketch").collect()(0)
+          .getMap[String, org.apache.spark.sql.Row](0)
+          .map { case (k, r) => k -> (r.getLong(0), r.getLong(1)) }.toMap
+      def checkBrackets(exact: Map[String, Long], mustHold: Set[String]): Unit = {
+        val sk = summary()
+        assert(sk.size <= 4)
+        sk.foreach { case (k, (est, err)) =>
+          val t = exact.getOrElse(k, 0L)
+          assert(est >= t && est - err <= t, s"$k: est=$est err=$err true=$t")
+        }
+        mustHold.foreach(k => assert(sk.contains(k), s"hot key $k evicted"))
+      }
+      val batch1 = Seq.fill(30)("hot1") ++ Seq.fill(20)("hot2") ++
+        (1 to 10).map(i => s"cold$i")
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      // N=60, threshold N/4=15: hot1 (30) and hot2 (20) are guaranteed
+      checkBrackets(batch1.groupBy(identity).view.mapValues(_.length.toLong).toMap,
+        Set("hot1", "hot2"))
+      val batch2 = Seq.fill(30)("hot3") ++ Seq.fill(15)("hot1")
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // N=105, threshold 26.25: hot1 (45) and hot3 (30) are guaranteed
+      checkBrackets((batch1 ++ batch2).groupBy(identity)
+        .view.mapValues(_.length.toLong).toMap, Set("hot1", "hot3"))
+    } finally q.stop()
+  }
+
   test("ST7: events beyond the 24h horizon are evicted from state") {
     val input = MemoryStream[TxnEvent](spark)
     input.addData(TxnEvent(2L, ts("2024-01-01 10:00:00"), 10.0, 1, success = true))
