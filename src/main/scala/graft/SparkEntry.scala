@@ -141,6 +141,7 @@ object SparkEntry {
     "quality_model"        -> ((s, dir) => ext.TextAnalysis.modelQualityScore(
       core.Tables.documents(s, dir))),
     "heavy_hitters"        -> ((s, dir) => jobs.StreamAnalogJobs.hotKeys(s, dir, 16)),
+    "rolling_distinct"     -> ((s, dir) => jobs.StreamAnalogJobs.rollingDistinctUsers(s, dir)),
   )
 
   /** Fixed source-mix rates for the stratified-sample query (a training-mix
@@ -269,5 +270,6 @@ object SparkEntry {
     "bpe_merge_pairs"      -> OracleSql.bpeMergePairs(30),
     "quality_model"        -> OracleSql.qualityModel,
     "heavy_hitters"        -> OracleSql.heavyHitters(16),
+    "rolling_distinct"     -> OracleSql.rollingDistinct,
   )
 }

@@ -303,6 +303,41 @@ object StreamAnalogJobs {
           .as("est_within_bounds"))
   }
 
+  /** Sketch-table rollup — the incremental-warehouse pattern for distinct
+    * counts at 100 TB: materialize ONE HLL sketch per (day) partition (the
+    * only corpus-sized pass), then answer every rolling window by merging
+    * the tiny per-day sketches (register-wise max — commutative,
+    * associative, re-aggregable), never re-scanning events. Exact rolling
+    * COUNT(DISTINCT) cannot pre-aggregate at all (distinct sets don't
+    * compose); this is the standard trade and the query demonstrates it.
+    *
+    * The per-day estimate rides the same error-envelope oracle as
+    * approxDistinct: the exact 7-day distinct is computed as a local
+    * WITNESS (the 7× band fan-out the sketch table exists to avoid), and
+    * the boolean pins |merged-sketch estimate − exact| within the
+    * envelope. Datasketches HLL (lgK 12, rsd ≈ 1.6%) merged across ≤7
+    * sketches stays well inside 5% + 1. */
+  def rollingDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val daily = ev.groupBy("day").agg(hll_sketch_agg(col("user_id")).as("__sk"))
+    val days = daily.select(col("day").as("d"))
+    val merged = broadcast(days)
+      .join(daily, col("day").between(date_sub(col("d"), 6), col("d")))
+      .groupBy("d")
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("__approx"),
+        count(lit(1)).as("days_merged"))
+    val exact = broadcast(days)
+      .join(ev, col("day").between(date_sub(col("d"), 6), col("d")))
+      .groupBy("d")
+      .agg(count_distinct(col("user_id")).as("exact_users_7d"))
+    exact.join(merged, Seq("d"))
+      .select(col("d").cast("string").as("day"),
+        col("exact_users_7d"), col("days_merged"),
+        (abs(col("__approx") - col("exact_users_7d"))
+          <= col("exact_users_7d") * lit(0.05) + lit(1)).as("approx_within_bound"))
+  }
+
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy("o_orderstatus")

@@ -1297,6 +1297,20 @@ object OracleSql {
        |SELECT entity, n_events, TRUE AS sketch_found, TRUE AS est_within_bounds
        |FROM c, n WHERE n_events * $capacity > n""".stripMargin
 
+  /** Rolling-distinct envelope — mirrors jobs/StreamAnalogJobs
+    * .rollingDistinctUsers (exact 7-day distinct users per day; the merged
+    * HLL estimate is engine-specific, so the oracle-visible column is the
+    * envelope boolean, TRUE here — the approxDistinct pattern). */
+  val rollingDistinct: String =
+    """WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+      |days AS (SELECT DISTINCT day AS d FROM e)
+      |SELECT CAST(d AS VARCHAR) AS day,
+      |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_users_7d,
+      |  CAST(COUNT(DISTINCT e.day) AS BIGINT) AS days_merged,
+      |  TRUE AS approx_within_bound
+      |FROM days JOIN e ON e.day BETWEEN d - 6 AND d
+      |GROUP BY d""".stripMargin
+
   /** Near-dup leakage across splits — mirrors ext/Corpus.splitLeakage
     * (verified Jaccard pairs ⋈ splitAssign on both endpoints). */
   def splitLeakage(threshold: Double, trainFrac: Double, valFrac: Double): String =
