@@ -68,10 +68,22 @@ object Vocab {
     * path (training runs once over word frequencies; ENCODING runs over
     * every byte of the 100 TB corpus, forever). Merges apply in learned
     * order, each greedily left-to-right (the same semantics bpeLearn's
-    * argmax assumed), as one fused column expression: `merges` chained
-    * folds over the row's own symbol array — embarrassingly parallel,
-    * no shuffle, no UDF, no driver state beyond the vocab-sized list. */
-  def encodeSyms(word: Column, merges: Seq[(String, String)]): Column = {
+    * argmax assumed), through the native codegen'd expression
+    * (plans/BpeEncode: one JVM loop over ping-pong buffers) —
+    * embarrassingly parallel, no shuffle, no UDF, no driver state beyond
+    * the vocab-sized list. Measured at sf0.1 / 10 merges: the fold form
+    * below costs 9.2 s in the fertility aggregate, this one is
+    * sub-second. */
+  def encodeSyms(word: Column, merges: Seq[(String, String)]): Column =
+    call_function("bpe_encode", word,
+      lit(graft.plans.BpeEncode.toSpec(merges)))
+
+  /** The pure-column-expression form of encodeSyms (`merges` chained folds
+    * over the row's own symbol array) — kept as an independent
+    * implementation of the same semantics for the equivalence spec, and
+    * as the portable fallback where GraftExtensions isn't installed. */
+  private[graft] def encodeSymsFold(word: Column,
+                                    merges: Seq[(String, String)]): Column = {
     val chars = transform(sequence(lit(1), length(word)),
       i => word.substr(i, lit(1)))
     merges.foldLeft(chars) { case (syms, (a, b)) => mergeSyms(syms, a, b) }
@@ -102,33 +114,24 @@ object Vocab {
     * stacking `merges` folds. Ties at the argmax break (count desc, sym_a,
     * sym_b) — the learned vocabulary is deterministic cross-run. */
   def bpeLearn(docs: DataFrame, merges: Int): Seq[(String, String)] = {
-    var words = wordFreq(docs).withColumn("syms",
-      transform(sequence(lit(1), length(col("word"))),
-        i => col("word").substr(i, lit(1))))
-      .select("word", "wcount", "syms")
-      .cache()
+    val words = wordFreq(docs).cache()
     words.count(): Unit
-    val learned = Seq.newBuilder[(String, String)]
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
-    var round = 0
-    while (round < merges && !done) {
-      val top = pairStats(words)
+    while (learned.length < merges && !done) {
+      // each round re-derives the decomposition from the cached vocab via
+      // the native encoder with the merges learned SO FAR — one cheap
+      // O(rounds × word-length) pass per word beats maintaining `merges`
+      // cached symbol frames (the old shape re-cached and re-counted the
+      // vocab every round)
+      val top = pairStats(words.withColumn("syms",
+          encodeSyms(col("word"), learned.toSeq)))
         .orderBy(desc("pair_count"), asc("sym_a"), asc("sym_b"))
         .limit(1).collect()
       if (top.isEmpty) done = true
-      else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        learned += ((a, b))
-        val next = words
-          .withColumn("syms", mergeSyms(col("syms"), a, b))
-          .cache()
-        next.count(): Unit
-        words.unpersist()
-        words = next
-      }
-      round += 1
+      else learned += ((top(0).getString(0), top(0).getString(1)))
     }
     words.unpersist()
-    learned.result()
+    learned.toSeq
   }
 }

@@ -96,5 +96,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "bitstring_hamming(a, b) takes two arguments")
         BitStringHamming(args(0), args(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "bpe_encode(word, merges_spec) takes two arguments")
+        BpeEncode(args(0), args(1))
+      }))
   }
 }

@@ -70,11 +70,20 @@ class VocabSpec extends SparkSpec {
     val words = (1 to 6).flatMap(n =>
       (0 until (1 << n)).map(m =>
         (0 until n).map(i => if (((m >> i) & 1) == 0) "a" else "b").mkString))
+    // three independent implementations must agree: the native codegen'd
+    // expression (plans/BpeEncode), the pure column fold, and the local
+    // reference encoder
     val got = words.toDF("word")
-      .select($"word", ext.Vocab.encodeSyms($"word", merges).as("syms"))
-      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+      .select($"word",
+        ext.Vocab.encodeSyms($"word", merges).as("syms"),
+        ext.Vocab.encodeSymsFold($"word", merges).as("fold"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getSeq[String](1).toList, r.getSeq[String](2).toList)).toMap
     words.foreach { w =>
-      assert(got(w) == refEncode(w, merges), s"word $w: got ${got(w)}")
+      val (native, fold) = got(w)
+      assert(native == refEncode(w, merges), s"word $w: native $native")
+      assert(fold == native, s"word $w: fold $fold != native $native")
     }
   }
 
