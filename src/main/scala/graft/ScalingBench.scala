@@ -76,6 +76,8 @@ object ScalingBench {
       }
     }
 
+    lazy val learnedMerges = ext.Vocab.bpeLearn(
+      Tables.documents(spark, scaleDir(1)), 10)
     val allQueries: Seq[(String, String => DataFrame)] = Seq(
       "quality_filter" -> (d => TextAnalysis.qualityFilter(Tables.documents(spark, d))),
       "quality_tiers" -> (d => TextAnalysis.qualityTiers(Tables.documents(spark, d), 10)),
@@ -90,7 +92,13 @@ object ScalingBench {
       // and the pair counts run over the vocab-sized distinct-word frame
       "source_quota" -> (d => Corpus.sourceQuota(
         Tables.documents(spark, d), Map("src0" -> 500L), 1000L)),
-      "bpe_merge_pairs" -> (d => ext.Vocab.charPairStats(Tables.documents(spark, d), 30)))
+      "bpe_merge_pairs" -> (d => ext.Vocab.charPairStats(Tables.documents(spark, d), 30)),
+      // the encode hot path: merges learned ONCE on the ×1 corpus (the
+      // realistic pipeline — train small, encode everything), applied via
+      // the native bpe_encode expression at every scale point
+      "bpe_fertility" -> { d =>
+        ext.Vocab.fertility(Tables.documents(spark, d), learnedMerges)
+      })
     // query filter knob: refresh one query's ladder after a plan change
     // without re-timing the expensive rungs of the other four
     val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {
