@@ -142,6 +142,7 @@ object SparkEntry {
       core.Tables.documents(s, dir))),
     "heavy_hitters"        -> ((s, dir) => jobs.StreamAnalogJobs.hotKeys(s, dir, 16)),
     "rolling_distinct"     -> ((s, dir) => jobs.StreamAnalogJobs.rollingDistinctUsers(s, dir)),
+    "cohort_retention"     -> ((s, dir) => jobs.StreamAnalogJobs.cohortRetention(s, dir)),
   )
 
   /** Fixed source-mix rates for the stratified-sample query (a training-mix
@@ -271,5 +272,6 @@ object SparkEntry {
     "quality_model"        -> OracleSql.qualityModel,
     "heavy_hitters"        -> OracleSql.heavyHitters(16),
     "rolling_distinct"     -> OracleSql.rollingDistinct,
+    "cohort_retention"     -> OracleSql.cohortRetention,
   )
 }

@@ -303,6 +303,35 @@ object StreamAnalogJobs {
           .as("est_within_bounds"))
   }
 
+  /** Cohort retention — the classic product-analytics rollup: users grouped
+    * by first-activity day (their cohort), then for each (cohort, day
+    * offset) the fraction of the cohort active that day. Integer counts
+    * throughout, ONE correctly-rounded division per output row.
+    *
+    * Scale shape: first-activity is a min-aggregate on user_id (combinable);
+    * the activity frame is the distinct (user, day) projection (combinable
+    * distinct, far smaller than events); their equi-join shuffles on
+    * user_id; the final rollup keys on (cohort_day, offset) — a frame
+    * bounded by days², never user- or event-sized. Cohort sizes ride a
+    * vocab-sized broadcast back onto the rollup. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohorts = act.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    val sizes = cohorts.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_size"))
+    act.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day").cast("string").as("cohort_day"),
+        col("day_offset"), col("active_users"), col("cohort_size"),
+        Ops.rnd(col("active_users").cast("double")
+          / col("cohort_size").cast("double"), 6).as("retention_rate"))
+  }
+
   /** Sketch-table rollup — the incremental-warehouse pattern for distinct
     * counts at 100 TB: materialize ONE HLL sketch per (day) partition (the
     * only corpus-sized pass), then answer every rolling window by merging

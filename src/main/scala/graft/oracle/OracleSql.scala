@@ -1297,6 +1297,23 @@ object OracleSql {
        |SELECT entity, n_events, TRUE AS sketch_found, TRUE AS est_within_bounds
        |FROM c, n WHERE n_events * $capacity > n""".stripMargin
 
+  /** Cohort retention — mirrors jobs/StreamAnalogJobs.cohortRetention
+    * (distinct (user, day) activity, min-day cohorts, integer counts,
+    * one rounded division; BIGINT pins). */
+  val cohortRetention: String =
+    s"""WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+       |coh AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY 1),
+       |sizes AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+       |  FROM coh GROUP BY 1),
+       |r AS (SELECT coh.cohort_day,
+       |    CAST(act.day - coh.cohort_day AS BIGINT) AS day_offset,
+       |    CAST(COUNT(*) AS BIGINT) AS active_users
+       |  FROM act JOIN coh USING (user_id) GROUP BY 1, 2)
+       |SELECT CAST(r.cohort_day AS VARCHAR) AS cohort_day, day_offset,
+       |  active_users, cohort_size,
+       |  ${rnd("CAST(active_users AS DOUBLE) / cohort_size", 6)} AS retention_rate
+       |FROM r JOIN sizes USING (cohort_day)""".stripMargin
+
   /** Rolling-distinct envelope — mirrors jobs/StreamAnalogJobs
     * .rollingDistinctUsers (exact 7-day distinct users per day; the merged
     * HLL estimate is engine-specific, so the oracle-visible column is the
