@@ -143,6 +143,7 @@ object SparkEntry {
     "heavy_hitters"        -> ((s, dir) => jobs.StreamAnalogJobs.hotKeys(s, dir, 16)),
     "rolling_distinct"     -> ((s, dir) => jobs.StreamAnalogJobs.rollingDistinctUsers(s, dir)),
     "cohort_retention"     -> ((s, dir) => jobs.StreamAnalogJobs.cohortRetention(s, dir)),
+    "click_attribution"    -> ((s, dir) => canon(jobs.StreamAnalogJobs.clickAttribution(s, dir))),
   )
 
   /** Fixed source-mix rates for the stratified-sample query (a training-mix
@@ -273,5 +274,6 @@ object SparkEntry {
     "heavy_hitters"        -> OracleSql.heavyHitters(16),
     "rolling_distinct"     -> OracleSql.rollingDistinct,
     "cohort_retention"     -> OracleSql.cohortRetention,
+    "click_attribution"    -> OracleSql.clickAttribution,
   )
 }

@@ -367,6 +367,32 @@ object StreamAnalogJobs {
           <= col("exact_users_7d") * lit(0.05) + lit(1)).as("approx_within_bound"))
   }
 
+  /** Stream-stream join analog: last-touch click→purchase attribution over
+    * the static events table — the batch form of
+    * EventPipeline.attributionJoin (same operator; the watermark nodes are
+    * eliminated in batch planning). Every purchase row carries how many of
+    * the user's clicks preceded it within 1h and the gap to the latest one;
+    * left-outer keeps never-attributed purchases (n_clicks_1h = 0).
+    * Aggregates are argmax-free (count / max), so the result is
+    * deterministic without tie-break rules. Plans as a shuffled equi-join
+    * on user_id + hash aggregate on the purchase key — both sides scale. */
+  def clickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val pairs = graft.streaming.EventPipeline.attributionJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"),
+      window = "1 hour")
+    pairs
+      .groupBy(col("purchase_id"), col("user_id"))
+      .agg(
+        max(col("purchase_ts")).as("purchase_ts"),
+        max(col("purchase_value")).as("purchase_value"),
+        count(col("click_id")).as("n_clicks_1h"),
+        (unix_timestamp(max(col("purchase_ts")))
+          - unix_timestamp(max(col("click_ts")))).as("last_click_gap_s"))
+      .withColumn("attributed", col("n_clicks_1h") > 0)
+  }
+
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy("o_orderstatus")

@@ -1314,6 +1314,29 @@ object OracleSql {
        |  ${rnd("CAST(active_users AS DOUBLE) / cohort_size", 6)} AS retention_rate
        |FROM r JOIN sizes USING (cohort_day)""".stripMargin
 
+  /** Click→purchase attribution — mirrors jobs/StreamAnalogJobs
+    * .clickAttribution (left interval join on user within 1h, argmax-free
+    * aggregates; second-truncated epoch diff per the F7 idiom; BIGINT
+    * count pin). */
+  val clickAttribution: String =
+    """WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+      |    value AS purchase_value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, p.user_id,
+      |  strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |  p.purchase_value,
+      |  CAST(COUNT(c.click_id) AS BIGINT) AS n_clicks_1h,
+      |  CAST(epoch(date_trunc('second', p.purchase_ts)) AS BIGINT)
+      |    - CAST(epoch(date_trunc('second', MAX(c.click_ts))) AS BIGINT)
+      |    AS last_click_gap_s,
+      |  COUNT(c.click_id) > 0 AS attributed
+      |FROM p LEFT JOIN c ON c.user_id = p.user_id
+      |  AND c.click_ts <= p.purchase_ts
+      |  AND c.click_ts > p.purchase_ts - INTERVAL '1 hour'
+      |GROUP BY p.purchase_id, p.user_id, p.purchase_ts, p.purchase_value""".stripMargin
+
   /** Rolling-distinct envelope — mirrors jobs/StreamAnalogJobs
     * .rollingDistinctUsers (exact 7-day distinct users per day; the merged
     * HLL estimate is engine-specific, so the oracle-visible column is the

@@ -107,6 +107,51 @@ object EventPipeline {
         col("session.end").as("session_end"),
         col("n_events"), col("session_value"))
 
+  /** Stream-stream interval join — last-touch attribution input: every
+    * purchase row matched (left-outer) to the same user's clicks in the
+    * preceding `window`. This is the canonical watermarked stream-stream
+    * join: both sides buffer state, and the time-range condition plus the
+    * two watermarks let Spark evict it — a click is droppable once the
+    * watermark passes `click_ts + window`, a purchase once its own event
+    * time passes the watermark. State is bounded by `delay + window` of
+    * stream time, never by stream history. Unmatched purchases emit their
+    * null-padded row only after the watermark proves no matching click can
+    * still arrive (standard left-outer emission delay).
+    *
+    * The same operator runs in BATCH (Catalyst's EliminateEventTimeWatermark
+    * drops the watermark nodes), where it plans as a shuffled equi-join on
+    * user_id with the range predicate as a join filter — never a
+    * nested-loop: the equi key carries the distribution, so the shape
+    * survives both sides being large. StreamAnalogJobs.clickAttribution is
+    * the oracle-checked batch form.
+    *
+    * Reference anchor: the click/view → payment_status_changed cache-touch
+    * handler (src/pipelines/feature_pipeline.py:154-177) reacts to single
+    * events; joining the click stream against the purchase stream is the
+    * cross-event feature the reference computes offline in
+    * transaction_features.sql's session windows. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      window: String = "1 hour",
+                      delay: String = "10 minutes"): DataFrame = {
+    val c = clicks.select(
+        col("event_id").as("click_id"),
+        col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    val p = purchases.select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", delay)
+    p.join(c,
+        col("click_user") === col("user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") > col("purchase_ts") - expr(s"INTERVAL $window"),
+        "left_outer")
+      .drop("click_user")
+  }
+
   /** ST2: event-type router. The corpus event types map onto the
     * reference's four handlers (feature_pipeline.py:154-177):
     * signup→user_updated, purchase→transaction_completed,

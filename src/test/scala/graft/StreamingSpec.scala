@@ -123,6 +123,62 @@ class StreamingSpec extends SparkSpec {
       s"got: $rows")
   }
 
+  test("stream-stream attribution join: inner matches emit live, outer nulls wait for the watermark") {
+    val clicks = MemoryStream[(Long, Timestamp, Long, Double)](spark)
+    val purchases = MemoryStream[(Long, Timestamp, Long, Double)](spark)
+    def named(s: MemoryStream[(Long, Timestamp, Long, Double)]) =
+      s.toDF().toDF("event_id", "ts", "user_id", "value")
+    val q = EventPipeline.attributionJoin(
+        named(clicks), named(purchases), window = "1 hour", delay = "10 minutes")
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+
+    // u1: two clicks inside the hour before the purchase; u2: click 90m
+    // before (outside the window); u3: purchase with no click at all
+    clicks.addData(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 0.0),
+      (2L, ts("2024-01-01 10:30:00"), 1L, 0.0),
+      (3L, ts("2024-01-01 09:00:00"), 2L, 0.0))
+    purchases.addData(
+      (100L, ts("2024-01-01 10:45:00"), 1L, 50.0),
+      (101L, ts("2024-01-01 10:30:00"), 2L, 20.0),
+      (102L, ts("2024-01-01 10:45:00"), 3L, 30.0))
+    q.processAllAvailable()
+    val live = spark.table("attrib").select($"purchase_id", $"click_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(live == Set((100L, Some(1L)), (100L, Some(2L))),
+      s"inner matches must emit before any watermark movement; got: $live")
+
+    // advance both watermarks far past every buffered purchase: the
+    // unmatched purchases must now emit their null-padded rows exactly once
+    clicks.addData((998L, ts("2024-01-01 18:00:00"), 98L, 0.0))
+    purchases.addData((999L, ts("2024-01-01 18:00:00"), 99L, 0.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("attrib")
+      .select($"purchase_id", $"click_id", $"purchase_value")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getDouble(2))).toSet
+    assert(rows == Set(
+      (100L, Some(1L), 50.0), (100L, Some(2L), 50.0),
+      (101L, None, 20.0), (102L, None, 30.0)),
+      s"got: $rows")
+  }
+
+  test("attribution join: batch and streaming forms agree row for row") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:30:00"), 1L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 09:00:00"), 2L, "click", 0.0, "{}"),
+      (100L, ts("2024-01-01 10:45:00"), 1L, "purchase", 50.0, "{}"),
+      (101L, ts("2024-01-01 10:30:00"), 2L, "purchase", 20.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batch = EventPipeline.attributionJoin(
+        events.filter($"event_type" === "click"),
+        events.filter($"event_type" === "purchase"))
+      .select($"purchase_id", $"click_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(batch == Set((100L, Some(1L)), (100L, Some(2L)), (101L, None)),
+      s"got: $batch")
+  }
+
   test("ST6: stateful velocity windows match the exact rolling formulas") {
     val input = MemoryStream[TxnEvent](spark)
     val events = Seq(
