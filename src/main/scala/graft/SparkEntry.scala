@@ -144,6 +144,8 @@ object SparkEntry {
     "rolling_distinct"     -> ((s, dir) => jobs.StreamAnalogJobs.rollingDistinctUsers(s, dir)),
     "cohort_retention"     -> ((s, dir) => jobs.StreamAnalogJobs.cohortRetention(s, dir)),
     "click_attribution"    -> ((s, dir) => canon(jobs.StreamAnalogJobs.clickAttribution(s, dir))),
+    "group_sample"         -> ((s, dir) => ext.Corpus.groupSample(
+      core.Tables.documents(s, dir), 10)),
   )
 
   /** Fixed source-mix rates for the stratified-sample query (a training-mix
@@ -275,5 +277,6 @@ object SparkEntry {
     "rolling_distinct"     -> OracleSql.rollingDistinct,
     "cohort_retention"     -> OracleSql.cohortRetention,
     "click_attribution"    -> OracleSql.clickAttribution,
+    "group_sample"         -> OracleSql.groupSample(10),
   )
 }

@@ -290,6 +290,28 @@ object Corpus {
       .select(col("doc_id"), col("source"), col("prior_docs"))
   }
 
+  /** Deterministic per-group k-sample — the distributed reservoir: k docs
+    * per source drawn in unitHash order (stable under retries and partition
+    * relayout; a doc's membership changes only when a hash-earlier doc
+    * appears in ITS source — the property that keeps per-source eval
+    * samples reproducible across corpus refreshes). Scale shape: Catalyst's
+    * InferWindowGroupLimit rewrites the rank-filter into a map-side
+    * per-group top-k (a Partial WindowGroupLimit BEFORE the exchange), so
+    * each input partition ships at most k rows per group and the hot-source
+    * final sort sees ≤ k·partitions rows — not the full group that a naive
+    * rank window would serialize through one task. Pinned in
+    * ScaleShapeSpec. */
+  def groupSample(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("__h"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("__h", unitHash(col("doc_id")))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .select("doc_id", "source", "sample_rank")
+  }
+
   /** Multi-level corpus accounting via ROLLUP — per-(source, lang) token
     * totals with source subtotals and a grand total in one pass (the OLAP
     * grouping-sets shape; rolled-up levels render as 'ALL' so the output is

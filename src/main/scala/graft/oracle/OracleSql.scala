@@ -1314,6 +1314,18 @@ object OracleSql {
        |  ${rnd("CAST(active_users AS DOUBLE) / cohort_size", 6)} AS retention_rate
        |FROM r JOIN sizes USING (cohort_day)""".stripMargin
 
+  /** Per-group k-sample — mirrors ext/Corpus.groupSample (unitHash order
+    * with doc_id tie-break inside each source; BIGINT rank pin). */
+  def groupSample(k: Int): String =
+    s"""WITH ${unitHashCtes(", source")},
+       |r AS (SELECT doc_id, source,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY source ORDER BY unit_hash, doc_id) AS BIGINT)
+       |      AS sample_rank
+       |  FROM u)
+       |SELECT doc_id, source, sample_rank FROM r
+       |WHERE sample_rank <= $k""".stripMargin
+
   /** Click→purchase attribution — mirrors jobs/StreamAnalogJobs
     * .clickAttribution (left interval join on user within 1h, argmax-free
     * aggregates; second-truncated epoch diff per the F7 idiom; BIGINT

@@ -245,6 +245,19 @@ class ScaleShapeSpec extends SparkSpec {
     for (p <- Seq(sqPlan, bpPlan)) assert(!p.contains("CartesianProduct"))
   }
 
+  test("group_sample runs as a map-side per-group top-k, not a full group sort") {
+    val docs = core.Tables.documents(spark, sf0001)
+    val gs = ext.Corpus.groupSample(docs, 10)
+    val plan = gs.queryExecution.executedPlan.toString
+    // InferWindowGroupLimit must fire: a Partial WindowGroupLimit BEFORE
+    // the exchange caps every input partition at k rows per group — the
+    // distributed-reservoir shape; without it a hot source's entire
+    // population sorts through one task's window
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"expected a map-side WindowGroupLimit:\n${plan.take(1200)}")
+    assert(gs.groupBy("source").count().collect().forall(_.getLong(1) <= 10))
+  }
+
   test("quality_model tokenizes the corpus once: labels, dfs and scoring share the tf exchange") {
     val q = ext.TextAnalysis.modelQualityScore(core.Tables.documents(spark, sf0001))
     assert(q.collect().length == 500) // one row per document; collect()
