@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 import graft.jobs._
 import graft.oracle.OracleSql
@@ -18,12 +18,18 @@ import graft.oracle.OracleSql
 object SparkEntry {
 
   /** Render every timestamp column as a UTC string (oracle canonicalization;
-    * the underlying jobs keep real TimestampType columns). */
+    * the underlying jobs keep real timestamp columns). Matches BOTH
+    * TimestampType and TimestampNTZType: source parquet written with naive
+    * (isAdjustedToUTC=false) timestamps surfaces as NTZ under Spark's
+    * parquet NTZ inference, and an unmatched NTZ column would reach the
+    * driver's compare as a raw microsecond timestamp while the DuckDB
+    * oracle emits a formatted string — rows/schema green, hash red. */
   private def canon(df: DataFrame): DataFrame =
     df.select(df.schema.fields.map { f =>
       f.dataType match {
-        case TimestampType => date_format(col(f.name), "yyyy-MM-dd HH:mm:ss").as(f.name)
-        case _             => col(f.name)
+        case TimestampType | TimestampNTZType =>
+          date_format(col(f.name), "yyyy-MM-dd HH:mm:ss").as(f.name)
+        case _ => col(f.name)
       }
     }.toSeq: _*)
 
