@@ -122,10 +122,19 @@ object Bench {
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""runs":$runs,"gc_ms":$gcs,"gc_warm_ms":$gcAfterWarm,""" +
+    // The r8 lesson: folding the per-run/GC diagnostics into the stdout
+    // contract line grew it past the harness's tail-capture buffer and the
+    // round's bench artifact became unparseable ("parsed": null). The
+    // contract line stays COMPACT (medians only); the full diagnostics go
+    // to a side file the repo's own tooling reads (tools/bench_diff.py).
+    val diag = s"""{"runs":$runs,"gc_ms":$gcs,"gc_warm_ms":$gcAfterWarm,""" +
       s""""gc_total_ms":${gcMillis()},"storage_mb_after_warm":$storageAfterWarm,""" +
-      s""""storage_mb_end":${storageMb()},"heap_mb_end":${heapMb()},""" +
+      s""""storage_mb_end":${storageMb()},"heap_mb_end":${heapMb()},"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("bench_diag.json")
+      try w.println(diag) finally w.close()
+    } catch { case _: Throwable => System.err.println("[bench] diag write failed") }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }

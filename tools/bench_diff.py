@@ -25,6 +25,7 @@ import sys
 
 
 def load(path):
+    import os
     text = open(path).read()
     # driver wrapper: {"n":..,"tail":"...{\"metric\":...}\n..."} — the tail
     # keeps only the END of the output, so the line may start mid-JSON
@@ -36,7 +37,21 @@ def load(path):
         pass
     m = re.search(r'\{"metric".*\}', text)
     if m:
-        return json.loads(m.group(0))
+        d = json.loads(m.group(0))
+        # since r9 the per-run/GC diagnostics live in a side file (the main
+        # line must stay under the driver's tail-capture buffer); merge a
+        # sibling bench_diag.json when present so adjudication still works
+        diag_path = os.path.join(os.path.dirname(os.path.abspath(path)),
+                                 "bench_diag.json")
+        if "runs" not in d and os.path.exists(diag_path):
+            try:
+                diag = json.load(open(diag_path))
+                for key in ("runs", "gc_ms"):
+                    if key in diag:
+                        d[key] = diag[key]
+            except (json.JSONDecodeError, OSError):
+                pass
+        return d
     # truncated fragment: scrape "name":float pairs out of the queries
     # region (everything before the first close-brace of the queries dict)
     region = re.split(r'\},"(?:runs|failed|gc_ms)"', text)[0]
