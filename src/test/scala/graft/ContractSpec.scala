@@ -39,6 +39,22 @@ class ContractSpec extends SparkSpec {
     }
   }
 
+  test("no query output carries a raw timestamp column (oracle canonicalization)") {
+    // the driver's compare renders Spark parquet vs DuckDB text: a raw
+    // timestamp reaches it with microseconds while the oracle emits a
+    // formatted string — rows/schema green, hash red (the r8 failure mode:
+    // canon matched TimestampType but the NTZ testdata surfaced
+    // TimestampNTZType and three queries slipped through). Analysis-only:
+    // schema inspection never executes the job.
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val bad = fn(spark, sf0001).schema.fields.collect {
+        case f if f.dataType == TimestampType || f.dataType == TimestampNTZType => f.name
+      }
+      assert(bad.isEmpty, s"$name outputs raw timestamp column(s): ${bad.mkString(", ")}")
+    }
+  }
+
   test("risk-feature window containment: delays_30d <= delays_90d for arbitrary anchors") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
