@@ -57,6 +57,7 @@ object SparkEntry {
     "batch_lookup"         -> ((s, dir) => canon(serving.Lookups.batchLookup(s, dir, LookupIds.batch))),
     "ordered_export"       -> ((s, dir) => serving.Lookups.orderedExport(s, dir)),
     "percentiles"          -> ((s, dir) => serving.Lookups.percentiles(s, dir)),
+    "equi_depth_histogram" -> ((s, dir) => DataQualityJob.equiDepthHistogram(s, dir)),
     "percentiles_approx"   -> ((s, dir) => serving.Lookups.percentilesApprox(s, dir)),
     "dedup_exact"          -> ((s, dir) => ext.Dedup.exact(core.Tables.documents(s, dir))),
     "dedup_jaccard"        -> ((s, dir) => ext.Dedup.jaccardPairsPre(
@@ -112,10 +113,13 @@ object SparkEntry {
       core.Tables.documents(s, dir), 3)),
     "length_histogram"     -> ((s, dir) => ext.TextAnalysis.lengthHistogram(
       core.Tables.documents(s, dir), 50)),
+    "cube_accounting"      -> ((s, dir) => ext.Corpus.sourceCube(
+      core.Tables.documents(s, dir))),
     "rollup_accounting"    -> ((s, dir) => ext.Corpus.sourceRollup(
       core.Tables.documents(s, dir))),
     "event_pivot"          -> ((s, dir) => StreamAnalogJobs.eventTypePivot(s, dir)),
     "moving_daily_totals"  -> ((s, dir) => StreamAnalogJobs.movingDailyTotals(s, dir)),
+    "daily_anomalies"      -> ((s, dir) => StreamAnalogJobs.dailyAnomalies(s, dir)),
     "top_terms_per_source" -> ((s, dir) => ext.TextAnalysis.topTermsPerSource(
       core.Tables.documents(s, dir), 5)),
     "train_split"          -> ((s, dir) => ext.Corpus.splitAssign(
@@ -127,6 +131,7 @@ object SparkEntry {
     "embedding_outliers"   -> ((s, dir) => ext.Similarity.embeddingOutliers(
       core.Tables.embeddings(s, dir), 5)),
     "semantic_clusters"    -> ((s, dir) => ext.Similarity.semanticClusterTable(s, dir, 0.2)),
+    "semantic_leakage"     -> ((s, dir) => ext.Similarity.semanticSplitLeakage(s, dir, 0.2)),
     "split_leakage"        -> ((s, dir) => ext.Corpus.splitLeakage(
       ext.Dedup.verifiedPairTable(s, dir, 0.5),
       ext.Corpus.splitAssign(core.Tables.documents(s, dir), 0.8, 0.1))),
@@ -211,6 +216,7 @@ object SparkEntry {
     "batch_lookup"         -> OracleSql.pointLookup(LookupIds.batch),
     "ordered_export"       -> OracleSql.orderedExport,
     "percentiles"          -> OracleSql.percentiles,
+    "equi_depth_histogram" -> OracleSql.equiDepthHistogram(),
     "dedup_exact"          -> OracleSql.dedupExact,
     "dedup_jaccard"        -> OracleSql.dedupJaccard(0.5),
     "dedup_minhash_pairs"  -> OracleSql.dedupMinhashPairs,
@@ -257,11 +263,14 @@ object SparkEntry {
     "incremental_user_stats" -> OracleSql.incrementalUserStats,
     "tfidf_terms"          -> OracleSql.tfidfTopTerms(3),
     "length_histogram"     -> OracleSql.lengthHistogram(50),
+    "cube_accounting"      -> OracleSql.sourceCube,
     "rollup_accounting"    -> OracleSql.sourceRollup,
+    "daily_anomalies"      -> OracleSql.dailyAnomalies(),
     "event_pivot"          -> OracleSql.eventPivot,
     "moving_daily_totals"  -> OracleSql.movingDailyTotals,
     "top_terms_per_source" -> OracleSql.topTermsPerSource(5),
     "semantic_clusters"    -> OracleSql.semanticClusters(0.2),
+    "semantic_leakage"     -> OracleSql.semanticSplitLeakage(0.2, 0.8, 0.1),
     "train_split"          -> OracleSql.splitAssign(0.8, 0.1),
     "quality_filter"       -> OracleSql.qualityFilter,
     "snapshot_diff"        -> OracleSql.snapshotDiff("1999-01-01", "2000-01-01"),

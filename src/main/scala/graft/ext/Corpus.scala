@@ -330,6 +330,26 @@ object Corpus {
         coalesce(col("lang"), lit("ALL")).as("lang"),
         col("n_docs"), col("total_tokens"), col("avg_tokens"))
 
+  /** Full grouping-lattice corpus accounting via CUBE — the rollup's
+    * superset: per-(source, lang) cells PLUS source subtotals, lang
+    * subtotals (the level ROLLUP cannot produce), and the grand total, one
+    * pass. `lvl` disambiguates which dims are aggregated (0 = leaf cell,
+    * 1 = lang rolled up, 2 = source rolled up, 3 = grand total) — the
+    * standard GROUPING_ID encoding, kept as a plain INT so the output is
+    * engine-portable. Like rollup, cube expands each row into its grouping
+    * sets BEFORE the shuffle, so the aggregate is map-side combinable: one
+    * shuffle for the whole lattice regardless of dimension count. */
+  def sourceCube(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .cube("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+        (grouping(col("source")) * lit(2) + grouping(col("lang")))
+          .cast("int").as("lvl"))
+      .select(coalesce(col("source"), lit("ALL")).as("source"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("lvl"), col("n_docs"), col("total_tokens"))
+
   /** Fixed-size overlapping token chunking — the producer-side op that
     * turns documents into model-input windows (RAG indexing / long-doc
     * training): window `chunk` tokens, step `stride` (< chunk ⇒ adjacent

@@ -255,6 +255,41 @@ object Similarity {
     FeatureCache.cached(spark, dir, s"semantic_clusters_${minCosine}_$maxBucket")(
       semanticClustersCached(spark, dir, minCosine, maxBucket))
 
+  /** Embedding-space split leakage — Corpus.splitLeakage's semantic
+    * sibling: text near-dup leakage misses PARAPHRASES (same content,
+    * different tokens), which cosine edges catch, so an eval-hygiene audit
+    * runs BOTH before trusting a holdout. Endpoints of each thresholded
+    * cosine pair get the same deterministic unit-hash split assignment a
+    * vec-keyed corpus would ship (identical Knuth hash ⇒ identical split
+    * for a doc and its embedding row when ids align); cross-split mass is
+    * flagged `leaky`.
+    *
+    * Scale shape: the thresholded pair table is collision-bounded and
+    * broadcasts through both endpoint joins; the split projection is a
+    * narrow map over embeddings ids. Output ≤ split² rows. */
+  def semanticSplitLeakage(spark: SparkSession, dir: String,
+                           minCosine: Double,
+                           trainFrac: Double = 0.8,
+                           valFrac: Double = 0.1,
+                           maxBucket: Int = MaxBucketSize): DataFrame = {
+    val pairs = scoredPairsCached(spark, dir, maxBucket)
+      .filter(col("cosine") >= minCosine).select("vec_a", "vec_b")
+    val u = Corpus.unitHash(col("vec_id"))
+    val splits = Tables.embeddings(spark, dir).select(col("vec_id"),
+      when(u < trainFrac, "train")
+        .when(u < trainFrac + valFrac, "val")
+        .otherwise("test").as("split"))
+    val a = splits.select(col("vec_id").as("vec_a"), col("split").as("split_a"))
+    val b = splits.select(col("vec_id").as("vec_b"), col("split").as("split_b"))
+    broadcast(broadcast(pairs).join(a, Seq("vec_a")))
+      .join(b, Seq("vec_b"))
+      .select(least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"))
+      .groupBy("split_lo", "split_hi")
+      .agg(count(lit(1)).as("pair_count"))
+      .withColumn("leaky", col("split_lo") =!= col("split_hi"))
+  }
+
   private def clustersOf(pairs: DataFrame): DataFrame =
     Dedup.clusters(pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .select(col("doc_id").as("vec_id"),

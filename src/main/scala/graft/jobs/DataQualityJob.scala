@@ -190,6 +190,38 @@ object DataQualityJob {
     fresh.unionByName(orderAlerts)
   }
 
+  /** Equi-depth histogram over order totals — the optimizer-statistics /
+    * data-profiling shape (equi-WIDTH histograms mislead on skewed money
+    * columns; equi-depth puts ~n/B rows in every bucket so the tails stay
+    * resolved). Built on BoundedPercentile's count-by-value decomposition:
+    * one combinable scan, one spillable per-group sorted window — never a
+    * global sort or a per-group value buffer.
+    *
+    * Bucket rule: a distinct value belongs WHOLLY to the bucket of its
+    * first sorted position (`floor(lo·B / n)`, exact integer arithmetic) —
+    * the same whole-value convention optimizer histograms use, so a heavy
+    * value never splits across buckets and the construction is
+    * deterministic on any engine (row-level NTILE is not: it splits ties
+    * by arbitrary row order). Buckets than can be emptied by a heavy
+    * predecessor swallowing their positions simply don't appear. */
+  def equiDepthHistogram(spark: SparkSession, dir: String,
+                         buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = graft.ops.BoundedPercentile.countByValue(
+      Tables.orders(spark, dir).select(lit("ALL").as("__g"), col("o_totalprice")),
+      "__g", "o_totalprice")
+    val w = Window.partitionBy("__g").orderBy("__v")
+    val cum = cnt
+      .withColumn("__hi", sum(col("__c")).over(w))
+      .withColumn("__lo", col("__hi") - col("__c"))
+    val tot = cnt.groupBy("__g").agg(sum(col("__c")).as("__n"))
+    cum.join(broadcast(tot), "__g")
+      .withColumn("bucket", expr(s"CAST((__lo * $buckets) DIV __n AS INT)"))
+      .groupBy("bucket")
+      .agg(sum(col("__c")).as("n_rows"),
+        min(col("__v")).as("lo_value"), max(col("__v")).as("hi_value"))
+  }
+
   /** observe()-based inline quality counters — the engine-side stand-in for
     * the reference's Prometheus counters (store.py:23-33, cache.py:19-29;
     * SURVEY §7.3b): metrics ride the job's own pass over the data, no second

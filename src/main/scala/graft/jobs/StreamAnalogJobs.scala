@@ -252,6 +252,56 @@ object StreamAnalogJobs {
       sum(col("__sum")).over(wCum).cast("double").as("cum_total"))
   }
 
+  /** Rolling z-score anomaly detection over the daily revenue series — the
+    * monitoring shape a pipeline runs after every ingest: each day scored
+    * against the TRAILING week only (rows -7..-1 — the current day never
+    * contaminates its own baseline, so a spike can't mask itself). Days
+    * without a full trailing week score null (cold start), as does a
+    * zero-variance baseline.
+    *
+    * Determinism: daily totals and their squares accumulate as DECIMALs
+    * (order-independent), the z arithmetic runs on doubles cast from those
+    * exact sums with one fixed formula — bit-identical on any engine, same
+    * posture as dq_profile's exactStddev. Scale: the window runs over the
+    * DAILY frame (365 rows/year — trivially one task), while the
+    * corpus-sized work is the combinable daily aggregate. */
+  def dailyAnomalies(spark: SparkSession, dir: String,
+                     zThreshold: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("__t"))
+      .withColumn("__t2", (col("__t") * col("__t")).cast("decimal(38,4)"))
+    val w = Window.orderBy("order_date").rowsBetween(-7, -1)
+    val cntD = count(lit(1)).over(w).cast("double")
+    val s1 = sum(col("__t")).over(w).cast("double")
+    val s2 = sum(col("__t2")).over(w).cast("double")
+    // ANSI guards: the cold-start rows see an EMPTY trailing window
+    // (cnt = 0 ⇒ mean divides by zero) or a 1-row one (cnt−1 = 0 ⇒ sd
+    // does); CASE branches evaluate lazily, so the gated forms never run
+    // the division there
+    val scored = daily.select(
+      col("order_date"), col("__t").cast("double").as("daily_total"),
+      count(lit(1)).over(w).as("trailing_days"),
+      when(count(lit(1)).over(w) >= 1, s1 / cntD).as("__mean"),
+      // greatest(…, 0): a ~zero-variance window can go epsilon-negative
+      // under double cancellation — sqrt would NaN here and ERROR in
+      // DuckDB, so both engines clamp identically
+      when(count(lit(1)).over(w) >= 2,
+        sqrt(greatest((cntD * s2 - s1 * s1) / (cntD * (cntD - lit(1.0))),
+          lit(0.0)))).as("__sd"))
+    scored.select(
+      col("order_date"), col("daily_total"), col("trailing_days"),
+      Ops.rnd(col("__mean"), 4).as("trailing_mean"),
+      Ops.rnd(col("__sd"), 4).as("trailing_sd"),
+      Ops.rnd(when(col("trailing_days") === 7 && col("__sd") > 0,
+        (col("daily_total") - col("__mean")) / col("__sd")), 4).as("z_score"),
+      coalesce(
+        when(col("trailing_days") === 7 && col("__sd") > 0,
+          abs((col("daily_total") - col("__mean")) / col("__sd")) > zThreshold),
+        lit(false)).as("is_anomaly"))
+  }
+
   /** A16: approximate distinct counts checked against their exact witness.
     * The HLL estimate itself is engine-specific (no other engine reproduces
     * Spark's sketch), so the oracle-visible column is the ERROR ENVELOPE:

@@ -421,6 +421,20 @@ object OracleSql {
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  /** Equi-depth histogram — mirrors jobs/DataQualityJob.equiDepthHistogram.
+    * The whole-value bucket rule (`(lo*B) // n`, exact integer division)
+    * keeps both engines deterministic; SUM of BIGINT counts pinned back to
+    * BIGINT (DuckDB widens to HUGEINT). */
+  def equiDepthHistogram(buckets: Int = 10): String =
+    s"""WITH c AS (SELECT o_totalprice AS v, COUNT(*) AS c FROM orders
+       |    WHERE o_totalprice IS NOT NULL GROUP BY 1),
+       |  cum AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS hi FROM c),
+       |  t AS (SELECT SUM(c) AS n FROM c)
+       |SELECT CAST(((hi - c) * $buckets) // n AS INT) AS bucket,
+       |  CAST(SUM(c) AS BIGINT) AS n_rows,
+       |  MIN(v) AS lo_value, MAX(v) AS hi_value
+       |FROM cum, t GROUP BY 1""".stripMargin
+
   /** Error-envelope oracle for the HLL distinct counts — the sketch value
     * is engine-specific, so the checked claim is "within 3x rsd of the
     * exact witness": Spark computes the boolean, the oracle asserts TRUE
@@ -664,6 +678,41 @@ object OracleSql {
        |  GROUP BY keeper_vec_id)
        |SELECT l.vec_id, l.keeper_vec_id, c2.cluster_size
        |FROM lab l JOIN csz c2 ON l.keeper_vec_id = c2.keeper_vec_id""".stripMargin
+
+  /** Embedding-space split leakage — mirrors
+    * ext/Similarity.semanticSplitLeakage: the thresholded cosine pair set
+    * (same LSH candidate CTEs as semanticClusters) joined against the
+    * Knuth unit-hash split assignment on both endpoints, counted per
+    * unordered split pair. */
+  def semanticSplitLeakage(minCosine: Double, trainFrac: Double,
+                           valFrac: Double,
+                           maxBucket: Int = graft.ext.Similarity.MaxBucketSize): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |b AS (${lshLongForm}),
+       |sz AS (SELECT table_id, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2),
+       |capped AS (SELECT b.* FROM b JOIN sz USING (table_id, bucket) WHERE sz.n <= $maxBucket),
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM capped x JOIN capped y
+       |    ON x.table_id = y.table_id AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |jp AS (
+       |  SELECT c.vec_a, c.vec_b FROM cand c
+       |    JOIN e ea ON c.vec_a = ea.vec_id JOIN e eb ON c.vec_b = eb.vec_id
+       |  WHERE floor((list_dot_product(ea.emb, eb.emb)
+       |      / sqrt(list_dot_product(ea.emb, ea.emb) * list_dot_product(eb.emb, eb.emb)))
+       |      * 1000000.0 + 0.5) / 1000000.0 >= $minCosine),
+       |${unitHashCtes("", "embeddings", "vec_id")},
+       |sp AS (SELECT vec_id,
+       |    CASE WHEN unit_hash < $trainFrac THEN 'train'
+       |         WHEN unit_hash < ${trainFrac + valFrac} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM u),
+       |j AS (SELECT LEAST(sa.split, sb.split) AS split_lo,
+       |    GREATEST(sa.split, sb.split) AS split_hi
+       |  FROM jp JOIN sp sa ON jp.vec_a = sa.vec_id
+       |    JOIN sp sb ON jp.vec_b = sb.vec_id)
+       |SELECT split_lo, split_hi, COUNT(*) AS pair_count,
+       |  split_lo <> split_hi AS leaky
+       |FROM j GROUP BY 1, 2""".stripMargin
 
   /** Top-k tokens per source — mirrors ext/TextAnalysis.topTermsPerSource. */
   def topTermsPerSource(k: Int): String =
@@ -1163,6 +1212,17 @@ object OracleSql {
        |  ${rnd("CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 4)} AS avg_tokens
        |FROM d GROUP BY ROLLUP (source, lang)""".stripMargin
 
+  /** CUBE corpus accounting — mirrors ext/Corpus.sourceCube. Same BIGINT
+    * pin as sourceRollup; lvl = 2*GROUPING(source)+GROUPING(lang) (the
+    * GROUPING_ID encoding, spelled out so both engines agree on type). */
+  val sourceCube: String =
+    s"""WITH d AS (SELECT source, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)
+       |SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
+       |  CAST(2 * GROUPING(source) + GROUPING(lang) AS INT) AS lvl,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |FROM d GROUP BY CUBE (source, lang)""".stripMargin
+
   /** Event-type pivot — mirrors StreamAnalogJobs.eventTypePivot (pivot with
     * a pinned value list = one combinable pass of CASE aggregates). */
   val eventPivot: String = {
@@ -1173,6 +1233,38 @@ object OracleSql {
        |$cols
        |FROM events GROUP BY user_id""".stripMargin
   }
+
+  /** Rolling z-score daily anomalies — mirrors
+    * StreamAnalogJobs.dailyAnomalies: DECIMAL-exact trailing sums, doubles
+    * only in the one shared z formula, full-week gate, zero-variance gate.
+    * The anomaly boolean COALESCEs the gated NULL to FALSE on both sides. */
+  def dailyAnomalies(zThreshold: Double = 2.0): String =
+    s"""WITH daily AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS t
+       |  FROM orders GROUP BY 1),
+       |w AS (
+       |  SELECT order_date, CAST(t AS DOUBLE) AS daily_total,
+       |    COUNT(*) OVER win AS trailing_days,
+       |    CAST(COUNT(*) OVER win AS DOUBLE) AS cnt,
+       |    CAST(SUM(t) OVER win AS DOUBLE) AS s1,
+       |    CAST(SUM(CAST(t * t AS DECIMAL(38,4))) OVER win AS DOUBLE) AS s2
+       |  FROM daily
+       |  WINDOW win AS (ORDER BY order_date ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+       |z AS (
+       |  SELECT order_date, daily_total, trailing_days,
+       |    CASE WHEN trailing_days >= 1 THEN s1 / cnt END AS m,
+       |    CASE WHEN trailing_days >= 2 THEN
+       |      sqrt(GREATEST((cnt * s2 - s1 * s1) / (cnt * (cnt - 1.0)), 0.0))
+       |    END AS sd
+       |  FROM w)
+       |SELECT order_date, daily_total, trailing_days,
+       |  ${rnd("m", 4)} AS trailing_mean,
+       |  ${rnd("sd", 4)} AS trailing_sd,
+       |  ${rnd("CASE WHEN trailing_days = 7 AND sd > 0 THEN (daily_total - m) / sd END", 4)} AS z_score,
+       |  COALESCE(CASE WHEN trailing_days = 7 AND sd > 0
+       |    THEN abs((daily_total - m) / sd) > $zThreshold END, FALSE) AS is_anomaly
+       |FROM z""".stripMargin
 
   /** Daily totals + 7-row moving average + running total — mirrors
     * StreamAnalogJobs.movingDailyTotals (exact DECIMAL sums through the
