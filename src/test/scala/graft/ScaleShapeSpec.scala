@@ -245,6 +245,39 @@ class ScaleShapeSpec extends SparkSpec {
     for (p <- Seq(sqPlan, bpPlan)) assert(!p.contains("CartesianProduct"))
   }
 
+  test("round-9 ops keep their scale shapes: one-scan histograms, one-shuffle cube, broadcast leakage joins") {
+    // equi_depth_histogram: the cum-window and totals branches must share
+    // the ONE count-by-value exchange — a second orders scan means a
+    // branch recomputed it (percentiles_approx's r7 bug class)
+    val eh = jobs.DataQualityJob.equiDepthHistogram(spark, sf0001)
+    assert(eh.collect().nonEmpty)
+    assert(finalScansOf(eh, "orders") == 1,
+      s"expected one orders scan:\n${eh.queryExecution.executedPlan}")
+    // cube_accounting: CUBE expands rows into grouping sets BEFORE the
+    // exchange (Expand under a partial aggregate), so the whole lattice
+    // costs one shuffle
+    val cb = ext.Corpus.sourceCube(core.Tables.documents(spark, sf0001))
+    val cbPlan = cb.queryExecution.executedPlan.toString
+    assert(cbPlan.contains("Expand"), s"cube must Expand:\n${cbPlan.take(800)}")
+    assert(cbPlan.split("\n").count(_.contains("Exchange hashpartitioning")) == 1,
+      s"cube lattice must cost one shuffle:\n${cbPlan.take(1200)}")
+    // daily_anomalies: the corpus-sized work is the combinable daily
+    // aggregate; one orders scan feeds the (tiny) daily window
+    val da = jobs.StreamAnalogJobs.dailyAnomalies(spark, sf0001)
+    assert(da.collect().nonEmpty)
+    assert(finalScansOf(da, "orders") == 1,
+      s"expected one orders scan:\n${da.queryExecution.executedPlan}")
+    // semantic_leakage: the bounded pair table must broadcast through both
+    // endpoint joins — a sort-merge join would shuffle the embeddings
+    // corpus for a pair set orders of magnitude smaller
+    val sl = ext.Similarity.semanticSplitLeakage(spark, sf0001, 0.2)
+    sl.collect()
+    val slPlan = sl.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!slPlan.contains("SortMergeJoin"),
+      s"leakage joins must broadcast:\n${slPlan.take(1200)}")
+  }
+
   test("group_sample runs as a map-side per-group top-k, not a full group sort") {
     val docs = core.Tables.documents(spark, sf0001)
     val gs = ext.Corpus.groupSample(docs, 10)
