@@ -24,13 +24,18 @@ object MergeByKey {
 
   /** Dynamic-partition-overwrite write — the idempotent daily-batch sink
     * (S11 shape: only partitions present in `df` are replaced, so re-running
-    * a day's job is safe). */
-  def overwritePartitions(df: DataFrame, path: String, partitionCol: String): Unit =
+    * a day's job is safe). `format` widens the warehouse-interchange matrix
+    * beyond parquet: "orc" ships natively in the Spark distribution with
+    * the same dynamic-overwrite, partition-pruning and predicate-pushdown
+    * behavior (OrcSourceSpec pins the round-trip and the pushed filters). */
+  def overwritePartitions(df: DataFrame, path: String, partitionCol: String,
+                          format: String = "parquet"): Unit =
     df.write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
-      .parquet(path)
+      .format(format)
+      .save(path)
 
   /** Partition-expiry retention (S11 — the reference's 730-day partition
     * expiration, sql/bigquery_schema.sql:24-26): drop date partitions whose
