@@ -120,6 +120,11 @@ object SparkEntry {
     "event_pivot"          -> ((s, dir) => StreamAnalogJobs.eventTypePivot(s, dir)),
     "moving_daily_totals"  -> ((s, dir) => StreamAnalogJobs.movingDailyTotals(s, dir)),
     "daily_anomalies"      -> ((s, dir) => StreamAnalogJobs.dailyAnomalies(s, dir)),
+    "event_funnel"         -> ((s, dir) => StreamAnalogJobs.eventFunnel(s, dir)),
+    "weighted_sample"      -> ((s, dir) => ext.Corpus.weightedSample(
+      core.Tables.documents(s, dir), 100)),
+    "vocab_growth"         -> ((s, dir) => ext.Corpus.vocabGrowth(
+      core.Tables.documents(s, dir))),
     "top_terms_per_source" -> ((s, dir) => ext.TextAnalysis.topTermsPerSource(
       core.Tables.documents(s, dir), 5)),
     "train_split"          -> ((s, dir) => ext.Corpus.splitAssign(
@@ -266,6 +271,9 @@ object SparkEntry {
     "cube_accounting"      -> OracleSql.sourceCube,
     "rollup_accounting"    -> OracleSql.sourceRollup,
     "daily_anomalies"      -> OracleSql.dailyAnomalies(),
+    "event_funnel"         -> OracleSql.eventFunnel(),
+    "weighted_sample"      -> OracleSql.weightedSample(100),
+    "vocab_growth"         -> OracleSql.vocabGrowth(),
     "event_pivot"          -> OracleSql.eventPivot,
     "moving_daily_totals"  -> OracleSql.movingDailyTotals,
     "top_terms_per_source" -> OracleSql.topTermsPerSource(5),

@@ -330,6 +330,89 @@ object Corpus {
         coalesce(col("lang"), lit("ALL")).as("lang"),
         col("n_docs"), col("total_tokens"), col("avg_tokens"))
 
+  /** Token-weighted systematic sample — weighted sampling WITHOUT
+    * transcendentals: the Efraimidis–Spirakis exponential-key scheme needs
+    * pow/log, whose libm rounding differs across engines; systematic
+    * sampling over the cumulative weight axis is the particle-filter
+    * alternative that stays in EXACT integer arithmetic (deterministic on
+    * any engine). Documents are consumed in unitHash order (the
+    * deterministic corpus shuffle); doc with cumulative token span
+    * [lo, hi) is picked iff the span contains a sampling point — i.e.
+    * floor(hi·k/W) > floor(lo·k/W) — and a doc longer than W/k wins
+    * `n_picks` > 1 slots, exactly its weight share. Exact while W·k < 2⁶³
+    * (≈9·10¹⁸: a quadrillion tokens at k=100 — beyond any physical corpus).
+    *
+    * Scale shape: the same two-phase chunked prefix sum as mixtureSample
+    * (64 hash-range chunks; the only sequential step is a 64-row cumsum);
+    * the grand total rides a 1-row broadcast. */
+  def weightedSample(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("__h", unitHash(col("doc_id")))
+      .withColumn("__chunk", floor(col("__h") * 64).cast("long"))
+    val offsets = base.groupBy("__chunk")
+      .agg(sum(col("n_tokens")).as("__chunk_tokens"))
+      .withColumn("__chunk_offset",
+        coalesce(sum(col("__chunk_tokens"))
+          .over(Window.orderBy("__chunk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__chunk", "__chunk_offset")
+    val wLocal = Window.partitionBy("__chunk").orderBy(col("__h"), col("doc_id"))
+    val tot = base.agg(sum(col("n_tokens")).as("__w_total"))
+    base.join(offsets, Seq("__chunk"))
+      .withColumn("__lo",
+        col("__chunk_offset") + coalesce(sum(col("n_tokens"))
+          .over(wLocal.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_picks",
+        expr(s"((__lo + n_tokens) * $k) DIV __w_total - (__lo * $k) DIV __w_total"))
+      .filter(col("n_picks") > 0)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("n_picks"))
+  }
+
+  /** Vocabulary growth curve (Heaps' law) — distinct-token count as a
+    * function of corpus prefix size, the measurement behind tokenizer
+    * sizing and "is more data still adding vocabulary" curation calls.
+    * The corpus order is doc_id (ingestion order); each doc's 0-based
+    * position assigns it to one of `buckets` equal prefixes (exact
+    * integer `(p·B) DIV N`), each token counts once at the bucket of its
+    * FIRST appearance, and the running sum over the ≤B-row bucket table
+    * is the vocabulary size after each prefix.
+    *
+    * Scale shape: doc positions come from the chunked two-phase prefix
+    * COUNT (packSequences' idiom with weight 1 — no global row_number);
+    * the token pass is one explode + a combinable min-aggregate keyed by
+    * token; the cumsum window sees ≤B rows. */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("text"))
+      .withColumn("__chunk", floor(col("doc_id") / lit(65536L)).cast("long"))
+    val offsets = base.groupBy("__chunk")
+      .agg(count(lit(1)).as("__chunk_docs"))
+      .withColumn("__chunk_offset",
+        coalesce(sum(col("__chunk_docs"))
+          .over(Window.orderBy("__chunk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__chunk", "__chunk_offset")
+    val wLocal = Window.partitionBy("__chunk").orderBy("doc_id")
+    val tot = base.agg(count(lit(1)).as("__n_docs"))
+    val positioned = base.join(offsets, Seq("__chunk"))
+      .withColumn("__p",
+        col("__chunk_offset") + coalesce(count(lit(1))
+          .over(wLocal.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("bucket", expr(s"CAST((__p * $buckets) DIV __n_docs AS INT)"))
+    positioned
+      .select(col("bucket"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(min(col("bucket")).as("first_bucket"))
+      .groupBy(col("first_bucket").as("bucket"))
+      .agg(count(lit(1)).as("new_tokens"))
+      .withColumn("cum_vocab",
+        sum(col("new_tokens")).over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Full grouping-lattice corpus accounting via CUBE — the rollup's
     * superset: per-(source, lang) cells PLUS source subtotals, lang
     * subtotals (the level ROLLUP cannot produce), and the grand total, one

@@ -252,6 +252,45 @@ object StreamAnalogJobs {
       sum(col("__sum")).over(wCum).cast("double").as("cum_total"))
   }
 
+  /** Strict-ordered conversion funnel — the product-analytics sequential
+    * pattern (view → click → purchase, each step's FIRST occurrence
+    * strictly after the previous step's): per user, t₁ = min ts of step 1,
+    * tᵢ = min ts of step i among events after tᵢ₋₁. A user who clicks
+    * before ever viewing does not convert at the click stage — the strict
+    * chain is what distinguishes a funnel from three independent counts.
+    *
+    * Scale shape: one pass per step over a type-pushed-down scan (the
+    * filter reaches the parquet reader), each followed by a combinable
+    * min-aggregate on user_id; consecutive steps join on user_id — the
+    * same key every aggregate shuffles on, so AQE/co-partitioning reuses
+    * the layout. The 3-row stage summary then computes conversion against
+    * the first stage with a first_value window over 3 rows. */
+  def eventFunnel(spark: SparkSession, dir: String,
+                  steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val first = ev.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(col("ts")).as("__t"))
+    val reached = steps.tail.scanLeft(first) { (prev, step) =>
+      ev.filter(col("event_type") === step).as("e")
+        .join(prev.select(col("user_id"), col("__t").as("__tp")), Seq("user_id"))
+        .filter(col("ts") > col("__tp"))
+        .groupBy("user_id").agg(min(col("ts")).as("__t"))
+    }
+    val stages = reached.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("stage_idx"), lit(step).as("stage"), col("n_users"))
+    }.reduce(_.unionByName(_))
+    val w = Window.orderBy("stage_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // ANSI guard: an empty first stage would divide by zero
+    stages.withColumn("pct_of_first",
+      Ops.rnd(when(first_value(col("n_users")).over(w) > 0,
+        col("n_users").cast("double")
+          / first_value(col("n_users")).over(w).cast("double")), 4))
+  }
+
   /** Rolling z-score anomaly detection over the daily revenue series — the
     * monitoring shape a pipeline runs after every ingest: each day scored
     * against the TRAILING week only (rows -7..-1 — the current day never

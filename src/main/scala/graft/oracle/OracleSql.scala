@@ -1234,6 +1234,68 @@ object OracleSql {
        |FROM events GROUP BY user_id""".stripMargin
   }
 
+  /** Strict-ordered conversion funnel — mirrors
+    * StreamAnalogJobs.eventFunnel: each stage joins the previous stage's
+    * first-occurrence timestamps and keeps strictly-later events only;
+    * conversion is against the first stage via a 3-row first_value
+    * window. */
+  def eventFunnel(steps: Seq[String] = Seq("view", "click", "purchase")): String = {
+    val ctes = steps.zipWithIndex.map { case (step, i) =>
+      if (i == 0)
+        s"""s0 AS (SELECT user_id, MIN(ts) AS t FROM events
+           |  WHERE event_type = '$step' GROUP BY 1)""".stripMargin
+      else
+        s"""s$i AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+           |  JOIN s${i - 1} p ON e.user_id = p.user_id
+           |  WHERE e.event_type = '$step' AND e.ts > p.t GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val counts = steps.zipWithIndex.map { case (step, i) =>
+      s"SELECT $i AS stage_idx, '$step' AS stage, COUNT(*) AS n_users FROM s$i"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $ctes,
+       |c AS ($counts)
+       |SELECT stage_idx, stage, n_users,
+       |  ${rnd("CASE WHEN FIRST_VALUE(n_users) OVER w > 0 THEN " +
+      "CAST(n_users AS DOUBLE) / CAST(FIRST_VALUE(n_users) OVER w AS DOUBLE) END", 4)}
+       |    AS pct_of_first
+       |FROM c
+       |WINDOW w AS (ORDER BY stage_idx
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+  }
+
+  /** Token-weighted systematic sample — mirrors ext/Corpus.weightedSample:
+    * cumulative token spans in unit-hash order, a doc is picked iff its
+    * span contains a sampling point (exact integer division; DuckDB's
+    * windowed SUM widens to HUGEINT, pinned back to BIGINT). */
+  def weightedSample(k: Int): String =
+    s"""WITH ${unitHashCtes(", source, text")},
+       |base AS (SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, unit_hash
+       |  FROM u),
+       |c AS (SELECT *, SUM(n_tokens) OVER (ORDER BY unit_hash, doc_id) AS hi FROM base),
+       |t AS (SELECT SUM(n_tokens) AS w FROM base)
+       |SELECT doc_id, source, n_tokens,
+       |  CAST((hi * $k) // w - ((hi - n_tokens) * $k) // w AS BIGINT) AS n_picks
+       |FROM c, t
+       |WHERE (hi * $k) // w > ((hi - n_tokens) * $k) // w""".stripMargin
+
+  /** Vocabulary growth (Heaps' law) — mirrors ext/Corpus.vocabGrowth:
+    * 0-based doc position in doc_id order, exact-integer prefix bucket,
+    * tokens counted at their first-appearance bucket, ≤B-row cumsum. */
+  def vocabGrowth(buckets: Int = 10): String =
+    s"""WITH p AS (SELECT doc_id, text,
+       |    ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS pos FROM documents),
+       |t AS (SELECT COUNT(*) AS n FROM documents),
+       |b AS (SELECT CAST((p.pos * $buckets) // t.n AS INT) AS bucket,
+       |    unnest(string_split(text, ' ')) AS token
+       |  FROM p, t),
+       |f AS (SELECT token, MIN(bucket) AS bucket FROM b GROUP BY 1),
+       |c AS (SELECT bucket, COUNT(*) AS new_tokens FROM f GROUP BY 1)
+       |SELECT bucket, new_tokens,
+       |  CAST(SUM(new_tokens) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+       |    AS BIGINT) AS cum_vocab
+       |FROM c""".stripMargin
+
   /** Rolling z-score daily anomalies — mirrors
     * StreamAnalogJobs.dailyAnomalies: DECIMAL-exact trailing sums, doubles
     * only in the one shared z formula, full-week gate, zero-variance gate.

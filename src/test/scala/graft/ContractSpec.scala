@@ -30,7 +30,11 @@ class ContractSpec extends SparkSpec {
       "tfidf_terms", "quality_tiers", "shard_manifest", "mixture_weights",
       // heavy_hitters broadcasts the 1-row stream total and the 1-row
       // SpaceSaving summary into the hot-key frame
-      "heavy_hitters")
+      "heavy_hitters",
+      // weighted_sample / vocab_growth broadcast their 1-row grand-total
+      // frame (total tokens / total docs) into the per-row bucket math —
+      // the dq_outliers single-row-stats family
+      "weighted_sample", "vocab_growth")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.optimizedPlan.toString
       assert(!plan.contains("UnresolvedRelation"), s"$name has unresolved relations")
