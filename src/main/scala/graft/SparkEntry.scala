@@ -58,6 +58,7 @@ object SparkEntry {
     "ordered_export"       -> ((s, dir) => serving.Lookups.orderedExport(s, dir)),
     "percentiles"          -> ((s, dir) => serving.Lookups.percentiles(s, dir)),
     "equi_depth_histogram" -> ((s, dir) => DataQualityJob.equiDepthHistogram(s, dir)),
+    "dq_robust_outliers"   -> ((s, dir) => DataQualityJob.robustOutliers(s, dir)),
     "percentiles_approx"   -> ((s, dir) => serving.Lookups.percentilesApprox(s, dir)),
     "dedup_exact"          -> ((s, dir) => ext.Dedup.exact(core.Tables.documents(s, dir))),
     "dedup_jaccard"        -> ((s, dir) => ext.Dedup.jaccardPairsPre(
@@ -222,6 +223,7 @@ object SparkEntry {
     "ordered_export"       -> OracleSql.orderedExport,
     "percentiles"          -> OracleSql.percentiles,
     "equi_depth_histogram" -> OracleSql.equiDepthHistogram(),
+    "dq_robust_outliers"   -> OracleSql.robustOutliers(),
     "dedup_exact"          -> OracleSql.dedupExact,
     "dedup_jaccard"        -> OracleSql.dedupJaccard(0.5),
     "dedup_minhash_pairs"  -> OracleSql.dedupMinhashPairs,

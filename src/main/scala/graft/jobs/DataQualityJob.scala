@@ -222,6 +222,44 @@ object DataQualityJob {
         min(col("__v")).as("lo_value"), max(col("__v")).as("hi_value"))
   }
 
+  /** MAD-based robust outliers — the resistant counterpart of the 3σ rule
+    * (outliers() itself): mean/σ are dragged by the very tails they're
+    * meant to flag, while median and MAD have a 50% breakdown point, so a
+    * monitoring suite runs BOTH and diverging counts localize heavy-tail
+    * drift. Modified z = 0.6745·(x − median)/MAD, |z| > 3.5 (the
+    * Iglewicz–Hoaglin convention).
+    *
+    * Determinism: both medians come from the BoundedPercentile
+    * decomposition (exact interpolation, rounded at fixed points), the
+    * deviation/score arithmetic is one shared double formula — the
+    * exactStddev posture. Scale: two count-by-value passes (orders, then
+    * the deviation frame) + a 3-row broadcast between and after; no
+    * per-group value buffer anywhere. */
+  def robustOutliers(spark: SparkSession, dir: String,
+                     zCut: Double = 3.5): DataFrame = {
+    import graft.ops.BoundedPercentile
+    val orders = Tables.orders(spark, dir).select("o_orderstatus", "o_totalprice")
+    val med = BoundedPercentile.exact(orders, "o_orderstatus", "o_totalprice",
+        Seq(0.5 -> "med"), 2)
+      .select(col("o_orderstatus"), col("med"))
+    val devs = orders.join(broadcast(med), Seq("o_orderstatus"))
+      .withColumn("__dev", abs(col("o_totalprice") - col("med")))
+    val mad = BoundedPercentile.exact(devs, "o_orderstatus", "__dev",
+        Seq(0.5 -> "mad"), 4)
+      .select(col("o_orderstatus"), col("mad"), col("n"))
+    val scored = devs.join(broadcast(mad), Seq("o_orderstatus"))
+      // ANSI guard: a degenerate group (≥50% of rows at the median) has
+      // MAD 0 — every off-median row would divide by zero; it scores null
+      // and the robust rule abstains there (documented MAD limitation)
+      .withColumn("__rz",
+        when(col("mad") > 0,
+          lit(0.6745) * (col("o_totalprice") - col("med")) / col("mad")))
+    scored.groupBy("o_orderstatus")
+      .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
+        graft.ops.Ops.countIf(abs(col("__rz")) > zCut).as("n_outliers"),
+        count(lit(1)).as("n"))
+  }
+
   /** observe()-based inline quality counters — the engine-side stand-in for
     * the reference's Prometheus counters (store.py:23-33, cache.py:19-29;
     * SURVEY §7.3b): metrics ride the job's own pass over the data, no second

@@ -421,6 +421,26 @@ object OracleSql {
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  /** MAD robust outliers — mirrors jobs/DataQualityJob.robustOutliers:
+    * interpolated medians at the same fixed round points, one shared
+    * double formula for the modified z, MAD-0 groups abstain (CASE gate
+    * mirrors the Spark `when`). */
+  def robustOutliers(zCut: Double = 3.5): String =
+    s"""WITH med AS (SELECT o_orderstatus,
+       |    ${rnd("quantile_cont(o_totalprice, 0.5)", 2)} AS med
+       |  FROM orders GROUP BY 1),
+       |d AS (SELECT o.o_orderstatus, o.o_totalprice, m.med,
+       |    abs(o.o_totalprice - m.med) AS dev
+       |  FROM orders o JOIN med m USING (o_orderstatus)),
+       |ma AS (SELECT o_orderstatus, ${rnd("quantile_cont(dev, 0.5)", 4)} AS mad
+       |  FROM d GROUP BY 1)
+       |SELECT d.o_orderstatus, MIN(d.med) AS med, MIN(ma.mad) AS mad,
+       |  COUNT(CASE WHEN ma.mad > 0
+       |    AND abs(0.6745 * (d.o_totalprice - d.med) / ma.mad) > $zCut
+       |    THEN 1 END) AS n_outliers,
+       |  COUNT(*) AS n
+       |FROM d JOIN ma USING (o_orderstatus) GROUP BY 1""".stripMargin
+
   /** Equi-depth histogram — mirrors jobs/DataQualityJob.equiDepthHistogram.
     * The whole-value bucket rule (`(lo*B) // n`, exact integer division)
     * keeps both engines deterministic; SUM of BIGINT counts pinned back to
