@@ -130,10 +130,15 @@ object Bench {
     val diag = s"""{"runs":$runs,"gc_ms":$gcs,"gc_warm_ms":$gcAfterWarm,""" +
       s""""gc_total_ms":${gcMillis()},"storage_mb_after_warm":$storageAfterWarm,""" +
       s""""storage_mb_end":${storageMb()},"heap_mb_end":${heapMb()},"sf":"$sfDir"}"""
-    try {
-      val w = new java.io.PrintWriter("bench_diag.json")
-      try w.println(diag) finally w.close()
-    } catch { case _: Throwable => System.err.println("[bench] diag write failed") }
+    // Files.writeString, not PrintWriter: PrintWriter swallows IO errors
+    // into an internal flag, and a silently truncated diag file would make
+    // the round's diagnostics vanish without a message
+    try java.nio.file.Files.writeString(
+      java.nio.file.Path.of("bench_diag.json"), diag + "\n")
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] diag write failed: $e")
+    }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""failed":$fs,"sf":"$sfDir"}""")
     spark.stop()

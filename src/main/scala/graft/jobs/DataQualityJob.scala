@@ -246,7 +246,7 @@ object DataQualityJob {
       .withColumn("__dev", abs(col("o_totalprice") - col("med")))
     val mad = BoundedPercentile.exact(devs, "o_orderstatus", "__dev",
         Seq(0.5 -> "mad"), 4)
-      .select(col("o_orderstatus"), col("mad"), col("n"))
+      .select(col("o_orderstatus"), col("mad"))
     val scored = devs.join(broadcast(mad), Seq("o_orderstatus"))
       // ANSI guard: a degenerate group (≥50% of rows at the median) has
       // MAD 0 — every off-median row would divide by zero; it scores null

@@ -301,9 +301,14 @@ object StreamAnalogJobs {
     * Determinism: daily totals and their squares accumulate as DECIMALs
     * (order-independent), the z arithmetic runs on doubles cast from those
     * exact sums with one fixed formula — bit-identical on any engine, same
-    * posture as dq_profile's exactStddev. Scale: the window runs over the
-    * DAILY frame (365 rows/year — trivially one task), while the
-    * corpus-sized work is the combinable daily aggregate. */
+    * posture as dq_profile's exactStddev. The rounded z_score deliberately
+    * uses the SHARED floor-based round point even though z can be negative
+    * (a negative half rounds toward +∞, not away from zero — a documented
+    * deviation from the repo's HALF_UP-on-non-negatives convention; the
+    * identical formula on both engines is what the hash gate needs).
+    * Scale: the window runs over the DAILY frame (365 rows/year —
+    * trivially one task), while the corpus-sized work is the combinable
+    * daily aggregate. */
   def dailyAnomalies(spark: SparkSession, dir: String,
                      zThreshold: Double = 2.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window

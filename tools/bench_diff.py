@@ -46,9 +46,17 @@ def load(path):
         if "runs" not in d and os.path.exists(diag_path):
             try:
                 diag = json.load(open(diag_path))
-                for key in ("runs", "gc_ms"):
-                    if key in diag:
-                        d[key] = diag[key]
+                # identity check: Bench overwrites bench_diag.json in CWD on
+                # every run, so a stale diag from another scale factor must
+                # not drive adjudication verdicts for this artifact
+                if diag.get("sf") == d.get("sf"):
+                    for key in ("runs", "gc_ms"):
+                        if key in diag:
+                            d[key] = diag[key]
+                else:
+                    print(f"note: ignoring {diag_path} "
+                          f"(sf {diag.get('sf')!r} != artifact sf {d.get('sf')!r})",
+                          file=sys.stderr)
             except (json.JSONDecodeError, OSError):
                 pass
         return d
