@@ -98,7 +98,16 @@ object ScalingBench {
       // the native bpe_encode expression at every scale point
       "bpe_fertility" -> { d =>
         ext.Vocab.fertility(Tables.documents(spark, d), learnedMerges)
-      })
+      },
+      // round-9 additions: the three data-bound new operators — the
+      // systematic sampler and histogram ride prefix-sum/count-by-value
+      // exchanges (≈linear expected), vocab_growth one token explode +
+      // min-aggregate over the shared-vocabulary frame (sub-linear: the
+      // distinct-token table grows slower than the corpus)
+      "weighted_sample" -> (d => Corpus.weightedSample(Tables.documents(spark, d), 100)),
+      "vocab_growth" -> (d => Corpus.vocabGrowth(Tables.documents(spark, d))),
+      "equi_depth_histogram" -> (d => graft.jobs.DataQualityJob.equiDepthOf(
+        Tables.documents(spark, d), "n_chars", 10)))
     // query filter knob: refresh one query's ladder after a plan change
     // without re-timing the expensive rungs of the other four
     val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {

@@ -205,11 +205,16 @@ object DataQualityJob {
     * by arbitrary row order). Buckets than can be emptied by a heavy
     * predecessor swallowing their positions simply don't appear. */
   def equiDepthHistogram(spark: SparkSession, dir: String,
-                         buckets: Int = 10): DataFrame = {
+                         buckets: Int = 10): DataFrame =
+    equiDepthOf(Tables.orders(spark, dir), "o_totalprice", buckets)
+
+  /** The generic core over any numeric column (ScalingBench ladders it
+    * over the synthetic corpus; the driver query binds it to order
+    * totals). */
+  def equiDepthOf(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cnt = graft.ops.BoundedPercentile.countByValue(
-      Tables.orders(spark, dir).select(lit("ALL").as("__g"), col("o_totalprice")),
-      "__g", "o_totalprice")
+      df.select(lit("ALL").as("__g"), col(valueCol)), "__g", valueCol)
     val w = Window.partitionBy("__g").orderBy("__v")
     val cum = cnt
       .withColumn("__hi", sum(col("__c")).over(w))
