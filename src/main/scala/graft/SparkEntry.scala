@@ -59,6 +59,7 @@ object SparkEntry {
     "percentiles"          -> ((s, dir) => serving.Lookups.percentiles(s, dir)),
     "equi_depth_histogram" -> ((s, dir) => DataQualityJob.equiDepthHistogram(s, dir)),
     "dq_robust_outliers"   -> ((s, dir) => DataQualityJob.robustOutliers(s, dir)),
+    "dq_drift"             -> ((s, dir) => DataQualityJob.distributionDrift(s, dir)),
     "percentiles_approx"   -> ((s, dir) => serving.Lookups.percentilesApprox(s, dir)),
     "dedup_exact"          -> ((s, dir) => ext.Dedup.exact(core.Tables.documents(s, dir))),
     "dedup_jaccard"        -> ((s, dir) => ext.Dedup.jaccardPairsPre(
@@ -224,6 +225,7 @@ object SparkEntry {
     "percentiles"          -> OracleSql.percentiles,
     "equi_depth_histogram" -> OracleSql.equiDepthHistogram(),
     "dq_robust_outliers"   -> OracleSql.robustOutliers(),
+    "dq_drift"             -> OracleSql.distributionDrift(),
     "dedup_exact"          -> OracleSql.dedupExact,
     "dedup_jaccard"        -> OracleSql.dedupJaccard(0.5),
     "dedup_minhash_pairs"  -> OracleSql.dedupMinhashPairs,

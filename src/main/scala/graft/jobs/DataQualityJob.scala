@@ -265,6 +265,55 @@ object DataQualityJob {
         count(lit(1)).as("n"))
   }
 
+  /** Distribution drift between two time periods — the feature-drift
+    * monitor every serving store wants next to freshness/completeness:
+    * bucket the CURRENT period's values into the REFERENCE period's
+    * equi-depth deciles and compare the bucket masses. The divergence is
+    * chi² (Σ (p_cur − p_ref)²/p_ref) plus per-bucket terms — deliberately
+    * NOT the customary PSI: PSI's ln(p/q) runs through libm, whose last-ulp
+    * rounding differs across engines, while chi² is rational arithmetic on
+    * exact counts (the repo's determinism posture). Reference buckets make
+    * p_ref ≈ 1/B by construction, so every chi² denominator is healthy.
+    *
+    * Bucket rule: boundaries are the reference histogram's per-bucket max
+    * values (all but the last); a value's bucket is the count of
+    * boundaries strictly below it — identical to the histogram's own
+    * whole-value assignment for reference rows, and total (cur values past
+    * the reference max land in the top bucket).
+    *
+    * Scale shape: one count-by-value pass for the reference histogram, a
+    * ≤B-element boundary array broadcast into one shared pass over both
+    * periods, a ≤B-row window for totals. */
+  def distributionDrift(spark: SparkSession, dir: String,
+                        splitDate: String = "1998-07-01",
+                        buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cut = to_timestamp(lit(s"$splitDate 00:00:00"))
+    val orders = Tables.orders(spark, dir).select("o_orderdate", "o_totalprice")
+    val ref = orders.filter(col("o_orderdate") < cut)
+    val cur = orders.filter(col("o_orderdate") >= cut)
+    val bnds = equiDepthOf(ref, "o_totalprice", buckets)
+      .agg(array_sort(collect_list(struct(col("bucket"), col("hi_value")))).as("a"))
+      .select(expr("slice(transform(a, x -> x.hi_value), 1, size(a) - 1)").as("bnds"))
+    val tagged = ref.select(col("o_totalprice").as("__v"), lit(1L).as("__is_ref"))
+      .unionByName(cur.select(col("o_totalprice").as("__v"), lit(0L).as("__is_ref")))
+    val g = tagged.crossJoin(broadcast(bnds))
+      .select(expr("CAST(size(filter(bnds, x -> __v > x)) AS INT)").as("bucket"),
+        col("__is_ref"))
+      .groupBy("bucket")
+      .agg(sum(col("__is_ref")).as("n_ref"),
+        (count(lit(1)) - sum(col("__is_ref"))).as("n_cur"))
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pRef = when(sum(col("n_ref")).over(w) > 0,
+      col("n_ref").cast("double") / sum(col("n_ref")).over(w).cast("double"))
+    val pCur = when(sum(col("n_cur")).over(w) > 0,
+      col("n_cur").cast("double") / sum(col("n_cur")).over(w).cast("double"))
+    g.select(col("bucket"), col("n_ref"), col("n_cur"),
+        rnd(pRef, 6).as("p_ref"), rnd(pCur, 6).as("p_cur"),
+        rnd(when(pRef > 0, (pCur - pRef) * (pCur - pRef) / pRef), 6)
+          .as("chi2_term"))
+  }
+
   /** observe()-based inline quality counters — the engine-side stand-in for
     * the reference's Prometheus counters (store.py:23-33, cache.py:19-29;
     * SURVEY §7.3b): metrics ride the job's own pass over the data, no second

@@ -421,6 +421,40 @@ object OracleSql {
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  /** Distribution drift — mirrors jobs/DataQualityJob.distributionDrift:
+    * reference-period equi-depth boundaries (per-bucket max, all but the
+    * last), bucket = count of boundaries strictly below the value, chi²
+    * terms in rational arithmetic (no PSI logarithm — libm-free). */
+  def distributionDrift(splitDate: String = "1998-07-01",
+                        buckets: Int = 10): String =
+    s"""WITH r AS (SELECT o_totalprice AS v FROM orders
+       |    WHERE o_orderdate < TIMESTAMP '$splitDate 00:00:00'),
+       |cu AS (SELECT o_totalprice AS v FROM orders
+       |    WHERE o_orderdate >= TIMESTAMP '$splitDate 00:00:00'),
+       |c AS (SELECT v, COUNT(*) AS c FROM r GROUP BY 1),
+       |m AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS hi FROM c),
+       |t AS (SELECT SUM(c) AS n FROM c),
+       |h AS (SELECT CAST(((hi - c) * $buckets) // n AS INT) AS bucket,
+       |    MAX(v) AS hi_v FROM m, t GROUP BY 1),
+       |b AS (SELECT list_slice(list(hi_v ORDER BY bucket), 1,
+       |    len(list(hi_v ORDER BY bucket)) - 1) AS bnds FROM h),
+       |u AS (SELECT v, 1 AS is_ref FROM r UNION ALL SELECT v, 0 FROM cu),
+       |a AS (SELECT CAST(len(list_filter(bnds, x -> v > x)) AS INT) AS bucket,
+       |    is_ref FROM u, b),
+       |g AS (SELECT bucket, CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+       |    CAST(COUNT(*) - SUM(is_ref) AS BIGINT) AS n_cur
+       |  FROM a GROUP BY 1),
+       |p AS (SELECT bucket, n_ref, n_cur,
+       |    CASE WHEN SUM(n_ref) OVER () > 0 THEN
+       |      CAST(n_ref AS DOUBLE) / CAST(SUM(n_ref) OVER () AS DOUBLE) END AS pr,
+       |    CASE WHEN SUM(n_cur) OVER () > 0 THEN
+       |      CAST(n_cur AS DOUBLE) / CAST(SUM(n_cur) OVER () AS DOUBLE) END AS pc
+       |  FROM g)
+       |SELECT bucket, n_ref, n_cur,
+       |  ${rnd("pr", 6)} AS p_ref, ${rnd("pc", 6)} AS p_cur,
+       |  ${rnd("CASE WHEN pr > 0 THEN (pc - pr) * (pc - pr) / pr END", 6)} AS chi2_term
+       |FROM p""".stripMargin
+
   /** MAD robust outliers — mirrors jobs/DataQualityJob.robustOutliers:
     * interpolated medians at the same fixed round points, one shared
     * double formula for the modified z, MAD-0 groups abstain (CASE gate

@@ -31,10 +31,10 @@ class ContractSpec extends SparkSpec {
       // heavy_hitters broadcasts the 1-row stream total and the 1-row
       // SpaceSaving summary into the hot-key frame
       "heavy_hitters",
-      // weighted_sample / vocab_growth broadcast their 1-row grand-total
-      // frame (total tokens / total docs) into the per-row bucket math —
+      // weighted_sample / vocab_growth / dq_drift broadcast a 1-row
+      // grand-total or boundary-array frame into the per-row bucket math —
       // the dq_outliers single-row-stats family
-      "weighted_sample", "vocab_growth")
+      "weighted_sample", "vocab_growth", "dq_drift")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.optimizedPlan.toString
       assert(!plan.contains("UnresolvedRelation"), s"$name has unresolved relations")
