@@ -127,6 +127,8 @@ object SparkEntry {
       core.Tables.documents(s, dir), 100)),
     "vocab_growth"         -> ((s, dir) => ext.Corpus.vocabGrowth(
       core.Tables.documents(s, dir))),
+    "quantile_normalize"   -> ((s, dir) => ext.Corpus.quantileNormalize(
+      core.Tables.documents(s, dir))),
     "top_terms_per_source" -> ((s, dir) => ext.TextAnalysis.topTermsPerSource(
       core.Tables.documents(s, dir), 5)),
     "train_split"          -> ((s, dir) => ext.Corpus.splitAssign(
@@ -278,6 +280,7 @@ object SparkEntry {
     "event_funnel"         -> OracleSql.eventFunnel(),
     "weighted_sample"      -> OracleSql.weightedSample(100),
     "vocab_growth"         -> OracleSql.vocabGrowth(),
+    "quantile_normalize"   -> OracleSql.quantileNormalize(),
     "event_pivot"          -> OracleSql.eventPivot,
     "moving_daily_totals"  -> OracleSql.movingDailyTotals,
     "top_terms_per_source" -> OracleSql.topTermsPerSource(5),

@@ -371,6 +371,41 @@ object Corpus {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("n_picks"))
   }
 
+  /** Quantile normalization — map each value to its mid-rank corpus
+    * quantile in [0, 1], the rank-based feature scaling that makes a
+    * heavy-tailed signal (doc length, scores) usable as a model feature
+    * without fitting a distribution. Ties share one quantile (the
+    * mid-rank of the value's whole position range), so the output is a
+    * pure function of the VALUE — deterministic under any row order and
+    * identical on any engine (exact integer rank arithmetic, one shared
+    * division): q = (lo + hi − 1) / (2·(n − 1)), the single-row corpus
+    * pinned at 0.5.
+    *
+    * Scale shape: count-by-value collapse (map-side combinable), one
+    * spillable cumsum window over the distinct-value frame, then ONE
+    * value-keyed equi-join back to the corpus — never a rank window over
+    * all rows. */
+  def quantileNormalize(docs: DataFrame, valueCol: String = "n_chars"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = graft.ops.BoundedPercentile.countByValue(
+      docs.select(lit("ALL").as("__g"), col(valueCol)), "__g", valueCol)
+    val w = Window.partitionBy("__g").orderBy("__v")
+    val cum = cnt
+      .withColumn("__hi", sum(col("__c")).over(w))
+      .withColumn("__lo", col("__hi") - col("__c"))
+    val tot = cnt.groupBy("__g").agg(sum(col("__c")).as("__n"))
+    val q = cum.join(broadcast(tot), Seq("__g"))
+      .select(col("__v"),
+        when(col("__n") > 1,
+          (col("__lo") + col("__hi") - lit(1L)).cast("double")
+            / (lit(2.0) * (col("__n") - lit(1L)).cast("double")))
+          .otherwise(lit(0.5)).as("__q"))
+    docs.select(col("doc_id"), col(valueCol).cast("double").as("__v"))
+      .join(q, Seq("__v"))
+      .select(col("doc_id"), col("__v").as(valueCol),
+        graft.ops.Ops.rnd(col("__q"), 6).as("quantile"))
+  }
+
   /** Vocabulary growth curve (Heaps' law) — distinct-token count as a
     * function of corpus prefix size, the measurement behind tokenizer
     * sizing and "is more data still adding vocabulary" curation calls.

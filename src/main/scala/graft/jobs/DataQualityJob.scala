@@ -237,32 +237,52 @@ object DataQualityJob {
     * Determinism: both medians come from the BoundedPercentile
     * decomposition (exact interpolation, rounded at fixed points), the
     * deviation/score arithmetic is one shared double formula — the
-    * exactStddev posture. Scale: two count-by-value passes (orders, then
-    * the deviation frame) + a 3-row broadcast between and after; no
-    * per-group value buffer anywhere. */
+    * exactStddev posture. Scale: ONE count-by-value pass over orders;
+    * the deviation distribution and the outlier counts both derive from
+    * the distinct-value frame (a |v − med| re-group sums mirrored
+    * values' counts), so no second corpus scan exists and no per-group
+    * value buffer anywhere. */
   def robustOutliers(spark: SparkSession, dir: String,
                      zCut: Double = 3.5): DataFrame = {
     import graft.ops.BoundedPercentile
-    val orders = Tables.orders(spark, dir).select("o_orderstatus", "o_totalprice")
-    val med = BoundedPercentile.exact(orders, "o_orderstatus", "o_totalprice",
+    // ONE corpus pass: everything downstream of the count-by-value
+    // collapse — the median pick, the DEVIATION distribution (|v − med|
+    // with mirrored values' counts summed), and the outlier counting —
+    // runs over the distinct-value frame, orders of magnitude smaller
+    // than the corpus (the same ReuseExchange posture as
+    // percentiles_approx; pinned in ScaleShapeSpec)
+    val cnt = BoundedPercentile.countByValue(
+      Tables.orders(spark, dir).select("o_orderstatus", "o_totalprice"),
+      "o_orderstatus", "o_totalprice")
+    val med = BoundedPercentile.exactFromCounts(cnt, "o_orderstatus",
         Seq(0.5 -> "med"), 2)
       .select(col("o_orderstatus"), col("med"))
-    val devs = orders.join(broadcast(med), Seq("o_orderstatus"))
-      .withColumn("__dev", abs(col("o_totalprice") - col("med")))
-    val mad = BoundedPercentile.exact(devs, "o_orderstatus", "__dev",
+    // joins on the group key are NULL-SAFE (<=>), exactly like
+    // exactFromCounts' internal joins: a plain equi-join would let
+    // Catalyst infer IsNotNull(o_orderstatus) into this branch's scan,
+    // making the count-by-value subtree differ from the median branch's
+    // and defeating ReuseExchange (two corpus scans instead of one)
+    def joinOn(l: DataFrame, r: DataFrame): DataFrame =
+      l.as("l").join(broadcast(r).as("r"),
+          col("l.o_orderstatus") <=> col("r.o_orderstatus"))
+        .drop(col("r.o_orderstatus"))
+    val devCnt = joinOn(cnt, med)
+      .groupBy(col("o_orderstatus"),
+        abs(col("__v") - col("med")).as("__v"))
+      .agg(sum(col("__c")).as("__c"))
+    val mad = BoundedPercentile.exactFromCounts(devCnt, "o_orderstatus",
         Seq(0.5 -> "mad"), 4)
       .select(col("o_orderstatus"), col("mad"))
-    val scored = devs.join(broadcast(mad), Seq("o_orderstatus"))
-      // ANSI guard: a degenerate group (≥50% of rows at the median) has
-      // MAD 0 — every off-median row would divide by zero; it scores null
-      // and the robust rule abstains there (documented MAD limitation)
-      .withColumn("__rz",
-        when(col("mad") > 0,
-          lit(0.6745) * (col("o_totalprice") - col("med")) / col("mad")))
-    scored.groupBy("o_orderstatus")
+    // ANSI guard: a degenerate group (≥50% of rows at the median) has
+    // MAD 0 — its rows would divide by zero; the robust rule abstains
+    // there (documented MAD limitation), mirrored by the oracle's CASE
+    joinOn(joinOn(cnt, med), mad)
+      .groupBy("o_orderstatus")
       .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
-        graft.ops.Ops.countIf(abs(col("__rz")) > zCut).as("n_outliers"),
-        count(lit(1)).as("n"))
+        sum(when(col("mad") > 0 &&
+            abs(lit(0.6745) * (col("__v") - col("med")) / col("mad")) > zCut,
+          col("__c")).otherwise(lit(0L))).as("n_outliers"),
+        sum(col("__c")).as("n"))
   }
 
   /** Distribution drift between two time periods — the feature-drift

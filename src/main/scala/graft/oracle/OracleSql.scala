@@ -1333,6 +1333,23 @@ object OracleSql {
        |FROM c, t
        |WHERE (hi * $k) // w > ((hi - n_tokens) * $k) // w""".stripMargin
 
+  /** Quantile normalization — mirrors ext/Corpus.quantileNormalize:
+    * mid-rank quantile per distinct value from the count-by-value cumsum,
+    * joined back to the corpus (ties share one quantile; n=1 pins 0.5). */
+  def quantileNormalize(valueCol: String = "n_chars"): String =
+    s"""WITH c AS (SELECT CAST($valueCol AS DOUBLE) AS v, COUNT(*) AS c
+       |  FROM documents WHERE $valueCol IS NOT NULL GROUP BY 1),
+       |m AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS hi FROM c),
+       |t AS (SELECT SUM(c) AS n FROM c),
+       |q AS (SELECT v,
+       |    CASE WHEN n > 1 THEN
+       |      CAST((hi - c) + hi - 1 AS DOUBLE) / (2.0 * CAST(n - 1 AS DOUBLE))
+       |    ELSE 0.5 END AS qv
+       |  FROM m, t)
+       |SELECT d.doc_id, CAST(d.$valueCol AS DOUBLE) AS $valueCol,
+       |  ${rnd("q.qv", 6)} AS quantile
+       |FROM documents d JOIN q ON CAST(d.$valueCol AS DOUBLE) = q.v""".stripMargin
+
   /** Vocabulary growth (Heaps' law) — mirrors ext/Corpus.vocabGrowth:
     * 0-based doc position in doc_id order, exact-integer prefix bucket,
     * tokens counted at their first-appearance bucket, ≤B-row cumsum. */

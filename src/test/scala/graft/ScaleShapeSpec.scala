@@ -267,6 +267,13 @@ class ScaleShapeSpec extends SparkSpec {
     assert(da.collect().nonEmpty)
     assert(finalScansOf(da, "orders") == 1,
       s"expected one orders scan:\n${da.queryExecution.executedPlan}")
+    // dq_robust_outliers: the median pick, deviation distribution and
+    // outlier counting all derive from the ONE count-by-value collapse —
+    // a second orders scan means a branch re-read the corpus
+    val ro = jobs.DataQualityJob.robustOutliers(spark, sf0001)
+    assert(ro.collect().length == 3)
+    assert(finalScansOf(ro, "orders") == 1,
+      s"expected one orders scan:\n${ro.queryExecution.executedPlan}")
     // semantic_leakage: the bounded pair table must broadcast through both
     // endpoint joins — a sort-merge join would shuffle the embeddings
     // corpus for a pair set orders of magnitude smaller
