@@ -298,40 +298,51 @@ object StreamAnalogJobs {
     * without a full trailing week score null (cold start), as does a
     * zero-variance baseline.
     *
-    * Determinism: daily totals and their squares accumulate as DECIMALs
-    * (order-independent), the z arithmetic runs on doubles cast from those
-    * exact sums with one fixed formula — bit-identical on any engine, same
-    * posture as dq_profile's exactStddev. The rounded z_score deliberately
-    * uses the SHARED floor-based round point even though z can be negative
-    * (a negative half rounds toward +∞, not away from zero — a documented
-    * deviation from the repo's HALF_UP-on-non-negatives convention; the
-    * identical formula on both engines is what the hash gate needs).
-    * Scale: the window runs over the DAILY frame (365 rows/year —
-    * trivially one task), while the corpus-sized work is the combinable
-    * daily aggregate. */
+    * Determinism: per-day totals accumulate as DECIMALs (order-
+    * independent), cast ONCE to exactly-representable doubles (a 2-dp
+    * total is exact in double while total < 2⁵³/100 ≈ $9·10¹³/day), and
+    * the trailing sums are an EXPLICIT 7-term lag chain — fixed left
+    * association, so both engines run the identical scalar IEEE ops.
+    * A windowed SUM would NOT be deterministic here: the sum of squares
+    * carries ~18 significant digits, and casting that wide a DECIMAL to
+    * double rounds differently across engines (Java's BigDecimal is
+    * correctly rounded; an int128/10^scale path double-rounds — caught
+    * as a 1-ulp trailing_sd flip by the sf0.1 oracle sweep), while
+    * engine window internals (frame iteration vs segment trees) pick
+    * different association orders for raw double sums. The rounded
+    * z_score deliberately uses the SHARED floor-based round point even
+    * though z can be negative (a negative half rounds toward +∞ — a
+    * documented deviation from the repo's HALF_UP-on-non-negatives
+    * convention; the identical formula on both engines is what the hash
+    * gate needs). Scale: the lag window runs over the DAILY frame (365
+    * rows/year — trivially one task), while the corpus-sized work is the
+    * combinable daily aggregate. */
   def dailyAnomalies(spark: SparkSession, dir: String,
                      zThreshold: Double = 2.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val daily = Tables.orders(spark, dir)
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
       .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("__t"))
-      .withColumn("__t2", (col("__t") * col("__t")).cast("decimal(38,4)"))
-    val w = Window.orderBy("order_date").rowsBetween(-7, -1)
-    val cntD = count(lit(1)).over(w).cast("double")
-    val s1 = sum(col("__t")).over(w).cast("double")
-    val s2 = sum(col("__t2")).over(w).cast("double")
+      .withColumn("__td", col("__t").cast("double"))
+    val w = Window.orderBy("order_date")
+    val lags = (1 to 7).map(i => lag(col("__td"), i).over(w))
+    val cnt = lags.map(l => when(l.isNotNull, 1L).otherwise(0L))
+      .reduceLeft(_ + _)
+    val s1 = lags.map(l => coalesce(l, lit(0.0))).reduceLeft(_ + _)
+    val s2 = lags.map(l => coalesce(l * l, lit(0.0))).reduceLeft(_ + _)
+    val cntD = cnt.cast("double")
     // ANSI guards: the cold-start rows see an EMPTY trailing window
     // (cnt = 0 ⇒ mean divides by zero) or a 1-row one (cnt−1 = 0 ⇒ sd
     // does); CASE branches evaluate lazily, so the gated forms never run
     // the division there
     val scored = daily.select(
-      col("order_date"), col("__t").cast("double").as("daily_total"),
-      count(lit(1)).over(w).as("trailing_days"),
-      when(count(lit(1)).over(w) >= 1, s1 / cntD).as("__mean"),
+      col("order_date"), col("__td").as("daily_total"),
+      cnt.as("trailing_days"),
+      when(cnt >= 1, s1 / cntD).as("__mean"),
       // greatest(…, 0): a ~zero-variance window can go epsilon-negative
       // under double cancellation — sqrt would NaN here and ERROR in
       // DuckDB, so both engines clamp identically
-      when(count(lit(1)).over(w) >= 2,
+      when(cnt >= 2,
         sqrt(greatest((cntD * s2 - s1 * s1) / (cntD * (cntD - lit(1.0))),
           lit(0.0)))).as("__sd"))
     scored.select(

@@ -1368,22 +1368,36 @@ object OracleSql {
        |FROM c""".stripMargin
 
   /** Rolling z-score daily anomalies — mirrors
-    * StreamAnalogJobs.dailyAnomalies: DECIMAL-exact trailing sums, doubles
-    * only in the one shared z formula, full-week gate, zero-variance gate.
-    * The anomaly boolean COALESCEs the gated NULL to FALSE on both sides. */
-  def dailyAnomalies(zThreshold: Double = 2.0): String =
+    * StreamAnalogJobs.dailyAnomalies: DECIMAL-exact daily totals cast
+    * once to exactly-representable doubles, trailing sums as the SAME
+    * fixed-association 7-term lag chain (a windowed SUM of the wide
+    * squares diverges by an ulp across engines — decimal→double
+    * double-rounding / window association order; see the job scaladoc),
+    * full-week gate, zero-variance clamp, anomaly NULL coalesced to
+    * FALSE on both sides. */
+  def dailyAnomalies(zThreshold: Double = 2.0): String = {
+    val lagTerms = (1 to 7)
+    val cntExpr = lagTerms.map(i =>
+      s"(CASE WHEN LAG(td, $i) OVER win IS NOT NULL THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val s1Expr = lagTerms.map(i => s"COALESCE(LAG(td, $i) OVER win, 0.0)")
+      .mkString(" + ")
+    val s2Expr = lagTerms.map(i =>
+      s"COALESCE(LAG(td, $i) OVER win * LAG(td, $i) OVER win, 0.0)")
+      .mkString(" + ")
     s"""WITH daily AS (
        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date,
        |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS t
        |  FROM orders GROUP BY 1),
+       |d2 AS (SELECT order_date, CAST(t AS DOUBLE) AS td FROM daily),
        |w AS (
-       |  SELECT order_date, CAST(t AS DOUBLE) AS daily_total,
-       |    COUNT(*) OVER win AS trailing_days,
-       |    CAST(COUNT(*) OVER win AS DOUBLE) AS cnt,
-       |    CAST(SUM(t) OVER win AS DOUBLE) AS s1,
-       |    CAST(SUM(CAST(t * t AS DECIMAL(38,4))) OVER win AS DOUBLE) AS s2
-       |  FROM daily
-       |  WINDOW win AS (ORDER BY order_date ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+       |  SELECT order_date, td AS daily_total,
+       |    CAST($cntExpr AS BIGINT) AS trailing_days,
+       |    CAST($cntExpr AS DOUBLE) AS cnt,
+       |    $s1Expr AS s1,
+       |    $s2Expr AS s2
+       |  FROM d2
+       |  WINDOW win AS (ORDER BY order_date)),
        |z AS (
        |  SELECT order_date, daily_total, trailing_days,
        |    CASE WHEN trailing_days >= 1 THEN s1 / cnt END AS m,
@@ -1398,6 +1412,7 @@ object OracleSql {
        |  COALESCE(CASE WHEN trailing_days = 7 AND sd > 0
        |    THEN abs((daily_total - m) / sd) > $zThreshold END, FALSE) AS is_anomaly
        |FROM z""".stripMargin
+  }
 
   /** Daily totals + 7-row moving average + running total — mirrors
     * StreamAnalogJobs.movingDailyTotals (exact DECIMAL sums through the
