@@ -386,13 +386,9 @@ object Corpus {
     * value-keyed equi-join back to the corpus — never a rank window over
     * all rows. */
   def quantileNormalize(docs: DataFrame, valueCol: String = "n_chars"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cnt = graft.ops.BoundedPercentile.countByValue(
       docs.select(lit("ALL").as("__g"), col(valueCol)), "__g", valueCol)
-    val w = Window.partitionBy("__g").orderBy("__v")
-    val cum = cnt
-      .withColumn("__hi", sum(col("__c")).over(w))
-      .withColumn("__lo", col("__hi") - col("__c"))
+    val cum = graft.ops.BoundedPercentile.cumulated(cnt, "__g")
     val tot = cnt.groupBy("__g").agg(sum(col("__c")).as("__n"))
     val q = cum.join(broadcast(tot), Seq("__g"))
       .select(col("__v"),

@@ -211,14 +211,15 @@ object DataQualityJob {
   /** The generic core over any numeric column (ScalingBench ladders it
     * over the synthetic corpus; the driver query binds it to order
     * totals). */
-  def equiDepthOf(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cnt = graft.ops.BoundedPercentile.countByValue(
-      df.select(lit("ALL").as("__g"), col(valueCol)), "__g", valueCol)
-    val w = Window.partitionBy("__g").orderBy("__v")
-    val cum = cnt
-      .withColumn("__hi", sum(col("__c")).over(w))
-      .withColumn("__lo", col("__hi") - col("__c"))
+  def equiDepthOf(df: DataFrame, valueCol: String, buckets: Int): DataFrame =
+    equiDepthFromCounts(graft.ops.BoundedPercentile.countByValue(
+      df.select(lit("ALL").as("__g"), col(valueCol)), "__g", valueCol), buckets)
+
+  /** The histogram over a pre-built (__g, __v, __c) count-by-value table —
+    * split out so drift derives its reference histogram from a shared
+    * tagged frame instead of re-scanning the source. */
+  private[jobs] def equiDepthFromCounts(cnt: DataFrame, buckets: Int): DataFrame = {
+    val cum = graft.ops.BoundedPercentile.cumulated(cnt, "__g")
     val tot = cnt.groupBy("__g").agg(sum(col("__c")).as("__n"))
     cum.join(broadcast(tot), "__g")
       .withColumn("bucket", expr(s"CAST((__lo * $buckets) DIV __n AS INT)"))
@@ -237,11 +238,13 @@ object DataQualityJob {
     * Determinism: both medians come from the BoundedPercentile
     * decomposition (exact interpolation, rounded at fixed points), the
     * deviation/score arithmetic is one shared double formula — the
-    * exactStddev posture. Scale: ONE count-by-value pass over orders;
-    * the deviation distribution and the outlier counts both derive from
-    * the distinct-value frame (a |v − med| re-group sums mirrored
-    * values' counts), so no second corpus scan exists and no per-group
-    * value buffer anywhere. */
+    * exactStddev posture. NULL semantics follow countByValue: `n` counts
+    * NON-NULL rows and an all-NULL group is absent from the output (the
+    * oracle filters identically). Scale: ONE count-by-value pass over
+    * orders; the deviation distribution and the outlier counts both
+    * derive from the distinct-value frame (a |v − med| re-group sums
+    * mirrored values' counts), so no second corpus scan exists and no
+    * per-group value buffer anywhere. */
   def robustOutliers(spark: SparkSession, dir: String,
                      zCut: Double = 3.5): DataFrame = {
     import graft.ops.BoundedPercentile
@@ -301,28 +304,45 @@ object DataQualityJob {
     * whole-value assignment for reference rows, and total (cur values past
     * the reference max land in the top bucket).
     *
-    * Scale shape: one count-by-value pass for the reference histogram, a
-    * ≤B-element boundary array broadcast into one shared pass over both
-    * periods, a ≤B-row window for totals. */
+    * Scale shape: ONE corpus scan — a (period, value) count-by-value
+    * collapse feeds BOTH the reference histogram (filter is_ref on the
+    * distinct frame) and the bucket-mass counting (the robustOutliers
+    * posture; pinned in ScaleShapeSpec), with a ≤B-element boundary array
+    * broadcast between and a ≤B-row window for totals. NULL values are
+    * excluded from both periods (countByValue semantics, mirrored in the
+    * oracle). An EMPTY reference period is a caller error (there is
+    * nothing to drift against); the boundary slice degrades to a single
+    * bucket rather than failing. */
   def distributionDrift(spark: SparkSession, dir: String,
                         splitDate: String = "1998-07-01",
                         buckets: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cut = to_timestamp(lit(s"$splitDate 00:00:00"))
-    val orders = Tables.orders(spark, dir).select("o_orderdate", "o_totalprice")
-    val ref = orders.filter(col("o_orderdate") < cut)
-    val cur = orders.filter(col("o_orderdate") >= cut)
-    val bnds = equiDepthOf(ref, "o_totalprice", buckets)
+    val cb = Tables.orders(spark, dir)
+      .filter(col("o_totalprice").isNotNull)
+      .groupBy(
+        when(col("o_orderdate") < cut, lit(1L)).otherwise(lit(0L)).as("__is_ref"),
+        col("o_totalprice").cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    // reference counts via a conditional RE-AGGREGATION of the shared
+    // frame, not a filter: a `__is_ref = 1` filter on the grouped output
+    // is pushable (Catalyst rewrites it to `o_orderdate < cut` below the
+    // aggregate), which specializes this branch's scan and defeats
+    // ReuseExchange — the post-aggregate `__c > 0` predicate is not
+    val refCnt = cb.groupBy(col("__v"))
+      .agg(sum(when(col("__is_ref") === 1, col("__c")).otherwise(lit(0L))).as("__c"))
+      .filter(col("__c") > 0)
+      .select(lit("ALL").as("__g"), col("__v"), col("__c"))
+    val bnds = equiDepthFromCounts(refCnt, buckets)
       .agg(array_sort(collect_list(struct(col("bucket"), col("hi_value")))).as("a"))
-      .select(expr("slice(transform(a, x -> x.hi_value), 1, size(a) - 1)").as("bnds"))
-    val tagged = ref.select(col("o_totalprice").as("__v"), lit(1L).as("__is_ref"))
-      .unionByName(cur.select(col("o_totalprice").as("__v"), lit(0L).as("__is_ref")))
-    val g = tagged.crossJoin(broadcast(bnds))
+      .select(expr("slice(transform(a, x -> x.hi_value), 1, greatest(size(a) - 1, 0))")
+        .as("bnds"))
+    val g = cb.crossJoin(broadcast(bnds))
       .select(expr("CAST(size(filter(bnds, x -> __v > x)) AS INT)").as("bucket"),
-        col("__is_ref"))
+        col("__is_ref"), col("__c"))
       .groupBy("bucket")
-      .agg(sum(col("__is_ref")).as("n_ref"),
-        (count(lit(1)) - sum(col("__is_ref"))).as("n_cur"))
+      .agg(sum(when(col("__is_ref") === 1, col("__c")).otherwise(lit(0L))).as("n_ref"),
+        sum(when(col("__is_ref") === 0, col("__c")).otherwise(lit(0L))).as("n_cur"))
     val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val pRef = when(sum(col("n_ref")).over(w) > 0,
       col("n_ref").cast("double") / sum(col("n_ref")).over(w).cast("double"))

@@ -299,10 +299,12 @@ object StreamAnalogJobs {
     * zero-variance baseline.
     *
     * Determinism: per-day totals accumulate as DECIMALs (order-
-    * independent), cast ONCE to exactly-representable doubles (a 2-dp
-    * total is exact in double while total < 2⁵³/100 ≈ $9·10¹³/day), and
-    * the trailing sums are an EXPLICIT 7-term lag chain — fixed left
-    * association, so both engines run the identical scalar IEEE ops.
+    * independent), cast ONCE to doubles — NOT exact (no non-integer
+    * multiple of 0.01 is), but a NARROW decimal (value·100 < 2⁵³) casts
+    * in one correctly-rounded step on both engines, so the doubles are
+    * IDENTICAL — and the trailing sums are an EXPLICIT 7-term lag chain
+    * with fixed left association, so both engines run the identical
+    * scalar IEEE ops on those identical inputs.
     * A windowed SUM would NOT be deterministic here: the sum of squares
     * carries ~18 significant digits, and casting that wide a DECIMAL to
     * double rounds differently across engines (Java's BigDecimal is

@@ -106,15 +106,24 @@ object BoundedPercentile {
         least(lit(c1), col("__r2") - col("__k1") * c1).cast("int"))).as(out): _*)
   }
 
+  /** The cumulated form of a count-by-value table: each value row gains
+    * its [__lo, __hi) index range in the group's sorted order (running-sum
+    * window, spillable). The shared scaffold of every consumer of the
+    * decomposition — exact percentiles, equi-depth histograms, quantile
+    * normalization, drift bucketing — so the construction (and any fix to
+    * it) lives once. */
+  def cumulated(cnt: DataFrame, groupCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy("__v")
+    cnt.withColumn("__hi", sum(col("__c")).over(w))
+      .withColumn("__lo", col("__hi") - col("__c"))
+  }
+
   def exactFromCounts(cnt: DataFrame, groupCol: String,
                       ps: Seq[(Double, String)], scale: Int,
                       joined: Seq[DataFrame] = Nil,
                       extraAggs: Seq[Column] = Nil,
                       extraOut: Seq[Column] = Nil): DataFrame = {
-    val w = Window.partitionBy(groupCol).orderBy("__v")
-    val cum = cnt
-      .withColumn("__hi", sum(col("__c")).over(w))
-      .withColumn("__lo", col("__hi") - col("__c"))
+    val cum = cumulated(cnt, groupCol)
     val tot = cnt.groupBy(groupCol).agg(sum(col("__c")).as("__n"))
     // the totals frame is one row per group — broadcast it back. The join
     // is NULL-SAFE on the group key: groupBy keeps a null group (exactly

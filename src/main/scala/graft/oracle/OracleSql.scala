@@ -427,22 +427,23 @@ object OracleSql {
     * terms in rational arithmetic (no PSI logarithm — libm-free). */
   def distributionDrift(splitDate: String = "1998-07-01",
                         buckets: Int = 10): String =
-    s"""WITH r AS (SELECT o_totalprice AS v FROM orders
-       |    WHERE o_orderdate < TIMESTAMP '$splitDate 00:00:00'),
-       |cu AS (SELECT o_totalprice AS v FROM orders
-       |    WHERE o_orderdate >= TIMESTAMP '$splitDate 00:00:00'),
-       |c AS (SELECT v, COUNT(*) AS c FROM r GROUP BY 1),
+    s"""WITH cb AS (SELECT
+       |    CASE WHEN o_orderdate < TIMESTAMP '$splitDate 00:00:00'
+       |      THEN 1 ELSE 0 END AS is_ref,
+       |    o_totalprice AS v, COUNT(*) AS c
+       |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2),
+       |c AS (SELECT v, SUM(c) AS c FROM cb WHERE is_ref = 1 GROUP BY 1),
        |m AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS hi FROM c),
        |t AS (SELECT SUM(c) AS n FROM c),
        |h AS (SELECT CAST(((hi - c) * $buckets) // n AS INT) AS bucket,
        |    MAX(v) AS hi_v FROM m, t GROUP BY 1),
        |b AS (SELECT list_slice(list(hi_v ORDER BY bucket), 1,
-       |    len(list(hi_v ORDER BY bucket)) - 1) AS bnds FROM h),
-       |u AS (SELECT v, 1 AS is_ref FROM r UNION ALL SELECT v, 0 FROM cu),
+       |    GREATEST(len(list(hi_v ORDER BY bucket)) - 1, 0)) AS bnds FROM h),
        |a AS (SELECT CAST(len(list_filter(bnds, x -> v > x)) AS INT) AS bucket,
-       |    is_ref FROM u, b),
-       |g AS (SELECT bucket, CAST(SUM(is_ref) AS BIGINT) AS n_ref,
-       |    CAST(COUNT(*) - SUM(is_ref) AS BIGINT) AS n_cur
+       |    is_ref, c FROM cb, b),
+       |g AS (SELECT bucket,
+       |    CAST(SUM(CASE WHEN is_ref = 1 THEN c ELSE 0 END) AS BIGINT) AS n_ref,
+       |    CAST(SUM(CASE WHEN is_ref = 0 THEN c ELSE 0 END) AS BIGINT) AS n_cur
        |  FROM a GROUP BY 1),
        |p AS (SELECT bucket, n_ref, n_cur,
        |    CASE WHEN SUM(n_ref) OVER () > 0 THEN
@@ -458,14 +459,17 @@ object OracleSql {
   /** MAD robust outliers — mirrors jobs/DataQualityJob.robustOutliers:
     * interpolated medians at the same fixed round points, one shared
     * double formula for the modified z, MAD-0 groups abstain (CASE gate
-    * mirrors the Spark `when`). */
+    * mirrors the Spark `when`). NULL values are excluded everywhere and
+    * `n` counts non-null rows — countByValue's contract (an all-NULL
+    * group is absent from BOTH engines' output). */
   def robustOutliers(zCut: Double = 3.5): String =
     s"""WITH med AS (SELECT o_orderstatus,
        |    ${rnd("quantile_cont(o_totalprice, 0.5)", 2)} AS med
-       |  FROM orders GROUP BY 1),
+       |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
        |d AS (SELECT o.o_orderstatus, o.o_totalprice, m.med,
        |    abs(o.o_totalprice - m.med) AS dev
-       |  FROM orders o JOIN med m USING (o_orderstatus)),
+       |  FROM orders o JOIN med m USING (o_orderstatus)
+       |  WHERE o.o_totalprice IS NOT NULL),
        |ma AS (SELECT o_orderstatus, ${rnd("quantile_cont(dev, 0.5)", 4)} AS mad
        |  FROM d GROUP BY 1)
        |SELECT d.o_orderstatus, MIN(d.med) AS med, MIN(ma.mad) AS mad,

@@ -40,8 +40,12 @@ class Round9InvariantSpec extends SparkSpec {
 
   test("quantile_normalize spans [0,1], is monotone in the value, and ties share a quantile") {
     val q = ext.Corpus.quantileNormalize(docs)
+    // [0,1] bounds only: min quantile is exactly 0 IFF the minimum value
+    // is unique ((c_min − 1)/(2(n−1)) otherwise — ties share a mid-rank),
+    // so exact-0/exact-1 would pin a property of the current testdata,
+    // not of the operator
     val mm = q.agg(min("quantile"), max("quantile")).head()
-    assert(mm.getDouble(0) == 0.0 && mm.getDouble(1) == 1.0)
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
     // monotone: quantile order equals value order on the distinct frame
     val viol = q.select("n_chars", "quantile").distinct().as[(Double, Double)]
       .collect().sortBy(_._1).sliding(2)

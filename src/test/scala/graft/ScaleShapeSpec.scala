@@ -267,6 +267,12 @@ class ScaleShapeSpec extends SparkSpec {
     assert(da.collect().nonEmpty)
     assert(finalScansOf(da, "orders") == 1,
       s"expected one orders scan:\n${da.queryExecution.executedPlan}")
+    // dq_drift: the reference histogram and the bucket-mass counting both
+    // derive from the ONE (period, value) count-by-value collapse
+    val dd = jobs.DataQualityJob.distributionDrift(spark, sf0001)
+    assert(dd.collect().nonEmpty)
+    assert(finalScansOf(dd, "orders") == 1,
+      s"expected one orders scan:\n${dd.queryExecution.executedPlan}")
     // dq_robust_outliers: the median pick, deviation distribution and
     // outlier counting all derive from the ONE count-by-value collapse —
     // a second orders scan means a branch re-read the corpus
