@@ -123,6 +123,7 @@ object SparkEntry {
     "moving_daily_totals"  -> ((s, dir) => StreamAnalogJobs.movingDailyTotals(s, dir)),
     "daily_anomalies"      -> ((s, dir) => StreamAnalogJobs.dailyAnomalies(s, dir)),
     "event_funnel"         -> ((s, dir) => StreamAnalogJobs.eventFunnel(s, dir)),
+    "ab_metric"            -> ((s, dir) => StreamAnalogJobs.abMetric(s, dir)),
     "weighted_sample"      -> ((s, dir) => ext.Corpus.weightedSample(
       core.Tables.documents(s, dir), 100)),
     "vocab_growth"         -> ((s, dir) => ext.Corpus.vocabGrowth(
@@ -278,6 +279,7 @@ object SparkEntry {
     "rollup_accounting"    -> OracleSql.sourceRollup,
     "daily_anomalies"      -> OracleSql.dailyAnomalies(),
     "event_funnel"         -> OracleSql.eventFunnel(),
+    "ab_metric"            -> OracleSql.abMetric(),
     "weighted_sample"      -> OracleSql.weightedSample(100),
     "vocab_growth"         -> OracleSql.vocabGrowth(),
     "quantile_normalize"   -> OracleSql.quantileNormalize(),

@@ -252,6 +252,46 @@ object StreamAnalogJobs {
       sum(col("__sum")).over(wCum).cast("double").as("cum_total"))
   }
 
+  /** A/B experiment readout — the analytics staple the funnel/cohort
+    * family completes: users deterministically hash-assigned to arms
+    * (Corpus.unitHash — the same engine-independent Knuth hash as the
+    * samplers, so an assignment never changes under reruns or corpus
+    * relayout, the property an experiment MUST keep), then per-arm
+    * conversion and spend with `lift` vs the control arm.
+    *
+    * Determinism: per-user spend goes through exact DECIMAL sums (2-dp
+    * values, cast identically on both engines); the arm-level average
+    * re-accumulates those per-user doubles as DECIMAL (order-free), and
+    * lift reads the control rate via a first_value window over the 2-row
+    * arm frame. Scale: two user-keyed combinable aggregates — the same
+    * shuffle key back-to-back, so the layout is reused. */
+  def abMetric(spark: SparkSession, dir: String,
+               controlFrac: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(countIf(col("event_type") === "purchase").as("__purchases"),
+        orZeroD(sumMoney(lit(true), col("value"))).as("__spend"))
+      .withColumn("arm",
+        when(graft.ext.Corpus.unitHash(col("user_id")) < controlFrac, "A")
+          .otherwise("B"))
+    val perArm = perUser.groupBy("arm").agg(
+      count(lit(1)).as("n_users"),
+      countIf(col("__purchases") > 0).as("converted_users"),
+      sum(col("__spend").cast("decimal(18,2)")).as("__spend_sum"))
+    val w = Window.orderBy("arm")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rate = col("converted_users").cast("double") / col("n_users").cast("double")
+    perArm.select(col("arm"), col("n_users"), col("converted_users"),
+        Ops.rnd(rate, 6).as("conversion_rate"),
+        Ops.rnd(col("__spend_sum").cast("double")
+          / col("n_users").cast("double"), 6).as("avg_spend"),
+        Ops.rnd(rate, 6).as("__r"))
+      .withColumn("lift",
+        Ops.rnd(col("__r") - first_value(col("__r")).over(w), 6))
+      .drop("__r")
+  }
+
   /** Strict-ordered conversion funnel — the product-analytics sequential
     * pattern (view → click → purchase, each step's FIRST occurrence
     * strictly after the previous step's): per user, t₁ = min ts of step 1,

@@ -1292,6 +1292,35 @@ object OracleSql {
        |FROM events GROUP BY user_id""".stripMargin
   }
 
+  /** A/B experiment readout — mirrors StreamAnalogJobs.abMetric: the
+    * shared Knuth unit-hash arm assignment over per-user aggregates,
+    * DECIMAL-exact spend accumulation at both levels, lift computed from
+    * the ROUNDED rates via a 2-row first_value window (identical to the
+    * Spark side's __r staging). */
+  def abMetric(controlFrac: Double = 0.5): String =
+    s"""WITH pu AS (SELECT user_id,
+       |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+       |    COALESCE(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 0.0) AS spend
+       |  FROM events GROUP BY 1),
+       |${unitHashCtes(", purchases, spend", "pu", "user_id")},
+       |arms AS (SELECT
+       |    CASE WHEN unit_hash < $controlFrac THEN 'A' ELSE 'B' END AS arm,
+       |    purchases, spend FROM u),
+       |g AS (SELECT arm, COUNT(*) AS n_users,
+       |    COUNT(CASE WHEN purchases > 0 THEN 1 END) AS converted_users,
+       |    CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS ss
+       |  FROM arms GROUP BY 1),
+       |g2 AS (SELECT arm, n_users, converted_users,
+       |    ${rnd("CAST(converted_users AS DOUBLE) / CAST(n_users AS DOUBLE)", 6)}
+       |      AS conversion_rate,
+       |    ${rnd("ss / CAST(n_users AS DOUBLE)", 6)} AS avg_spend
+       |  FROM g)
+       |SELECT arm, n_users, converted_users, conversion_rate, avg_spend,
+       |  ${rnd("conversion_rate - FIRST_VALUE(conversion_rate) OVER " +
+      "(ORDER BY arm ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)", 6)}
+       |    AS lift
+       |FROM g2""".stripMargin
+
   /** Strict-ordered conversion funnel — mirrors
     * StreamAnalogJobs.eventFunnel: each stage joins the previous stage's
     * first-occurrence timestamps and keeps strictly-later events only;
