@@ -2,7 +2,7 @@ package graft.jobs
 
 import java.time.{Duration, Instant}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{AsOf, Roles, Tables}
@@ -241,25 +241,65 @@ object DataQualityJob {
     * exactStddev posture. NULL semantics follow countByValue: `n` counts
     * NON-NULL rows and an all-NULL group is absent from the output (the
     * oracle filters identically). Scale: ONE count-by-value pass over
-    * orders; the deviation distribution and the outlier counts both
-    * derive from the distinct-value frame (a |v − med| re-group sums
-    * mirrored values' counts), so no second corpus scan exists and no
-    * per-group value buffer anywhere. */
+    * orders; the median, the DEVIATION distribution and the outlier
+    * counts all derive from the distinct-value frame — no second corpus
+    * scan, no per-group value buffer anywhere.
+    *
+    * Fused form (round 10): the round-9 shape chained two full
+    * `exactFromCounts` passes (median, then MAD over a |v − med|
+    * re-group), each paying a totals aggregate + broadcast and its own
+    * window exchange — ~9 serialized stages of pure orchestration at
+    * small scale. Here each median is ONE window pass: the group total
+    * rides the same status-partitioned sort as the running sum (an
+    * unordered window frame — no totals aggregate, no broadcast join
+    * back), the MAD cumulates deviations directly with a rows-frame
+    * window (duplicate deviations own adjacent index ranges, so the
+    * mirrored-value re-group disappears), and the outlier count is a
+    * re-aggregation of that same deviation frame. Values and the
+    * interpolation arithmetic are unchanged term for term, so the output
+    * is bit-identical to the round-9 form and to the oracle. */
   def robustOutliers(spark: SparkSession, dir: String,
                      zCut: Double = 3.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import graft.ops.BoundedPercentile
-    // ONE corpus pass: everything downstream of the count-by-value
-    // collapse — the median pick, the DEVIATION distribution (|v − med|
-    // with mirrored values' counts summed), and the outlier counting —
-    // runs over the distinct-value frame, orders of magnitude smaller
-    // than the corpus (the same ReuseExchange posture as
-    // percentiles_approx; pinned in ScaleShapeSpec)
+    // ONE corpus pass (the same ReuseExchange posture as
+    // percentiles_approx; pinned in ScaleShapeSpec): both branches below
+    // consume this count-by-value collapse, orders of magnitude smaller
+    // than the corpus
     val cnt = BoundedPercentile.countByValue(
       Tables.orders(spark, dir).select("o_orderstatus", "o_totalprice"),
       "o_orderstatus", "o_totalprice")
-    val med = BoundedPercentile.exactFromCounts(cnt, "o_orderstatus",
-        Seq(0.5 -> "med"), 2)
-      .select(col("o_orderstatus"), col("med"))
+
+    // one-pass interpolated median over a rows-cumulated frame: the
+    // flanking-value picks are combinable max(when) aggregates on the
+    // already-status-partitioned window output (no exchange), and the
+    // interpolation is Percentile.getPercentile's formula term for term
+    // (exactFromCounts' contract)
+    def medianOf(cumDf: DataFrame, v: Column, scale: Int, out: String): DataFrame = {
+      val pos = lit(0.5) * (col("__n") - 1).cast("double")
+      def at(k: Column) = max(when(col("__lo") <= k && k < col("__hi"), v))
+      val x = lit(0.5) * (col("__n") - 1).cast("double")
+      cumDf.groupBy("o_orderstatus")
+        .agg(at(floor(pos)).as("__vlo"), at(ceil(pos)).as("__vhi"),
+          max(col("__n")).as("__n"))
+        .select(col("o_orderstatus"),
+          rnd(when(floor(x) === ceil(x), col("__vlo"))
+            .otherwise((ceil(x) - x) * col("__vlo") + (x - floor(x)) * col("__vhi")),
+            scale).as(out),
+          col("__n"))
+    }
+    // the group total __n is an unordered frame over the SAME partition
+    // spec as the running sum: one sort, two window frames, zero extra
+    // exchanges — this replaces exactFromCounts' totals-aggregate +
+    // broadcast-join scaffold
+    val byV = Window.partitionBy("o_orderstatus").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cnt
+      .withColumn("__hi", sum(col("__c")).over(byV))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy("o_orderstatus")))
+      .withColumn("__lo", col("__hi") - col("__c"))
+    val med = medianOf(cum, col("__v"), 2, "med")
+
     // joins on the group key are NULL-SAFE (<=>), exactly like
     // exactFromCounts' internal joins: a plain equi-join would let
     // Catalyst infer IsNotNull(o_orderstatus) into this branch's scan,
@@ -269,17 +309,27 @@ object DataQualityJob {
       l.as("l").join(broadcast(r).as("r"),
           col("l.o_orderstatus") <=> col("r.o_orderstatus"))
         .drop(col("r.o_orderstatus"))
-    val devCnt = joinOn(cnt, med)
-      .groupBy(col("o_orderstatus"),
-        abs(col("__v") - col("med")).as("__v"))
-      .agg(sum(col("__c")).as("__c"))
-    val mad = BoundedPercentile.exactFromCounts(devCnt, "o_orderstatus",
-        Seq(0.5 -> "mad"), 4)
-      .select(col("o_orderstatus"), col("mad"))
+    // deviation cumulation WITHOUT the mirrored-value re-group: a
+    // rows-frame running sum over (|v − med|, v) order gives duplicate
+    // deviations adjacent index ranges, so position→value picks are
+    // unchanged and one whole exchange (the round-9 re-group) disappears;
+    // __n arrives on the broadcast med frame
+    val byD = Window.partitionBy("o_orderstatus")
+      .orderBy(col("__d"), col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dcum = joinOn(cnt, med)
+      .withColumn("__d", abs(col("__v") - col("med")))
+      .withColumn("__hi", sum(col("__c")).over(byD))
+      .withColumn("__lo", col("__hi") - col("__c"))
+    val mad = medianOf(dcum, col("__d"), 4, "mad").drop("__n")
+
     // ANSI guard: a degenerate group (≥50% of rows at the median) has
     // MAD 0 — its rows would divide by zero; the robust rule abstains
-    // there (documented MAD limitation), mirrored by the oracle's CASE
-    joinOn(joinOn(cnt, med), mad)
+    // there (documented MAD limitation), mirrored by the oracle's CASE.
+    // The outlier count re-aggregates the deviation frame (its exchange
+    // subtree is shared with the MAD branch), with the shared double
+    // formula unchanged from round 9
+    joinOn(dcum, mad)
       .groupBy("o_orderstatus")
       .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
         sum(when(col("mad") > 0 &&

@@ -461,14 +461,18 @@ object OracleSql {
     * double formula for the modified z, MAD-0 groups abstain (CASE gate
     * mirrors the Spark `when`). NULL values are excluded everywhere and
     * `n` counts non-null rows — countByValue's contract (an all-NULL
-    * group is absent from BOTH engines' output). */
+    * group is absent from BOTH engines' output). Joins on the GROUP key
+    * are NULL-SAFE (IS NOT DISTINCT FROM), mirroring the Spark side's
+    * <=> joins: groupBy keeps a NULL group key, and a plain equi-join
+    * here would silently drop it while Spark preserved it. */
   def robustOutliers(zCut: Double = 3.5): String =
     s"""WITH med AS (SELECT o_orderstatus,
        |    ${rnd("quantile_cont(o_totalprice, 0.5)", 2)} AS med
        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
        |d AS (SELECT o.o_orderstatus, o.o_totalprice, m.med,
        |    abs(o.o_totalprice - m.med) AS dev
-       |  FROM orders o JOIN med m USING (o_orderstatus)
+       |  FROM orders o JOIN med m
+       |    ON o.o_orderstatus IS NOT DISTINCT FROM m.o_orderstatus
        |  WHERE o.o_totalprice IS NOT NULL),
        |ma AS (SELECT o_orderstatus, ${rnd("quantile_cont(dev, 0.5)", 4)} AS mad
        |  FROM d GROUP BY 1)
@@ -477,7 +481,9 @@ object OracleSql {
        |    AND abs(0.6745 * (d.o_totalprice - d.med) / ma.mad) > $zCut
        |    THEN 1 END) AS n_outliers,
        |  COUNT(*) AS n
-       |FROM d JOIN ma USING (o_orderstatus) GROUP BY 1""".stripMargin
+       |FROM d JOIN ma
+       |  ON d.o_orderstatus IS NOT DISTINCT FROM ma.o_orderstatus
+       |GROUP BY 1""".stripMargin
 
   /** Equi-depth histogram — mirrors jobs/DataQualityJob.equiDepthHistogram.
     * The whole-value bucket rule (`(lo*B) // n`, exact integer division)
