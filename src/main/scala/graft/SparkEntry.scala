@@ -84,6 +84,7 @@ object SparkEntry {
     "feature_bundles"      -> ((s, dir) => serving.Lookups.featureBundles(s, dir)),
     "random_sample"        -> ((s, dir) => serving.Lookups.randomSample(s, dir, 100)),
     "asof_risk"            -> ((s, dir) => StreamAnalogJobs.asOfRisk(s, dir)),
+    "pit_training_set"     -> ((s, dir) => TrainingSetJob.pitTrainingSet(s, dir)),
     "tumbling_counts"      -> ((s, dir) => StreamAnalogJobs.tumblingCounts(s, dir)),
     "transaction_features_compat" -> ((s, dir) =>
       canon(TransactionFeaturesJob(s, dir, compatNight = true))),
@@ -255,6 +256,7 @@ object SparkEntry {
     "approx_distinct"      -> OracleSql.approxDistinct,
     "percentiles_approx"   -> OracleSql.percentilesApprox,
     "asof_risk"            -> OracleSql.asOfRisk,
+    "pit_training_set"     -> OracleSql.pitTrainingSet,
     "tumbling_counts"      -> OracleSql.tumblingCounts,
     "transaction_features_compat" -> OracleSql.transactionFeaturesCompat(),
     "event_sessions"       -> OracleSql.eventSessions,

@@ -1,0 +1,105 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{Ops, PitJoin}
+
+/** The point-in-time-correct training set — the feature-store headline
+  * query (SURVEY §7.5 phase 3): one row per label event carrying, for ALL
+  * THREE timestamped feature roles (risk_scores, credit_reports,
+  * velocity_alerts — Roles.scala), the value that was in force AT the
+  * label's timestamp. No feature computed after the label leaks in; a
+  * feature older than the shared staleness band serves as its no-value
+  * default, exactly like online serving would (the asOfRisk posture,
+  * generalized from one fact table to the full matrix).
+  *
+  * Labels: click events, with a deterministic engagement label
+  * (value >= 250 — the same kind of derived outcome the A/B readout uses).
+  *
+  * Scale shape: all three fact roles AND the probes are slices of the one
+  * events table, so the timeline is built with conditional projections of
+  * a SINGLE events scan (pinned in ScaleShapeSpec) instead of
+  * PitJoin.trainingMatrix's generic 4-frame union, which would re-scan
+  * events once per role — on a 100 TB events table, 4× the I/O for
+  * byte-identical output (Round10InvariantSpec pins the equivalence). The
+  * fill itself is ONE user-hashed exchange + one sort for the whole
+  * matrix; see PitJoin's scaladoc for why that beats three chained as-of
+  * joins.
+  */
+object TrainingSetJob {
+
+  /** The shared staleness band — reuses asOfRisk's semantic constant so
+    * the training matrix and the single-feature as-of query can never
+    * disagree about what "in force" means. */
+  def lookbackDays: Int = StreamAnalogJobs.asOfRiskLookbackDays
+
+  def pitTrainingSet(spark: SparkSession, dir: String): DataFrame = {
+    val lookback = expr(s"INTERVAL $lookbackDays DAYS")
+    // ONE events scan: each row is either a probe (click) or one fact
+    // role's row (purchase/view/error), tagged by conditional projection —
+    // the type discriminators below mirror Roles.{riskScores,
+    // creditReports, velocityAlerts} term for term
+    val timeline = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase", "view", "error"))
+      .select(
+        col("user_id"),
+        col("ts").as("__ts"),
+        when(col("event_type") === "click", 1).otherwise(0).as("__prio"),
+        col("event_id").as("__tb"),
+        when(col("event_type") === "purchase",
+          Ops.rnd(col("value") / 500.0, 4)).as("risk_score"),
+        when(col("event_type") === "view",
+          Ops.rnd(col("value") / 500.0, 4)).as("credit_utilization_ratio"),
+        when(col("event_type") === "error",
+          when(col("value") >= 245, "velocity").otherwise("pattern"))
+          .as("alert_type"),
+        when(col("event_type") === "click", col("event_id")).as("probe_id"),
+        when(col("event_type") === "click", col("value") >= 250).as("label"))
+    PitJoin.fill(timeline, "user_id", "__ts", "__prio", "__tb",
+        Seq("risk_score", "credit_utilization_ratio", "alert_type"), lookback)
+      .filter(col("__prio") === 1)
+      .select(
+        col("probe_id"), col("user_id"),
+        date_format(col("__ts"), "yyyy-MM-dd HH:mm:ss").as("probe_ts"),
+        col("label"),
+        // no-value defaults mirror serving: no risk score ever computed
+        // (or stale) serves 0.0 (asOfRisk's convention), no credit report
+        // stays NULL (0.0 would fabricate a great utilization), no alert
+        // reads 'none'
+        coalesce(col("risk_score"), lit(0.0)).as("risk_score_asof"),
+        col("credit_utilization_ratio").as("credit_utilization_asof"),
+        coalesce(col("alert_type"), lit("none")).as("last_alert_type"))
+  }
+
+  /** The generic-operator form of the same matrix — PitJoin.trainingMatrix
+    * over the three role frames as separate tables (what a user with
+    * genuinely separate feature tables writes). Byte-identical output to
+    * pitTrainingSet; 4 events scans instead of 1 (Round10InvariantSpec
+    * runs both and asserts equality — the generic API's correctness pin). */
+  def pitTrainingSetGeneric(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Roles
+    val lookback = expr(s"INTERVAL $lookbackDays DAYS")
+    val probes = Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("probe_id"), col("user_id"),
+        col("ts").as("probe_ts"), (col("value") >= 250).as("label"))
+    val facts = Seq(
+      PitJoin.Fact(Roles.riskScores(spark, dir), "user_id",
+        "computed_at", "score_id", "risk_score"),
+      PitJoin.Fact(Roles.creditReports(spark, dir), "user_id",
+        "report_date", "report_id", "credit_utilization_ratio"),
+      PitJoin.Fact(Roles.velocityAlerts(spark, dir), "user_id",
+        "created_at", "alert_id", "alert_type"))
+    PitJoin.trainingMatrix(probes, "user_id", "probe_ts", "probe_id",
+        facts, lookback)
+      .select(
+        col("probe_id"), col("user_id"),
+        date_format(col("probe_ts"), "yyyy-MM-dd HH:mm:ss").as("probe_ts"),
+        col("label"),
+        coalesce(col("risk_score"), lit(0.0)).as("risk_score_asof"),
+        col("credit_utilization_ratio").as("credit_utilization_asof"),
+        coalesce(col("alert_type"), lit("none")).as("last_alert_type"))
+  }
+}

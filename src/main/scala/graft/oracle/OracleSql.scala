@@ -897,6 +897,52 @@ object OracleSql {
        |  COALESCE(risk_score, 0.0) AS risk_score_asof
        |FROM r WHERE rn = 1""".stripMargin
 
+  /** PIT training set — mirrors jobs/TrainingSetJob.pitTrainingSet: for
+    * each click probe, the latest in-band fact per role table (banded
+    * left join + top-1 by (ts DESC, id DESC), once per role — the
+    * row_number form is the deterministic ASOF). The band is the SAME
+    * shared constant as asOfRisk; defaults mirror serving (risk 0.0,
+    * credit NULL, alert 'none'). */
+  val pitTrainingSet: String = {
+    val band = graft.jobs.TrainingSetJob.lookbackDays
+    s"""WITH probes AS (SELECT event_id AS probe_id, user_id,
+       |    ts AS probe_ts, value >= 250 AS label
+       |  FROM events WHERE event_type = 'click'),
+       |sc AS ($roleScores),
+       |cr AS ($roleCredit),
+       |al AS ($roleAlerts),
+       |r1 AS (SELECT p.probe_id, s.risk_score, ROW_NUMBER() OVER (
+       |    PARTITION BY p.probe_id
+       |    ORDER BY s.computed_at DESC NULLS LAST, s.score_id DESC NULLS LAST) AS rn
+       |  FROM probes p LEFT JOIN sc s ON p.user_id = s.user_id
+       |    AND s.computed_at <= p.probe_ts
+       |    AND s.computed_at >= p.probe_ts - INTERVAL $band DAY),
+       |r2 AS (SELECT p.probe_id, c.credit_utilization_ratio, ROW_NUMBER() OVER (
+       |    PARTITION BY p.probe_id
+       |    ORDER BY c.report_date DESC NULLS LAST, c.report_id DESC NULLS LAST) AS rn
+       |  FROM probes p LEFT JOIN cr c ON p.user_id = c.user_id
+       |    AND c.report_date <= p.probe_ts
+       |    AND c.report_date >= p.probe_ts - INTERVAL $band DAY),
+       |r3 AS (SELECT p.probe_id, a.alert_type, ROW_NUMBER() OVER (
+       |    PARTITION BY p.probe_id
+       |    ORDER BY a.created_at DESC NULLS LAST, a.alert_id DESC NULLS LAST) AS rn
+       |  FROM probes p LEFT JOIN al a ON p.user_id = a.user_id
+       |    AND a.created_at <= p.probe_ts
+       |    AND a.created_at >= p.probe_ts - INTERVAL $band DAY)
+       |SELECT p.probe_id, p.user_id,
+       |  strftime(p.probe_ts, '%Y-%m-%d %H:%M:%S') AS probe_ts, p.label,
+       |  COALESCE(r1.risk_score, 0.0) AS risk_score_asof,
+       |  r2.credit_utilization_ratio AS credit_utilization_asof,
+       |  COALESCE(r3.alert_type, 'none') AS last_alert_type
+       |FROM probes p
+       |LEFT JOIN (SELECT probe_id, risk_score FROM r1 WHERE rn = 1) r1
+       |  ON p.probe_id = r1.probe_id
+       |LEFT JOIN (SELECT probe_id, credit_utilization_ratio FROM r2 WHERE rn = 1) r2
+       |  ON p.probe_id = r2.probe_id
+       |LEFT JOIN (SELECT probe_id, alert_type FROM r3 WHERE rn = 1) r3
+       |  ON p.probe_id = r3.probe_id""".stripMargin
+  }
+
   val tumblingCounts: String =
     s"""SELECT user_id,
        |  strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,

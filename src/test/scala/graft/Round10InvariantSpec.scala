@@ -8,6 +8,57 @@ import org.apache.spark.sql.functions._
 class Round10InvariantSpec extends SparkSpec {
   import spark.implicits._
 
+  test("pit_training_set: one-scan specialization equals the generic PitJoin.trainingMatrix") {
+    // the driver query builds its timeline from ONE events scan; the
+    // generic operator unions the four role frames (4 scans). Same
+    // semantics by construction — this pins that the conditional
+    // projections mirror the Roles derivations term for term
+    val fast = jobs.TrainingSetJob.pitTrainingSet(spark, sf0001)
+    val generic = jobs.TrainingSetJob.pitTrainingSetGeneric(spark, sf0001)
+    assert(fast.columns.toSeq == generic.columns.toSeq)
+    assert(fast.count() > 0)
+    assert(fast.exceptAll(generic).isEmpty && generic.exceptAll(fast).isEmpty,
+      "one-scan and generic PIT matrices must be row-identical")
+  }
+
+  test("pit_training_set: risk column agrees with the single-fact AsOfJoin query") {
+    // cross-operator witness: asof_risk IS the one-fact slice of the
+    // matrix (same probes, same band, same tiebreak), through a completely
+    // different plan (banded range join + top-1 window vs forward fill)
+    val pit = jobs.TrainingSetJob.pitTrainingSet(spark, sf0001)
+      .select("probe_id", "risk_score_asof")
+    val single = jobs.StreamAnalogJobs.asOfRisk(spark, sf0001)
+      .select("probe_id", "risk_score_asof")
+    assert(pit.exceptAll(single).isEmpty && single.exceptAll(pit).isEmpty,
+      "forward-fill and as-of-join must agree on the shared fact table")
+  }
+
+  test("pit_training_set: no leakage — every filled value predates its probe") {
+    // direct property on the matrix: recompute each probe's risk feature
+    // from facts STRICTLY at or before probe_ts; any disagreement with a
+    // <=-violating fill would surface as a higher future score leaking in
+    val ev = core.Tables.events(spark, sf0001)
+    val futureOnly = ev.filter($"event_type" === "purchase")
+      .join(ev.filter($"event_type" === "click")
+          .select($"event_id".as("probe_id"), $"user_id", $"ts".as("probe_ts")),
+        Seq("user_id"))
+      .filter($"ts" > $"probe_ts") // facts from the future
+      .select("probe_id").distinct()
+    // probes whose ONLY facts are in the future must serve the 0.0 default
+    val onlyFuture = futureOnly.join(
+      ev.filter($"event_type" === "purchase")
+        .join(ev.filter($"event_type" === "click")
+            .select($"event_id".as("probe_id"), $"user_id", $"ts".as("probe_ts")),
+          Seq("user_id"))
+        .filter($"ts" <= $"probe_ts").select("probe_id").distinct(),
+      Seq("probe_id"), "left_anti")
+    val leaked = jobs.TrainingSetJob.pitTrainingSet(spark, sf0001)
+      .join(onlyFuture, Seq("probe_id"))
+      .filter($"risk_score_asof" =!= 0.0)
+    assert(leaked.count() == 0,
+      "a probe with only future facts must see the no-score default")
+  }
+
   test("fused dq_robust_outliers matches the buffered-Percentile witness on every column") {
     // independent witness: the straightforward buffered-aggregate form of
     // the same definition (Spark's exact `Percentile` buffers a per-group

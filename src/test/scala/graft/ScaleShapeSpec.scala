@@ -291,6 +291,25 @@ class ScaleShapeSpec extends SparkSpec {
       s"leakage joins must broadcast:\n${slPlan.take(1200)}")
   }
 
+  test("pit_training_set: one events scan, one user-hashed shuffle for the whole matrix") {
+    // the PIT matrix carries ALL THREE feature roles through a single
+    // forward-fill timeline: exactly ONE events scan (conditional
+    // projections, not a union of per-role re-scans) and exactly ONE
+    // hash exchange (the user partitioning the window sorts within) — the
+    // generic 3×-as-of-join form would pay ~3 probe shuffles + 3 fact
+    // shuffles + 3 top-1 windows
+    val ts = jobs.TrainingSetJob.pitTrainingSet(spark, sf0001)
+    assert(ts.collect().nonEmpty)
+    assert(finalScansOf(ts, "events") == 1,
+      s"expected one events scan:\n${ts.queryExecution.executedPlan}")
+    val plan = ts.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.split("\n").count(_.contains("Exchange hashpartitioning")) == 1,
+      s"PIT fill must cost one shuffle:\n${plan.take(1500)}")
+    assert(plan.split("\n").count(_.contains("Window")) == 1,
+      s"all fills must share one WindowExec:\n${plan.take(1500)}")
+  }
+
   test("group_sample runs as a map-side per-group top-k, not a full group sort") {
     val docs = core.Tables.documents(spark, sf0001)
     val gs = ext.Corpus.groupSample(docs, 10)
