@@ -303,6 +303,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift monitor: micro-batches accumulate into hand-computed bucket masses") {
+    import graft.streaming.DriftMonitor
+    // reference: values 1..40, B=4 equi-depth buckets of 10 → boundaries
+    // at the per-bucket maxima 10, 20, 30 (all but the last bucket)
+    val ref = DriftMonitor.reference(
+      (1 to 40).map(_.toDouble).toDF("v"), "v", 4)
+    assert(ref.boundaries.toSeq == Seq(10.0, 20.0, 30.0))
+    assert(ref.refMasses.toSeq == Seq(10L, 10L, 10L, 10L))
+
+    val mon = new DriftMonitor.Monitor(ref)
+    val input = MemoryStream[Double](spark)
+    var last: Seq[DriftMonitor.DriftRow] = Nil
+    val q = input.toDF().toDF("v").writeStream
+      .foreachBatch(DriftMonitor.onBatch(mon, "v")(rows => last = rows))
+      .start()
+    try {
+      // batch 1: 5, 15, 15, 35 → buckets 0,1,1,3 (strictly-above rule:
+      // 10 itself would be bucket 0)
+      input.addData(5.0, 15.0, 15.0, 35.0)
+      q.processAllAvailable()
+      assert(last.map(r => r.bucket -> r.nCur) ==
+        Seq(0 -> 1L, 1 -> 2L, 2 -> 0L, 3 -> 1L))
+      // batch 2: 25, 25, 10 (boundary value → bucket 0), 99 (past max →
+      // top bucket) — cumulative masses are hand-added
+      input.addData(25.0, 25.0, 10.0, 99.0)
+      q.processAllAvailable()
+      assert(last.map(r => r.bucket -> r.nCur) ==
+        Seq(0 -> 2L, 1 -> 2L, 2 -> 2L, 3 -> 2L))
+      // after batch 2 the stream is uniform over the reference deciles:
+      // p_cur == p_ref == 0.25 per bucket → every chi² term is exactly 0
+      assert(last.forall(_.pRef.contains(0.25)))
+      assert(last.forall(_.pCur.contains(0.25)))
+      assert(last.forall(_.chi2Term.contains(0.0)))
+      // a replayed batch id (checkpoint recovery) must not double-count
+      val replay = mon.update(Seq(5.0).toDF("v"), "v", batchId = 0L)
+      assert(replay.map(r => r.bucket -> r.nCur) ==
+        Seq(0 -> 2L, 1 -> 2L, 2 -> 2L, 3 -> 2L))
+    } finally q.stop()
+    // chi² arithmetic parity with the batch monitor on a skewed state:
+    // all-new mass in bucket 0 → p_cur 1.0, term (1−.25)²/.25 = 2.25
+    val mon2 = new DriftMonitor.Monitor(ref)
+    val rows2 = mon2.update(Seq(1.0, 2.0, 3.0).toDF("v"), "v", 0L)
+    assert(rows2.find(_.bucket == 0).flatMap(_.chi2Term).contains(2.25))
+    assert(rows2.find(_.bucket == 1).flatMap(_.chi2Term).contains(0.25))
+  }
+
   test("ST7: events beyond the 24h horizon are evicted from state") {
     val input = MemoryStream[TxnEvent](spark)
     input.addData(TxnEvent(2L, ts("2024-01-01 10:00:00"), 10.0, 1, success = true))
