@@ -343,28 +343,42 @@ object Corpus {
     * (≈9·10¹⁸: a quadrillion tokens at k=100 — beyond any physical corpus).
     *
     * Scale shape: the same two-phase chunked prefix sum as mixtureSample
-    * (64 hash-range chunks; the only sequential step is a 64-row cumsum);
-    * the grand total rides a 1-row broadcast. */
+    * (64 hash-range chunks; the only sequential step is a 64-row cumsum).
+    * The corpus is tokenize-counted and chunk-repartitioned; the
+    * chunk-offsets aggregate, the local prefix window and the grand total
+    * (an unordered frame on the 64-row offsets pass — no 1-row crossJoin)
+    * all read that one exchange. The round-9 form let three consumers
+    * each re-scan AND re-tokenize the text column (task-metric audit,
+    * round 10); this form measures TWO physical scans — AQE re-executes
+    * the repartitioned subtree for the offsets branch because that branch
+    * carries its own internal cumsum exchange (every sharing topology was
+    * probed: broadcast/shuffle-hash/merge join, repartition(1),
+    * spine-first — all floor at 2; ScanAuditSpec pins it so a regression
+    * to 3 or an upstream Spark fix to 1 both surface). */
   def weightedSample(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // tokenize once; everything after the repartition carries only
+    // (doc_id, source, n_tokens, __h, __chunk) — never the text
     val base = docs.select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("__h", unitHash(col("doc_id")))
       .withColumn("__chunk", floor(col("__h") * 64).cast("long"))
+      .repartition(col("__chunk"))
     val offsets = base.groupBy("__chunk")
       .agg(sum(col("n_tokens")).as("__chunk_tokens"))
       .withColumn("__chunk_offset",
         coalesce(sum(col("__chunk_tokens"))
           .over(Window.orderBy("__chunk")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__chunk", "__chunk_offset")
+      .withColumn("__w_total",
+        sum(col("__chunk_tokens")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("__chunk", "__chunk_offset", "__w_total")
     val wLocal = Window.partitionBy("__chunk").orderBy(col("__h"), col("doc_id"))
-    val tot = base.agg(sum(col("n_tokens")).as("__w_total"))
-    base.join(offsets, Seq("__chunk"))
+    base.join(broadcast(offsets), Seq("__chunk"))
       .withColumn("__lo",
         col("__chunk_offset") + coalesce(sum(col("n_tokens"))
           .over(wLocal.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .crossJoin(broadcast(tot))
       .withColumn("n_picks",
         expr(s"((__lo + n_tokens) * $k) DIV __w_total - (__lo * $k) DIV __w_total"))
       .filter(col("n_picks") > 0)

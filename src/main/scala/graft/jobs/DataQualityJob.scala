@@ -354,35 +354,45 @@ object DataQualityJob {
     * whole-value assignment for reference rows, and total (cur values past
     * the reference max land in the top bucket).
     *
-    * Scale shape: ONE corpus scan — a (period, value) count-by-value
-    * collapse feeds BOTH the reference histogram (filter is_ref on the
-    * distinct frame) and the bucket-mass counting (the robustOutliers
-    * posture; pinned in ScaleShapeSpec), with a ≤B-element boundary array
-    * broadcast between and a ≤B-row window for totals. NULL values are
-    * excluded from both periods (countByValue semantics, mirrored in the
-    * oracle). An EMPTY reference period is a caller error (there is
-    * nothing to drift against); the boundary slice degrades to a single
-    * bucket rather than failing. */
+    * Scale shape (re-measured and REVERSED in round 10): TWO scans, the
+    * reference one date-filter-pushed. The round-9 form computed the
+    * reference counts by conditionally re-aggregating a shared
+    * (period, value) collapse so the corpus would be scanned once — but
+    * task-metric input accounting (ScanAuditSpec; PERF.md round-10 delta)
+    * showed AQE never physically dedupes that topology: the "shared"
+    * exchange materialized twice, so the query paid TWO full scans AND
+    * the extra re-aggregation exchange, strictly worse than the form it
+    * was defending against (measured ~25% slower at the sf1-equivalent
+    * rung). This form scans the reference period with a PUSHED date
+    * predicate — at 100 TB on date-partitioned layouts that scan
+    * partition-prunes to the reference window, making it strictly
+    * cheaper than any one-scan form could be whenever the reference
+    * period is a fraction of the table. Output is bit-identical to the
+    * round-9 form (same counts, same arithmetic; the oracle is
+    * unchanged). NULL values are excluded from both periods (countByValue
+    * semantics, mirrored in the oracle). An EMPTY reference period is a
+    * caller error (there is nothing to drift against); the boundary slice
+    * degrades to a single bucket rather than failing. */
   def distributionDrift(spark: SparkSession, dir: String,
                         splitDate: String = "1998-07-01",
                         buckets: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cut = to_timestamp(lit(s"$splitDate 00:00:00"))
+    // scan 1 — reference period only, date predicate pushed to the source
+    // (partition-prunable at scale); the count-by-value collapse bounds
+    // everything downstream by the distinct-value frame
+    val refCnt = graft.ops.BoundedPercentile.countByValue(
+      Tables.orders(spark, dir)
+        .filter(col("o_orderdate") < cut)
+        .select(lit("ALL").as("__g"), col("o_totalprice")),
+      "__g", "o_totalprice")
+    // scan 2 — (period, value) collapse for the bucket masses
     val cb = Tables.orders(spark, dir)
       .filter(col("o_totalprice").isNotNull)
       .groupBy(
         when(col("o_orderdate") < cut, lit(1L)).otherwise(lit(0L)).as("__is_ref"),
         col("o_totalprice").cast("double").as("__v"))
       .agg(count(lit(1)).as("__c"))
-    // reference counts via a conditional RE-AGGREGATION of the shared
-    // frame, not a filter: a `__is_ref = 1` filter on the grouped output
-    // is pushable (Catalyst rewrites it to `o_orderdate < cut` below the
-    // aggregate), which specializes this branch's scan and defeats
-    // ReuseExchange — the post-aggregate `__c > 0` predicate is not
-    val refCnt = cb.groupBy(col("__v"))
-      .agg(sum(when(col("__is_ref") === 1, col("__c")).otherwise(lit(0L))).as("__c"))
-      .filter(col("__c") > 0)
-      .select(lit("ALL").as("__g"), col("__v"), col("__c"))
     val bnds = equiDepthFromCounts(refCnt, buckets)
       .agg(array_sort(collect_list(struct(col("bucket"), col("hi_value")))).as("a"))
       .select(expr("slice(transform(a, x -> x.hi_value), 1, greatest(size(a) - 1, 0))")

@@ -46,11 +46,28 @@ object BoundedPercentile {
     * ONLY pass over the source; everything downstream (exact percentiles,
     * rank envelopes, sketches over the weight-expanded values) is sized by
     * distinct values, so a caller needing several of those shares this one
-    * frame (Spark's ReuseExchange then runs the scan+combine once). */
+    * frame.
+    *
+    * The trailing `repartition(groupCol)` is THE one-scan mechanism, not a
+    * flourish (round-10 finding, measured with task-metric inputRecords):
+    * plan-level ReuseExchange/AQE stage reuse does NOT physically dedupe
+    * this subtree when one consumer needs a bare ENSURE_REQUIREMENTS
+    * exchange over it — the shape every cumulated-window consumer has.
+    * The executed-plan STRING shows `ReusedExchange`, but two identical
+    * map stages run and the source is scanned twice (ScanAuditSpec pins
+    * the truth at the task-metric level; plan-string pins alone are
+    * provably insufficient). With the explicit group repartition, every
+    * downstream consumer — the cumsum window, the totals aggregate, the
+    * sketch over weight-expanded values, broadcast build sides — finds its
+    * distribution already satisfied and reads the ONE materialized
+    * exchange; measured: exactly one source scan, and one FEWER total
+    * exchange than the ENSURE_REQUIREMENTS form. Map-side combine still
+    * happens in the groupBy's own partial aggregate below the shuffle. */
   def countByValue(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
     df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol), col(valueCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__c"))
+      .repartition(col(groupCol))
 
   /** Exact percentiles of `valueCol` per `groupCol`.
     *
@@ -123,15 +140,19 @@ object BoundedPercentile {
                       joined: Seq[DataFrame] = Nil,
                       extraAggs: Seq[Column] = Nil,
                       extraOut: Seq[Column] = Nil): DataFrame = {
-    val cum = cumulated(cnt, groupCol)
-    val tot = cnt.groupBy(groupCol).agg(sum(col("__c")).as("__n"))
-    // the totals frame is one row per group — broadcast it back. The join
-    // is NULL-SAFE on the group key: groupBy keeps a null group (exactly
-    // like the Percentile aggregate), so a plain equi-join would silently
-    // drop it here
-    val j0 = cum.as("c")
-      .join(broadcast(tot).as("t"), col(s"c.$groupCol") <=> col(s"t.$groupCol"))
-      .drop(col(s"t.$groupCol"))
+    // the group total __n rides an UNORDERED window frame over the SAME
+    // partition spec as the running sum: one sort, two frames, zero extra
+    // exchanges, and — the round-10 point — a SINGLE consumer of `cnt`.
+    // The previous totals-aggregate + broadcast-join-back scaffold made
+    // `cnt` a two-consumer subtree, and task-metric accounting showed AQE
+    // re-executing it (source scanned twice) in exactly that topology
+    // (ScanAuditSpec pins the fix; robustOutliers pioneered this form).
+    // Null groups keep working for free: the window partitions by the
+    // group key directly (a null group is its own partition), where the
+    // old null-safe <=> join had to defend them explicitly.
+    val j0 = cumulated(cnt, groupCol)
+      .withColumn("__n", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(groupCol)))
     val j = joined.zipWithIndex.foldLeft(j0) { case (acc, (f, i)) =>
       acc.join(broadcast(f).as(s"j$i"),
           acc(groupCol) <=> col(s"j$i.$groupCol"))

@@ -267,12 +267,19 @@ class ScaleShapeSpec extends SparkSpec {
     assert(da.collect().nonEmpty)
     assert(finalScansOf(da, "orders") == 1,
       s"expected one orders scan:\n${da.queryExecution.executedPlan}")
-    // dq_drift: the reference histogram and the bucket-mass counting both
-    // derive from the ONE (period, value) count-by-value collapse
+    // dq_drift (round-10 shape): TWO scans by design — the reference
+    // histogram reads a date-filter-PUSHED scan (partition-prunable at
+    // scale), the bucket masses a second full scan. The round-9 "one
+    // scan" form physically scanned twice anyway (AQE never dedupes its
+    // topology — ScanAuditSpec) while also paying the re-agg exchange.
     val dd = jobs.DataQualityJob.distributionDrift(spark, sf0001)
     assert(dd.collect().nonEmpty)
-    assert(finalScansOf(dd, "orders") == 1,
-      s"expected one orders scan:\n${dd.queryExecution.executedPlan}")
+    assert(finalScansOf(dd, "orders") == 2,
+      s"expected two orders scans:\n${dd.queryExecution.executedPlan}")
+    val ddPlan = dd.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(ddPlan.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate"),
+      s"reference scan must push the date predicate:\n${ddPlan.take(1500)}")
     // dq_robust_outliers: the median pick, deviation distribution and
     // outlier counting all derive from the ONE count-by-value collapse —
     // a second orders scan means a branch re-read the corpus

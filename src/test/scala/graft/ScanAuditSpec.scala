@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Runtime scan-economy audit — task-metric inputRecords pins for every
+  * query whose scale story claims a scan budget.
+  *
+  * Why this spec exists (round-10 lesson): plan-STRING pins are provably
+  * insufficient. The executed plan of the round-9 percentile family showed
+  * `ReusedExchange` — one FileScan node — while task metrics showed the
+  * source scanned TWICE: AQE displayed the logical reuse but materialized
+  * the "shared" subtree once per consumer in several topologies (a bare
+  * ENSURE_REQUIREMENTS exchange consumer; a totals-aggregate broadcast
+  * join-back; any consumer chain re-aggregating the shared frame). The fix
+  * (ops/BoundedPercentile.countByValue's explicit group repartition +
+  * exactFromCounts' window-frame totals) is pinned HERE at the level that
+  * cannot lie: rows actually read from the source per execution.
+  *
+  * Expectations are exact row counts of the sf0.001 tables, asserted
+  * against a fresh measurement of each query (warmed once for codegen;
+  * record counts are execution-invariant). A regression to double-scan
+  * shows up as an exact 2x, not noise — these numbers are deterministic
+  * (verified x5 stable while diagnosing round 10).
+  */
+class ScanAuditSpec extends SparkSpec {
+
+  private lazy val sm = core.StageMetrics.attach(spark)
+  private lazy val ordersRows = spark.read.parquet(s"$sf0001/orders.parquet").count()
+  private lazy val docsRows = spark.read.parquet(s"$sf0001/documents.parquet").count()
+  private lazy val eventsRows = spark.read.parquet(s"$sf0001/events.parquet").count()
+
+  private def recordsOf(f: => DataFrame): Long = {
+    f.count() // warm: plan + codegen; record accounting is unaffected
+    sm.measure { f.count(): Unit }.inputRecords
+  }
+
+  private def scansReadingText(df: DataFrame): Int = {
+    df.count()
+    df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0).split("\n")
+      .count(l => l.contains("FileScan") && l.contains("ReadSchema") &&
+        l.contains("text:string"))
+  }
+
+  test("percentile family: exactly ONE physical orders scan at runtime") {
+    assert(recordsOf(serving.Lookups.percentiles(spark, sf0001)) == ordersRows)
+    assert(recordsOf(serving.Lookups.percentilesApprox(spark, sf0001)) == ordersRows)
+    assert(recordsOf(jobs.DataQualityJob.equiDepthHistogram(spark, sf0001)) == ordersRows)
+    assert(recordsOf(jobs.DataQualityJob.robustOutliers(spark, sf0001)) == ordersRows)
+  }
+
+  test("daily_anomalies: one orders scan at runtime") {
+    assert(recordsOf(jobs.StreamAnalogJobs.dailyAnomalies(spark, sf0001)) == ordersRows)
+  }
+
+  test("dq_drift: two orders scans by design, never more") {
+    // the reference scan is date-filter-pushed (partition-prunable at
+    // scale); on the single-row-group test file both scans decode every
+    // row, so the budget here is exactly 2n
+    val r = recordsOf(jobs.DataQualityJob.distributionDrift(spark, sf0001))
+    assert(r == 2 * ordersRows, s"drift read $r records, budget ${2 * ordersRows}")
+  }
+
+  test("quantile_normalize: collapse scan + value-keyed join-back scan (2x rows)") {
+    val r = recordsOf(ext.Corpus.quantileNormalize(core.Tables.documents(spark, sf0001)))
+    assert(r == 2 * docsRows, s"read $r, budget ${2 * docsRows}")
+  }
+
+  test("weighted_sample: two corpus scans — the measured AQE floor (was three)") {
+    // round-10 fix took this from 3 scans to 2: the grand total folded
+    // into the offsets pass (no 1-row crossJoin) and the spine rides the
+    // chunk repartition. The residual 2nd scan is AQE re-executing the
+    // repartitioned subtree for the offsets branch (it carries an internal
+    // cumsum exchange); every sharing topology probed floors at 2 — this
+    // pin surfaces both a regression to 3 and an upstream Spark fix to 1.
+    val r = recordsOf(ext.Corpus.weightedSample(core.Tables.documents(spark, sf0001), 100))
+    assert(r == 2 * docsRows, s"read $r, budget ${2 * docsRows}")
+  }
+
+  test("vocab_growth: 3 row-scans but text decoded exactly once (column pruning)") {
+    // the two prefix-count passes prune to doc_id; only the token-explode
+    // pass reads text — rows 3x, heavy-column bytes 1x
+    val r = recordsOf(ext.Corpus.vocabGrowth(core.Tables.documents(spark, sf0001)))
+    assert(r == 3 * docsRows, s"read $r, budget ${3 * docsRows}")
+    assert(scansReadingText(
+      ext.Corpus.vocabGrowth(core.Tables.documents(spark, sf0001))) == 1)
+  }
+
+  test("pit_training_set: the whole matrix costs one events scan at runtime") {
+    assert(recordsOf(jobs.TrainingSetJob.pitTrainingSet(spark, sf0001)) == eventsRows)
+  }
+}
