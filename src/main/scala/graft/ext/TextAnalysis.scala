@@ -442,7 +442,14 @@ object TextAnalysis {
     val terms = docs.filter(col("doc_id").isNotNull)
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .filter(col("term").isNotNull)
+    // explicit doc_id repartition: the labeling aggregate and the
+    // label-join ride this one materialized exchange instead of
+    // re-tokenizing the corpus (round-10 scan audit: the "shared" tf
+    // exchange physically ran THREE times — 3 full tokenize passes; with
+    // this, two — the df probe-side term join still re-executes, the
+    // measured AQE floor for this topology, pinned in ScanAuditSpec)
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .repartition(col("doc_id"))
     val lab = tf.groupBy("doc_id").agg(
       (coalesce(sum(when(col("term").isin(enStop.map(lit): _*), col("tf"))),
         lit(0L)) * 5 >= sum(col("tf"))).cast("int").as("is_pos"))

@@ -89,4 +89,19 @@ class ScanAuditSpec extends SparkSpec {
   test("pit_training_set: the whole matrix costs one events scan at runtime") {
     assert(recordsOf(jobs.TrainingSetJob.pitTrainingSet(spark, sf0001)) == eventsRows)
   }
+
+  test("text-analysis family scan budgets") {
+    val docs = core.Tables.documents(spark, sf0001)
+    // oov_rate's two token consumers (vocab build + probe) genuinely
+    // share: ONE tokenize pass
+    assert(recordsOf(ext.TextAnalysis.oovRate(docs)) == docsRows)
+    // bpe pair stats: one pass over the distinct-word frame's source
+    assert(recordsOf(ext.Vocab.charPairStats(docs, 30)) == docsRows)
+    // tfidf: tokenize pass + the documented metadata-only n_docs count
+    assert(recordsOf(ext.TextAnalysis.tfidfTopTerms(docs, 3)) == 2 * docsRows)
+    // quality_model: r9 ran the "shared" tf exchange three times (3 full
+    // tokenizes); the doc_id repartition brings it to the 2-scan floor
+    // (the df probe-side term join still re-executes — measured minimum)
+    assert(recordsOf(ext.TextAnalysis.modelQualityScore(docs)) == 2 * docsRows)
+  }
 }
