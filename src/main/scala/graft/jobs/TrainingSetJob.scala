@@ -35,13 +35,14 @@ object TrainingSetJob {
     * disagree about what "in force" means. */
   def lookbackDays: Int = StreamAnalogJobs.asOfRiskLookbackDays
 
-  def pitTrainingSet(spark: SparkSession, dir: String): DataFrame = {
-    val lookback = expr(s"INTERVAL $lookbackDays DAYS")
-    // ONE events scan: each row is either a probe (click) or one fact
-    // role's row (purchase/view/error), tagged by conditional projection —
-    // the type discriminators below mirror Roles.{riskScores,
-    // creditReports, velocityAlerts} term for term
-    val timeline = Tables.events(spark, dir)
+  /** The shared role timeline — ONE events scan where each row is either
+    * a probe (click) or one fact role's row (purchase/view/error), tagged
+    * by conditional projection; the type discriminators mirror
+    * Roles.{riskScores, creditReports, velocityAlerts} term for term.
+    * Shared with SkewMonitorJob so the training matrix and the skew audit
+    * can never disagree about the role mapping. */
+  private[jobs] def timeline(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .filter(col("event_type").isin("click", "purchase", "view", "error"))
       .select(
         col("user_id"),
@@ -57,7 +58,10 @@ object TrainingSetJob {
           .as("alert_type"),
         when(col("event_type") === "click", col("event_id")).as("probe_id"),
         when(col("event_type") === "click", col("value") >= 250).as("label"))
-    PitJoin.fill(timeline, "user_id", "__ts", "__prio", "__tb",
+
+  def pitTrainingSet(spark: SparkSession, dir: String): DataFrame = {
+    val lookback = expr(s"INTERVAL $lookbackDays DAYS")
+    PitJoin.fill(timeline(spark, dir), "user_id", "__ts", "__prio", "__tb",
         Seq("risk_score", "credit_utilization_ratio", "alert_type"), lookback)
       .filter(col("__prio") === 1)
       .select(

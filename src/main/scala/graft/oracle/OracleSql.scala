@@ -903,6 +903,56 @@ object OracleSql {
     * row_number form is the deterministic ASOF). The band is the SAME
     * shared constant as asOfRisk; defaults mirror serving (risk 0.0,
     * credit NULL, alert 'none'). */
+  /** Training/serving skew — mirrors jobs/SkewMonitorJob: per user, the
+    * banded top-1 fact at the user's LAST click (offline) vs at asOf
+    * (online), per role; then per-feature agreement counts. The banded
+    * top-1 row_number form is the oracle-side equivalent of the engine's
+    * forward-fill (PitJoin's documented equivalence); raw values compared
+    * — no serving defaults. */
+  val trainingServingSkew: String = {
+    val band = graft.jobs.TrainingSetJob.lookbackDays
+    val asOf = s"TIMESTAMP '${graft.jobs.SkewMonitorJob.defaultAsOf}'"
+    def side(role: String, cte: String, ts: String, id: String, v: String,
+             ref: String, alias: String): String =
+      s"""$alias AS (SELECT u.user_id, x.$v, ROW_NUMBER() OVER (
+         |    PARTITION BY u.user_id
+         |    ORDER BY x.$ts DESC NULLS LAST, x.$id DESC NULLS LAST) AS rn
+         |  FROM probes u LEFT JOIN $cte x ON u.user_id = x.user_id
+         |    AND x.$ts <= $ref AND x.$ts >= $ref - INTERVAL $band DAY)""".stripMargin
+    def feat(name: String, offA: String, onA: String, v: String): String =
+      s"""SELECT '$name' AS feature, (SELECT COUNT(*) FROM probes) AS n_users,
+         |  COUNT(o.$v) AS n_offline, COUNT(n.$v) AS n_online,
+         |  ${cntIf(s"o.$v IS NOT NULL AND n.$v IS NOT NULL")} AS n_both,
+         |  ${cntIf(s"o.$v IS NOT NULL AND o.$v = n.$v")} AS n_equal,
+         |  CASE WHEN ${cntIf(s"o.$v IS NOT NULL AND n.$v IS NOT NULL")} > 0
+         |    THEN ${rnd(s"1.0 - ${cntIf(s"o.$v IS NOT NULL AND o.$v = n.$v")} * 1.0 / ${cntIf(s"o.$v IS NOT NULL AND n.$v IS NOT NULL")}", 6)}
+         |  END AS skew_rate
+         |FROM probes p
+         |LEFT JOIN (SELECT user_id, $v FROM $offA WHERE rn = 1) o
+         |  ON p.user_id = o.user_id
+         |LEFT JOIN (SELECT user_id, $v FROM $onA WHERE rn = 1) n
+         |  ON p.user_id = n.user_id""".stripMargin
+    s"""WITH probes AS (
+       |  SELECT user_id, ts AS probe_ts FROM events
+       |  WHERE event_type = 'click' AND ts <= $asOf
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+       |    ORDER BY ts DESC, event_id DESC) = 1),
+       |sc AS ($roleScores),
+       |cr AS ($roleCredit),
+       |al AS ($roleAlerts),
+       |${side("risk", "sc", "computed_at", "score_id", "risk_score", "u.probe_ts", "offr")},
+       |${side("risk", "sc", "computed_at", "score_id", "risk_score", asOf, "onr")},
+       |${side("credit", "cr", "report_date", "report_id", "credit_utilization_ratio", "u.probe_ts", "offc")},
+       |${side("credit", "cr", "report_date", "report_id", "credit_utilization_ratio", asOf, "onc")},
+       |${side("alert", "al", "created_at", "alert_id", "alert_type", "u.probe_ts", "offa")},
+       |${side("alert", "al", "created_at", "alert_id", "alert_type", asOf, "ona")}
+       |${feat("risk_score", "offr", "onr", "risk_score")}
+       |UNION ALL
+       |${feat("credit_utilization_ratio", "offc", "onc", "credit_utilization_ratio")}
+       |UNION ALL
+       |${feat("alert_type", "offa", "ona", "alert_type")}""".stripMargin
+  }
+
   val pitTrainingSet: String = {
     val band = graft.jobs.TrainingSetJob.lookbackDays
     s"""WITH probes AS (SELECT event_id AS probe_id, user_id,

@@ -90,6 +90,12 @@ class ScanAuditSpec extends SparkSpec {
     assert(recordsOf(jobs.TrainingSetJob.pitTrainingSet(spark, sf0001)) == eventsRows)
   }
 
+  test("training_serving_skew: both comparison sides ride one events scan") {
+    // offline and online picks are conditional aggregates over the one
+    // windowed frame — a two-frame join would re-execute the spine
+    assert(recordsOf(jobs.SkewMonitorJob.trainingServingSkew(spark, sf0001)) == eventsRows)
+  }
+
   test("text-analysis family scan budgets") {
     val docs = core.Tables.documents(spark, sf0001)
     // oov_rate's two token consumers (vocab build + probe) genuinely
