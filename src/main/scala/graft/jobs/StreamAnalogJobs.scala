@@ -299,36 +299,45 @@ object StreamAnalogJobs {
     * before ever viewing does not convert at the click stage — the strict
     * chain is what distinguishes a funnel from three independent counts.
     *
-    * Scale shape: one pass per step over a type-pushed-down scan (the
-    * filter reaches the parquet reader), each followed by a combinable
-    * min-aggregate on user_id; consecutive steps join on user_id — the
-    * same key every aggregate shuffles on, so AQE/co-partitioning reuses
-    * the layout. The 3-row stage summary then computes conversion against
-    * the first stage with a first_value window over 3 rows. */
+    * Scale shape (round-10 rework): ONE events scan, ONE user-hashed
+    * exchange. Each stage time is a conditional min over an UNORDERED
+    * per-user window frame, chained — tᵢ's window expression references
+    * tᵢ₋₁'s, so the analyzer stacks dependent Window nodes over the same
+    * partitioning (no sort needed for unordered frames, no new exchange);
+    * a per-user aggregate then collapses to one row per user and a global
+    * aggregate counts each stage. The round-9 join-chain form re-scanned
+    * events once per (stage, consumer) — the shuffle audit measured FIVE
+    * full decodes of the events table for the 3-step funnel (each stage's
+    * count re-executed every earlier stage's scan subtree); this form is
+    * pinned at one in ScanAuditSpec. Output is identical row for row. */
   def eventFunnel(spark: SparkSession, dir: String,
                   steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(steps.nonEmpty, "funnel needs at least one step")
-    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
-    val first = ev.filter(col("event_type") === steps.head)
-      .groupBy("user_id").agg(min(col("ts")).as("__t"))
-    val reached = steps.tail.scanLeft(first) { (prev, step) =>
-      ev.filter(col("event_type") === step).as("e")
-        .join(prev.select(col("user_id"), col("__t").as("__tp")), Seq("user_id"))
-        .filter(col("ts") > col("__tp"))
-        .groupBy("user_id").agg(min(col("ts")).as("__t"))
+    val w = Window.partitionBy("user_id")
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin(steps: _*))
+      .select("user_id", "event_type", "ts")
+    val withTimes = steps.zipWithIndex.foldLeft(ev) { case (df, (step, i)) =>
+      val hit = col("event_type") === step &&
+        (if (i == 0) lit(true) else col("ts") > col(s"__t${i - 1}"))
+      df.withColumn(s"__t$i", min(when(hit, col("ts"))).over(w))
     }
-    val stages = reached.zip(steps).zipWithIndex.map { case ((df, step), i) =>
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(i).as("stage_idx"), lit(step).as("stage"), col("n_users"))
-    }.reduce(_.unionByName(_))
-    val w = Window.orderBy("stage_idx")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    // ANSI guard: an empty first stage would divide by zero
-    stages.withColumn("pct_of_first",
-      Ops.rnd(when(first_value(col("n_users")).over(w) > 0,
-        col("n_users").cast("double")
-          / first_value(col("n_users")).over(w).cast("double")), 4))
+    val perUser = withTimes.groupBy("user_id")
+      .agg(max(col("__t0")).as("__t0"),
+        steps.indices.tail.map(i => max(col(s"__t$i")).as(s"__t$i")): _*)
+    val counts = perUser.agg(
+      count(col("__t0")).as("__n0"),
+      steps.indices.tail.map(i => count(col(s"__t$i")).as(s"__n$i")): _*)
+    counts.select(explode(array(steps.zipWithIndex.map { case (step, i) =>
+        struct(lit(i).as("stage_idx"), lit(step).as("stage"),
+          col(s"__n$i").as("n_users"), col("__n0").as("__first"))
+      }: _*)).as("r"))
+      .select(col("r.stage_idx"), col("r.stage"), col("r.n_users"),
+        // ANSI guard: an empty first stage would divide by zero
+        Ops.rnd(when(col("r.__first") > 0,
+          col("r.n_users").cast("double") / col("r.__first").cast("double")),
+          4).as("pct_of_first"))
   }
 
   /** Rolling z-score anomaly detection over the daily revenue series — the
@@ -455,28 +464,36 @@ object StreamAnalogJobs {
     * offset) the fraction of the cohort active that day. Integer counts
     * throughout, ONE correctly-rounded division per output row.
     *
-    * Scale shape: first-activity is a min-aggregate on user_id (combinable);
-    * the activity frame is the distinct (user, day) projection (combinable
-    * distinct, far smaller than events); their equi-join shuffles on
-    * user_id; the final rollup keys on (cohort_day, offset) — a frame
-    * bounded by days², never user- or event-sized. Cohort sizes ride a
-    * vocab-sized broadcast back onto the rollup. */
+    * Scale shape (round-10 rework): ONE events scan on a single spine —
+    * the distinct (user, day) activity frame (combinable distinct, far
+    * smaller than events), the cohort day as a per-user unordered window
+    * min, the (cohort_day, offset) rollup (a frame bounded by days²,
+    * never user- or event-sized), and cohort sizes read off the SAME
+    * rollup: the offset-0 row IS the cohort size (every member is active
+    * on their first day by definition), picked by a per-cohort window
+    * over the days²-bounded frame. The round-9 form derived cohorts and
+    * sizes as separate aggregate branches joined back — the shuffle
+    * audit measured THREE full events decodes (AQE re-executes shared
+    * subtrees under join/broadcast consumers; see PERF round-10). Output
+    * is identical row for row; pinned in ScanAuditSpec. */
   def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val act = Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
-    val cohorts = act.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
-    val sizes = cohorts.groupBy("cohort_day")
-      .agg(count(lit(1)).as("cohort_size"))
-    act.join(cohorts, Seq("user_id"))
+      .withColumn("cohort_day",
+        min(col("day")).over(Window.partitionBy("user_id")))
+    val rollup = act
       .groupBy(col("cohort_day"),
         datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
       .agg(count(lit(1)).as("active_users"))
-      .join(broadcast(sizes), Seq("cohort_day"))
-      .select(col("cohort_day").cast("string").as("cohort_day"),
-        col("day_offset"), col("active_users"), col("cohort_size"),
-        Ops.rnd(col("active_users").cast("double")
-          / col("cohort_size").cast("double"), 6).as("retention_rate"))
+      .withColumn("cohort_size",
+        max(when(col("day_offset") === 0, col("active_users")))
+          .over(Window.partitionBy("cohort_day")))
+    rollup.select(col("cohort_day").cast("string").as("cohort_day"),
+      col("day_offset"), col("active_users"), col("cohort_size"),
+      Ops.rnd(col("active_users").cast("double")
+        / col("cohort_size").cast("double"), 6).as("retention_rate"))
   }
 
   /** Sketch-table rollup — the incremental-warehouse pattern for distinct

@@ -90,6 +90,16 @@ class ScanAuditSpec extends SparkSpec {
     assert(recordsOf(jobs.TrainingSetJob.pitTrainingSet(spark, sf0001)) == eventsRows)
   }
 
+  test("cohort_retention: one events scan (cohort sizes read off the rollup's offset-0 row)") {
+    assert(recordsOf(jobs.StreamAnalogJobs.cohortRetention(spark, sf0001)) == eventsRows)
+  }
+
+  test("event_funnel: the whole strict chain costs one events scan") {
+    // the r9 join-chain re-executed every earlier stage's scan subtree
+    // per stage count — 5 full decodes of events for the 3-step funnel
+    assert(recordsOf(jobs.StreamAnalogJobs.eventFunnel(spark, sf0001)) == eventsRows)
+  }
+
   test("training_serving_skew: both comparison sides ride one events scan") {
     // offline and online picks are conditional aggregates over the one
     // windowed frame — a two-frame join would re-execute the spine
