@@ -444,12 +444,19 @@ object StreamAnalogJobs {
       when(col("event_id") % 4 < 3, concat(lit("u"), (col("user_id") % 4).cast("string")))
         .otherwise(concat(lit("u"), (col("user_id") + 100).cast("string")))
         .as("entity"))
+    // the total rides the entity-count frame (global unordered window
+    // over the entity-cardinality rows), not a third scan of events:
+    // Σ n_events IS count(*), and the round-10 scan audit showed the
+    // three-branch form decoding events three times. The sketch pass
+    // stays a separate scan BY DESIGN — a one-pass sketch compared
+    // against its exact witness is necessarily two passes.
     val counts = keys.groupBy("entity").agg(count(lit(1)).as("n_events"))
-    val total = keys.agg(count(lit(1)).as("__n"))
+      .withColumn("__n", sum(col("n_events")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
     val sketch = keys.agg(
       graft.ops.SpaceSavingAggregator.column(col("entity"), capacity).as("__sk"))
     val entry = element_at(col("__sk"), col("entity"))
-    counts.crossJoin(broadcast(total))
+    counts
       .filter(col("n_events") * capacity > col("__n"))
       .crossJoin(broadcast(sketch))
       .select(col("entity"), col("n_events"),

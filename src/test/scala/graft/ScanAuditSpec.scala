@@ -90,6 +90,13 @@ class ScanAuditSpec extends SparkSpec {
     assert(recordsOf(jobs.TrainingSetJob.pitTrainingSet(spark, sf0001)) == eventsRows)
   }
 
+  test("heavy_hitters: two events scans by design (exact witness + the sketch pass)") {
+    // the total now rides the entity-count frame; the residual second
+    // scan is the POINT of the query — a one-pass sketch audited against
+    // its exact witness is necessarily two passes (was three)
+    assert(recordsOf(jobs.StreamAnalogJobs.hotKeys(spark, sf0001, 16)) == 2 * eventsRows)
+  }
+
   test("cohort_retention: one events scan (cohort sizes read off the rollup's offset-0 row)") {
     assert(recordsOf(jobs.StreamAnalogJobs.cohortRetention(spark, sf0001)) == eventsRows)
   }
