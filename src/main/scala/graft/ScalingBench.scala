@@ -88,6 +88,31 @@ object ScalingBench {
         .cast("timestamp").as("o_orderdate"))
   }
 
+  /** Deterministic events table for the PIT/skew/funnel/cohort ladder —
+    * the testdata shape (event_id, ts, user_id, event_type, value) with
+    * realistic type weights and second-resolution timestamps over one
+    * month. Users scale with the corpus (n/50 — ~50 events per user at
+    * every rung, so per-user window work stays fixed while the user-hash
+    * exchange and scan scale linearly: exactly the PIT shape's scaling
+    * contract). Base 100k = sf0.1's events row count. */
+  private def genEvents(spark: SparkSession, n: Long): DataFrame = {
+    def u(tag: String) =
+      conv(substring(md5(concat(lit(tag + "|"), col("id").cast("string"))),
+        1, 8), 16, 10).cast("double") / 4.294967296e9
+    val et = u("t")
+    spark.range(n).select(
+      col("id").as("event_id"),
+      // 1704067200 = 2024-01-01T00:00:00Z; spread over 30 days
+      timestamp_seconds(lit(1704067200L) +
+        (u("s") * 2592000.0).cast("long")).as("ts"),
+      pmod(col("id"), lit(math.max(n / 50, 1L))).as("user_id"),
+      when(et < 0.40, "view").when(et < 0.65, "click")
+        .when(et < 0.80, "purchase").when(et < 0.90, "error")
+        .otherwise("login").as("event_type"),
+      round(u("v") * 500.0, 2).as("value"),
+      lit("{}").as("props"))
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val baseDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "20000").toLong
@@ -127,6 +152,14 @@ object ScalingBench {
       if (!new java.io.File(s"$dir/orders.parquet/_SUCCESS").exists())
         genOrders(spark, baseOrders * s, priceCard).write.mode("overwrite")
           .parquet(s"$dir/orders.parquet")
+    }
+    val baseEvents = sys.env.getOrElse("SPARK_GRAFT_SCALE_EVENTS", "100000").toLong
+    def eventDir(s: Int) = s"$root/e$baseEvents/x$s"
+    scales.foreach { s =>
+      val dir = eventDir(s)
+      if (!new java.io.File(s"$dir/events.parquet/_SUCCESS").exists())
+        genEvents(spark, baseEvents * s).write.mode("overwrite")
+          .parquet(s"$dir/events.parquet")
     }
 
     lazy val learnedMerges = ext.Vocab.bpeLearn(
@@ -225,9 +258,22 @@ object ScalingBench {
       "percentiles_approx" -> (d => graft.serving.Lookups.percentilesApprox(spark, d)),
       "percentiles_approx_twoscan" -> (d => pctxTwoScan(d)))
 
+    // round-10 additions: the events-based operator family — the PIT
+    // matrix and skew audit (one scan + one user-hash exchange + one
+    // WindowExec each), the one-scan funnel and cohort rollup. Expected
+    // near-linear: per-user work is fixed (users scale with events), the
+    // data-bound terms are the scan and the user exchange.
+    val eventQueries: Seq[(String, String => DataFrame)] = Seq(
+      "pit_training_set" -> (d => graft.jobs.TrainingSetJob.pitTrainingSet(spark, d)),
+      "training_serving_skew" -> (d =>
+        graft.jobs.SkewMonitorJob.trainingServingSkew(spark, d)),
+      "event_funnel" -> (d => graft.jobs.StreamAnalogJobs.eventFunnel(spark, d)),
+      "cohort_retention" -> (d => graft.jobs.StreamAnalogJobs.cohortRetention(spark, d)))
+
     val allQueries: Seq[(String, Int => DataFrame)] =
       docQueries.map { case (n, f) => n -> ((s: Int) => f(scaleDir(s))) } ++
-        orderQueries.map { case (n, f) => n -> ((s: Int) => f(orderDir(s))) }
+        orderQueries.map { case (n, f) => n -> ((s: Int) => f(orderDir(s))) } ++
+        eventQueries.map { case (n, f) => n -> ((s: Int) => f(eventDir(s))) }
     // query filter knob: refresh one query's ladder after a plan change
     // without re-timing the expensive rungs of the others
     val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {
@@ -244,6 +290,7 @@ object ScalingBench {
       Tables.documents(spark, scaleDir(s)).count()
       Tables.embeddings(spark, scaleDir(s)).count()
       Tables.orders(spark, orderDir(s)).count()
+      Tables.events(spark, eventDir(s)).count()
     }
     queries.foreach { case (_, fn) => fn(1).count() }
 
