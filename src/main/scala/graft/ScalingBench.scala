@@ -49,6 +49,14 @@ object ScalingBench {
     core.DataGen.clusteredVectors(spark, n, clusterSize = 5, dim = 64)
       .withColumn("label", pmod(col("vec_id"), lit(8)).cast("int"))
 
+  /** md5 hex → uniform [0, 1) keyed on (tag, id) — the shared
+    * deterministic-randomness primitive of every generator here (one
+    * definition, so the "identical distribution at every scale point"
+    * claim can never silently diverge between tables). */
+  private def u(tag: String): Column =
+    conv(substring(md5(concat(lit(tag + "|"), col("id").cast("string"))),
+      1, 8), 16, 10).cast("double") / 4.294967296e9
+
   /** Deterministic TPC-H-shaped orders for the dq-monitor ladder (the dq
     * monitors and the percentile family read `orders`, not `documents`):
     * near-unique 2-dp lognormal totals (the hard case for the
@@ -65,9 +73,6 @@ object ScalingBench {
     * frame grows ≈ rows (real o_totalprice's shape, the decomposition's
     * hard case). The one-scan-vs-two-scan A/B runs in both regimes. */
   private def genOrders(spark: SparkSession, n: Long, card: Int): DataFrame = {
-    def u(tag: String) = // md5 hex → uniform [0, 1)
-      conv(substring(md5(concat(lit(tag + "|"), col("id").cast("string"))),
-        1, 8), 16, 10).cast("double") / 4.294967296e9
     // Box-Muller normal from two independent uniforms (libm is fine here:
     // bench-only data, never oracle-compared)
     val z = sqrt(lit(-2.0) * log(greatest(u("a"), lit(1e-9)))) *
@@ -96,9 +101,6 @@ object ScalingBench {
     * exchange and scan scale linearly: exactly the PIT shape's scaling
     * contract). Base 100k = sf0.1's events row count. */
   private def genEvents(spark: SparkSession, n: Long): DataFrame = {
-    def u(tag: String) =
-      conv(substring(md5(concat(lit(tag + "|"), col("id").cast("string"))),
-        1, 8), 16, 10).cast("double") / 4.294967296e9
     val et = u("t")
     spark.range(n).select(
       col("id").as("event_id"),

@@ -278,26 +278,22 @@ object DataQualityJob {
     def medianOf(cumDf: DataFrame, v: Column, scale: Int, out: String): DataFrame = {
       val pos = lit(0.5) * (col("__n") - 1).cast("double")
       def at(k: Column) = max(when(col("__lo") <= k && k < col("__hi"), v))
-      val x = lit(0.5) * (col("__n") - 1).cast("double")
       cumDf.groupBy("o_orderstatus")
         .agg(at(floor(pos)).as("__vlo"), at(ceil(pos)).as("__vhi"),
           max(col("__n")).as("__n"))
         .select(col("o_orderstatus"),
-          rnd(when(floor(x) === ceil(x), col("__vlo"))
-            .otherwise((ceil(x) - x) * col("__vlo") + (x - floor(x)) * col("__vhi")),
+          rnd(when(floor(pos) === ceil(pos), col("__vlo"))
+            .otherwise((ceil(pos) - pos) * col("__vlo")
+              + (pos - floor(pos)) * col("__vhi")),
             scale).as(out),
           col("__n"))
     }
-    // the group total __n is an unordered frame over the SAME partition
-    // spec as the running sum: one sort, two window frames, zero extra
-    // exchanges — this replaces exactFromCounts' totals-aggregate +
-    // broadcast-join scaffold
-    val byV = Window.partitionBy("o_orderstatus").orderBy("__v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = cnt
-      .withColumn("__hi", sum(col("__c")).over(byV))
+    // the shared cumulated scaffold plus the group total __n as an
+    // unordered frame over the SAME partition spec — one sort, two window
+    // frames, zero extra exchanges (the idiom exactFromCounts adopted
+    // from here in round 10)
+    val cum = graft.ops.BoundedPercentile.cumulated(cnt, "o_orderstatus")
       .withColumn("__n", sum(col("__c")).over(Window.partitionBy("o_orderstatus")))
-      .withColumn("__lo", col("__hi") - col("__c"))
     val med = medianOf(cum, col("__v"), 2, "med")
 
     // joins on the group key are NULL-SAFE (<=>), exactly like

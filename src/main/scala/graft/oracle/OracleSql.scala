@@ -897,17 +897,12 @@ object OracleSql {
        |  COALESCE(risk_score, 0.0) AS risk_score_asof
        |FROM r WHERE rn = 1""".stripMargin
 
-  /** PIT training set — mirrors jobs/TrainingSetJob.pitTrainingSet: for
-    * each click probe, the latest in-band fact per role table (banded
-    * left join + top-1 by (ts DESC, id DESC), once per role — the
-    * row_number form is the deterministic ASOF). The band is the SAME
-    * shared constant as asOfRisk; defaults mirror serving (risk 0.0,
-    * credit NULL, alert 'none'). */
   /** Training/serving skew — mirrors jobs/SkewMonitorJob: per user, the
     * banded top-1 fact at the user's LAST click (offline) vs at asOf
     * (online), per role; then per-feature agreement counts. The banded
     * top-1 row_number form is the oracle-side equivalent of the engine's
-    * forward-fill (PitJoin's documented equivalence); raw values compared
+    * forward-fill (PitJoin's documented equivalence, incl. the value IS NOT
+    * NULL join mirror of the fill's ignoreNulls); raw values compared
     * — no serving defaults. */
   val trainingServingSkew: String = {
     val band = graft.jobs.TrainingSetJob.lookbackDays
@@ -918,6 +913,7 @@ object OracleSql {
          |    PARTITION BY u.user_id
          |    ORDER BY x.$ts DESC NULLS LAST, x.$id DESC NULLS LAST) AS rn
          |  FROM probes u LEFT JOIN $cte x ON u.user_id = x.user_id
+         |    AND x.$v IS NOT NULL
          |    AND x.$ts <= $ref AND x.$ts >= $ref - INTERVAL $band DAY)""".stripMargin
     def feat(name: String, offA: String, onA: String, v: String): String =
       s"""SELECT '$name' AS feature, (SELECT COUNT(*) FROM probes) AS n_users,
@@ -953,6 +949,14 @@ object OracleSql {
        |${feat("alert_type", "offa", "ona", "alert_type")}""".stripMargin
   }
 
+  /** PIT training set — mirrors jobs/TrainingSetJob.pitTrainingSet: for
+    * each click probe, the latest in-band NON-NULL fact per role table
+    * (banded left join + top-1 by (ts DESC, id DESC), once per role — the
+    * row_number form is the deterministic ASOF; the value IS NOT NULL in
+    * the join mirrors PitJoin.fill's ignoreNulls contract: a null-valued
+    * fact must not mask an older value). The band is the SAME shared
+    * constant as asOfRisk; defaults mirror serving (risk 0.0, credit
+    * NULL, alert 'none'). */
   val pitTrainingSet: String = {
     val band = graft.jobs.TrainingSetJob.lookbackDays
     s"""WITH probes AS (SELECT event_id AS probe_id, user_id,
@@ -965,18 +969,21 @@ object OracleSql {
        |    PARTITION BY p.probe_id
        |    ORDER BY s.computed_at DESC NULLS LAST, s.score_id DESC NULLS LAST) AS rn
        |  FROM probes p LEFT JOIN sc s ON p.user_id = s.user_id
+       |    AND s.risk_score IS NOT NULL
        |    AND s.computed_at <= p.probe_ts
        |    AND s.computed_at >= p.probe_ts - INTERVAL $band DAY),
        |r2 AS (SELECT p.probe_id, c.credit_utilization_ratio, ROW_NUMBER() OVER (
        |    PARTITION BY p.probe_id
        |    ORDER BY c.report_date DESC NULLS LAST, c.report_id DESC NULLS LAST) AS rn
        |  FROM probes p LEFT JOIN cr c ON p.user_id = c.user_id
+       |    AND c.credit_utilization_ratio IS NOT NULL
        |    AND c.report_date <= p.probe_ts
        |    AND c.report_date >= p.probe_ts - INTERVAL $band DAY),
        |r3 AS (SELECT p.probe_id, a.alert_type, ROW_NUMBER() OVER (
        |    PARTITION BY p.probe_id
        |    ORDER BY a.created_at DESC NULLS LAST, a.alert_id DESC NULLS LAST) AS rn
        |  FROM probes p LEFT JOIN al a ON p.user_id = a.user_id
+       |    AND a.alert_type IS NOT NULL
        |    AND a.created_at <= p.probe_ts
        |    AND a.created_at >= p.probe_ts - INTERVAL $band DAY)
        |SELECT p.probe_id, p.user_id,

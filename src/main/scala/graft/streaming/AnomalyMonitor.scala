@@ -34,9 +34,22 @@ object AnomalyMonitor {
                               zScore: Option[Double], isAnomaly: Boolean)
 
   /** Per-batch daily totals — one combinable aggregate, exact decimals;
-    * only (day, total) rows cross to the driver. */
+    * only (day, total) rows cross to the driver.
+    *
+    * CONTRACT DELTA vs the batch job (documented, not accidental): rows
+    * with a null timestamp or null value are NOT monitorable and are
+    * dropped here — the batch job surfaces them as a null-keyed /
+    * null-total diagnostic row instead (route such rows to
+    * dq_row_validation). Consequences: a null ts row would otherwise NPE
+    * the TreeMap's string ordering and kill the streaming query, and an
+    * all-null-value DAY is absent from the stream series where the batch
+    * emits a null-total row that still occupies a lag-chain slot — so
+    * exact batch parity (AnomalyParitySpec) holds over days with a
+    * non-null date and at least one non-null value, which is every day
+    * of every shipped corpus. Days with MIXED null/non-null values agree
+    * exactly (both sides sum the non-null subset). */
   def dailyTotals(batch: DataFrame, tsCol: String, valueCol: String): Seq[(String, java.math.BigDecimal)] =
-    batch.filter(col(valueCol).isNotNull)
+    batch.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
       .groupBy(date_format(col(tsCol), "yyyy-MM-dd").as("__d"))
       .agg(sum(col(valueCol).cast("decimal(12,2)")).as("__t"))
       .collect()

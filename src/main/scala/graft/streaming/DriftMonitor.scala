@@ -47,10 +47,16 @@ object DriftMonitor {
       .select("bucket", "n_rows", "hi_value")
       .collect().sortBy(_.getAs[Int]("bucket"))
     val bnds = hist.dropRight(1).map(_.getAs[Double]("hi_value"))
-    // bucket ids may skip (a heavy value can swallow successors); masses
-    // index by the emitted bucket id over a dense 0..B-1 array
-    val masses = Array.fill(buckets)(0L)
-    hist.foreach(r => masses(r.getAs[Int]("bucket")) = r.getAs[Long]("n_rows"))
+    // POSITIONAL indexing, deliberately NOT the emitted equi-depth bucket
+    // id: current values are bucketed as "count of boundaries strictly
+    // below", which for a reference row in the i-th PRESENT bucket is
+    // exactly i — present buckets 0..i-1 each contribute one boundary
+    // below it. Equi-depth ids can skip (a heavy value swallows
+    // successors); indexing masses by the emitted id would shift every
+    // post-skip bucket one slot off the positional rule and report
+    // spurious drift on an identically-distributed stream (round-10
+    // review finding, pinned by the skip-case StreamingSpec test).
+    val masses = hist.map(_.getAs[Long]("n_rows"))
     Reference(bnds, masses)
   }
 

@@ -74,6 +74,17 @@ class AnomalyParitySpec extends SparkSpec {
     assert(replay == last)
   }
 
+  test("null ts / null value rows are dropped, not fatal (documented contract delta)") {
+    val mon = new AnomalyMonitor.Monitor()
+    val rows = Seq[(Option[Timestamp], Option[Double])](
+      (None, Some(50.0)),
+      (Some(ts("2024-03-01 10:00:00")), None),
+      (Some(ts("2024-03-01 11:00:00")), Some(100.0)))
+      .toDF("o_orderdate", "o_totalprice")
+    val snap = mon.update(rows, "o_orderdate", "o_totalprice", 0L)
+    assert(snap.map(r => r.orderDate -> r.dailyTotal) == Seq("2024-03-01" -> 100.0))
+  }
+
   test("state is bounded: days beyond maxDays are evicted oldest-first") {
     val mon = new AnomalyMonitor.Monitor(maxDays = 5)
     (1 to 9).foreach { d =>

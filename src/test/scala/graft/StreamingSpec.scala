@@ -349,6 +349,25 @@ class StreamingSpec extends SparkSpec {
     assert(rows2.find(_.bucket == 1).flatMap(_.chi2Term).contains(0.25))
   }
 
+  test("drift monitor: skipped equi-depth bucket ids stay aligned (positional masses)") {
+    import graft.streaming.DriftMonitor
+    // a heavy value (5.0 × 31 of 40 rows) swallows buckets 1-2:
+    // equi-depth emits ids {0, 3} with masses {35, 5} and ONE boundary
+    // (5.0). The positional rule must put the ref masses at positions
+    // {0, 1}; indexing by the emitted id (the round-10 review bug) would
+    // leave n_ref = 0 at position 1 and report spurious drift on an
+    // identical stream
+    val refVals = Seq.fill(30)(5.0) ++ (1 to 10).map(_.toDouble)
+    val ref = DriftMonitor.reference(refVals.toDF("v"), "v", 4)
+    assert(ref.boundaries.toSeq == Seq(5.0))
+    assert(ref.refMasses.toSeq == Seq(35L, 5L))
+    val mon = new DriftMonitor.Monitor(ref)
+    // an identically-distributed batch: every chi² term must be ~0
+    val rows = mon.update(refVals.toDF("v"), "v", 0L)
+    assert(rows.map(r => r.bucket -> r.nCur) == Seq(0 -> 35L, 1 -> 5L))
+    assert(rows.forall(r => r.chi2Term.contains(0.0)))
+  }
+
   test("ST7: events beyond the 24h horizon are evicted from state") {
     val input = MemoryStream[TxnEvent](spark)
     input.addData(TxnEvent(2L, ts("2024-01-01 10:00:00"), 10.0, 1, success = true))
