@@ -111,15 +111,35 @@ object Bench {
     // per-round comparison trusts), `runs` the raw triple.
     val Runs = 3
     var failed = List.empty[String]
+    // input-record accounting rides the LAST timed run of each query and
+    // lands in bench_diag.json ("input_records"): scan economy is
+    // invisible to wall-clock on page-cached local parquet, but
+    // records-read per query lets any future round audit scan budgets
+    // from artifacts alone (the round-10 lesson — plan strings can show
+    // ReusedExchange while the source is physically scanned twice)
+    val sm = core.StageMetrics.attach(spark)
     val results = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val gc0 = gcMillis()
-        val times = (1 to Runs).map { _ =>
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
+        var recs = -1L
+        val times = (1 to Runs).map { i =>
+          if (i == Runs) {
+            // timing wraps ONLY the action — measure()'s listener-bus
+            // quiesce (~100ms) must not inflate the third run's wall time
+            var dt = 0.0
+            recs = sm.measure {
+              val t0 = System.nanoTime()
+              fn(spark, sfDir).count()
+              dt = (System.nanoTime() - t0) / 1e9
+            }.inputRecords
+            dt
+          } else {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
         }
-        Some(name -> ((times.sorted.apply(Runs / 2), times, gcMillis() - gc0)))
+        Some(name -> ((times.sorted.apply(Runs / 2), times, gcMillis() - gc0, recs)))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -131,12 +151,14 @@ object Bench {
     // "1,500000" and corrupt the one-line JSON artifact
     def fmt(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
-    val qs = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + fmt(med) }
+    val qs = results.map { case (k, (med, _, _, _)) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
-    val runs = results.map { case (k, (_, ts, _)) =>
+    val runs = results.map { case (k, (_, ts, _, _)) =>
       "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val gcs = results.map { case (k, (_, _, g)) => "\"" + k + "\":" + g }
+    val gcs = results.map { case (k, (_, _, g, _)) => "\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
+    val irs = results.map { case (k, (_, _, _, r)) => "\"" + k + "\":" + r }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
@@ -149,7 +171,7 @@ object Bench {
     // to merge a diag whose (sf, total, query count) don't match the
     // artifact — an sf-only check let a stale same-sf diag (left behind
     // when a later run's write failed) silently drive adjudication
-    val diag = s"""{"runs":$runs,"gc_ms":$gcs,"gc_warm_ms":$gcAfterWarm,""" +
+    val diag = s"""{"runs":$runs,"gc_ms":$gcs,"input_records":$irs,"gc_warm_ms":$gcAfterWarm,""" +
       s""""gc_total_ms":${gcMillis()},"storage_mb_after_warm":$storageAfterWarm,""" +
       s""""storage_mb_end":${storageMb()},"heap_mb_end":${heapMb()},""" +
       s""""total":${fmt(total)},"nq":${results.size},"sf":"$sfDir"}"""

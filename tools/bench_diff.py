@@ -112,6 +112,22 @@ def main():
         norm = sum(nq[k] for k in shared) / machine
         print(f"machine multiplier (new/old calib): {machine:.2f}x  "
               f"-> machine-normalized new total {norm:.1f}s")
+    # scan-budget regression check (r10): when both diags carry
+    # input_records, a records ratio far above the data's own growth means
+    # a query started physically re-scanning its source (the AQE
+    # shared-subtree failure class) — invisible to wall-clock on
+    # page-cached local parquet, fatal at 100 TB. Same-sf comparisons
+    # should show ratio ~1.0 for every query.
+    oir, nir = old.get("input_records", {}), new.get("input_records", {})
+    scan_flagged = [
+        (k, oir[k], nir[k])
+        for k in shared if k in oir and k in nir and oir[k] > 0
+        and nir[k] / oir[k] > 1.5]
+    if scan_flagged:
+        print(f"\nSCAN-BUDGET regressions (records read grew >1.5x):")
+        for k, a, b in sorted(scan_flagged, key=lambda x: -x[2] / x[1]):
+            print(f"  {k}: {a} -> {b} records ({b / a:.1f}x) — a branch is "
+                  f"re-scanning its source")
     flagged = []
     for k in shared:
         a, raw = oq[k], nq[k]
