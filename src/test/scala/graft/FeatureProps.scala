@@ -106,6 +106,48 @@ object FeatureProps extends Properties("graft") {
       dec == ref
     }
 
+  property("PIT forward-fill equals brute-force banded as-of top-1 on arbitrary frames") =
+    forAll(
+      // facts: (user 0-2, ts 0-50, id, nullable value) — small ts domain so
+      // equal-timestamp ties and band edges collide often
+      Gen.listOf(Gen.zip(Gen.choose(0L, 2L), Gen.choose(0, 50),
+        Gen.choose(0, 30).map(_ % 2 == 0))),
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 2L), Gen.choose(0, 50))),
+      Gen.choose(5, 60)) { (factRows, probeRows, bandDays) =>
+      import java.sql.Timestamp
+      def ts(day: Int) = Timestamp.valueOf(f"2024-01-01 00:00:00")
+        .toLocalDateTime.plusDays(day)
+      def t(day: Int) = Timestamp.valueOf(ts(day))
+      val facts = factRows.zipWithIndex.map { case ((u, d, nonNull), i) =>
+        (u, t(d), i.toLong,
+          if (nonNull) java.lang.Double.valueOf(d * 1.5 + i) else null: java.lang.Double)
+      }
+      val probes = probeRows.zipWithIndex.map { case ((u, d), i) =>
+        (u, t(d), 1000L + i)
+      }
+      val got = ops.PitJoin.trainingMatrix(
+          probes.toDF("user_id", "probe_ts", "probe_id"),
+          "user_id", "probe_ts", "probe_id",
+          Seq(ops.PitJoin.Fact(
+            facts.toDF("user_id", "fact_ts", "fact_id", "score"),
+            "user_id", "fact_ts", "fact_id", "score")),
+          expr(s"INTERVAL $bandDays DAYS"))
+        .select("probe_id", "score")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      // brute force: per probe, the max-(ts, id) NON-NULL fact in
+      // [probe_ts - band, probe_ts]
+      val want = probes.map { case (u, pts, pid) =>
+        val lo = pts.toLocalDateTime.minusDays(bandDays)
+        pid -> facts.filter { case (fu, fts, _, v) =>
+            fu == u && v != null && !fts.after(pts) &&
+              !fts.toLocalDateTime.isBefore(lo)
+          }.sortBy { case (_, fts, fid, _) => (fts.getTime, fid) }
+          .lastOption.map(_._4.doubleValue)
+      }.toMap
+      got == want
+    }
+
   property("merge-by-key: keyset is the union, updates win") =
     forAll(Gen.listOf(Gen.choose(0L, 9L)), Gen.listOf(Gen.choose(0L, 9L))) { (o, n) =>
       val old = o.distinct.map(k => (k, s"old$k")).toDF("k", "v")
