@@ -113,6 +113,24 @@ class ScanAuditSpec extends SparkSpec {
     assert(recordsOf(jobs.SkewMonitorJob.trainingServingSkew(spark, sf0001)) == eventsRows)
   }
 
+  test("by-design multi-scan budgets hold exactly (and never grow)") {
+    val docs = core.Tables.documents(spark, sf0001)
+    // the chunked two-phase prefix family shares weighted_sample's
+    // measured 2-scan floor (offsets branch carries an internal cumsum
+    // exchange); chunk_windows is per-doc-local — one scan
+    assert(recordsOf(ext.Corpus.packSequences(docs, 512)) == 2 * docsRows)
+    assert(recordsOf(ext.Dedup.spanDedup(docs, 3)) == 2 * docsRows)
+    assert(recordsOf(ext.Corpus.sourceQuota(docs, Map("src0" -> 50L), 100L)) == 2 * docsRows)
+    assert(recordsOf(ext.Corpus.shardManifest(docs, 100)) == 2 * docsRows)
+    assert(recordsOf(ext.Corpus.chunkWindows(docs, 128, 32)) == docsRows)
+    // two-frame-by-contract queries: the generic as-of witness (probe +
+    // fact frames), the sketch-vs-exact-witness rollup, and the
+    // documented two-pass broadcast outlier rule
+    assert(recordsOf(jobs.StreamAnalogJobs.asOfRisk(spark, sf0001)) == 2 * eventsRows)
+    assert(recordsOf(jobs.StreamAnalogJobs.rollingDistinctUsers(spark, sf0001)) == 2 * eventsRows)
+    assert(recordsOf(jobs.DataQualityJob.outliers(spark, sf0001)) == 2 * ordersRows)
+  }
+
   test("text-analysis family scan budgets") {
     val docs = core.Tables.documents(spark, sf0001)
     // oov_rate's two token consumers (vocab build + probe) genuinely
