@@ -54,11 +54,13 @@ class ScanAuditSpec extends SparkSpec {
   }
 
   test("dq_drift: two orders scans by design, never more") {
-    // the reference scan is date-filter-pushed (partition-prunable at
-    // scale); on the single-row-group test file both scans decode every
-    // row, so the budget here is exactly 2n
     val r = recordsOf(jobs.DataQualityJob.distributionDrift(spark, sf0001))
-    assert(r == 2 * ordersRows, s"drift read $r records, budget ${2 * ordersRows}")
+    // range, not equality: the ref scan's date predicate is PUSHED, so a
+    // future testdata layout with date-clustered row groups would
+    // legitimately decode fewer rows — the pin must catch a 2->3 scan
+    // regression without breaking on better pruning
+    assert(r > ordersRows && r <= 2 * ordersRows,
+      s"drift read $r records, budget (${ordersRows}, ${2 * ordersRows}]")
   }
 
   test("quantile_normalize: collapse scan + value-keyed join-back scan (2x rows)") {
@@ -126,7 +128,9 @@ class ScanAuditSpec extends SparkSpec {
     // two-frame-by-contract queries: the generic as-of witness (probe +
     // fact frames), the sketch-vs-exact-witness rollup, and the
     // documented two-pass broadcast outlier rule
-    assert(recordsOf(jobs.StreamAnalogJobs.asOfRisk(spark, sf0001)) == 2 * eventsRows)
+    val ar = recordsOf(jobs.StreamAnalogJobs.asOfRisk(spark, sf0001))
+    // range: both frames' type predicates are pushed (see dq_drift note)
+    assert(ar > 0 && ar <= 2 * eventsRows, s"asof_risk read $ar")
     assert(recordsOf(jobs.StreamAnalogJobs.rollingDistinctUsers(spark, sf0001)) == 2 * eventsRows)
     assert(recordsOf(jobs.DataQualityJob.outliers(spark, sf0001)) == 2 * ordersRows)
   }
