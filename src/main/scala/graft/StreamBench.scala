@@ -42,9 +42,11 @@ object StreamBench {
     * methodology on every path, so the published numbers compare); returns
     * events/s over the remaining chunks. */
   private def drive[A](input: MemoryStream[A], out: DataFrame,
-                       chunks: Seq[Seq[A]]): Long = {
+                       chunks: Seq[Seq[A]],
+                       sink: (DataFrame, Long) => Unit =
+                         (b: DataFrame, _: Long) => { b.count(); () }): Long = {
     val q: StreamingQuery = out.writeStream
-      .foreachBatch((b: DataFrame, _: Long) => { b.count(); () })
+      .foreachBatch(sink)
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("graft-sbench").toString)
       .outputMode("append")
@@ -88,10 +90,29 @@ object StreamBench {
         chunksOf(hot))
     }
 
+    // -- wire + the FUSED stream-side DQ monitor pair in foreachBatch --
+    // (what the monitored ingest path costs: one extra (day, bucket)
+    // aggregate per micro-batch, both monitors fed by driver-side
+    // marginalization — running them separately costs two jobs/batch and
+    // measured ~47% of wire throughput; the fused pass is the shipped
+    // recommendation)
+    val monIn = MemoryStream[String](spark)
+    val ref = graft.streaming.DriftMonitor.reference(
+      (1 to 500).map(_ / 10.0).toDF("v"), "v", 10)
+    val pair = graft.streaming.MonitorPair(ref)
+    val monEps = drive(monIn,
+      EventPipeline.route(EventPipeline.parse(monIn.toDF())), chunksOf(wire),
+      sink = (b: DataFrame, id: Long) => {
+        b.count()
+        pair.update(b, "ts", "value", id)
+        ()
+      })
+
     val hotJson = hotEps.map { case (c, e) => "\"cap" + c + "\":" + e }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stream_events_per_sec","events":$n,"chunk":$chunkSize,""" +
-      s""""parse_route":$wireEps,"velocity_uniform":$uniEps,"velocity_hot95":$hotJson}""")
+      s""""parse_route":$wireEps,"parse_route_monitored":$monEps,""" +
+      s""""velocity_uniform":$uniEps,"velocity_hot95":$hotJson}""")
     spark.stop()
   }
 }

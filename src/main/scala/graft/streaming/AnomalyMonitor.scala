@@ -64,15 +64,22 @@ object AnomalyMonitor {
                batchId: Long): Seq[AnomalyRow] = synchronized {
       if (batchId > maxSeen) {
         maxSeen = batchId
-        dailyTotals(batch, tsCol, valueCol).foreach { case (d, t) =>
-          totals.updateWith(d) {
-            case Some(prev) => Some(prev.add(t))
-            case None       => Some(t)
-          }
-        }
-        while (totals.size > maxDays) totals.remove(totals.firstKey): Unit
+        foldTotals(dailyTotals(batch, tsCol, valueCol))
       }
       snapshot()
+    }
+
+    /** Fold pre-aggregated daily totals in (the MonitorPair fused path);
+      * the caller owns batchId idempotence on this entry point. */
+    private[streaming] def foldTotals(
+        ts: Seq[(String, java.math.BigDecimal)]): Unit = synchronized {
+      ts.foreach { case (d, t) =>
+        totals.updateWith(d) {
+          case Some(prev) => Some(prev.add(t))
+          case None       => Some(t)
+        }
+      }
+      while (totals.size > maxDays) totals.remove(totals.firstKey): Unit
     }
 
     /** The batch job's scoring, term for term: days in order, lag chain

@@ -92,12 +92,18 @@ object DriftMonitor {
       synchronized {
         if (batchId > maxSeen) {
           maxSeen = batchId
-          val m = bucketMasses(batch, valueCol, ref)
-          var i = 0
-          while (i < cur.length) { cur(i) += m(i); i += 1 }
+          foldMasses(bucketMasses(batch, valueCol, ref))
         }
         snapshot()
       }
+
+    /** Fold pre-aggregated masses in (the MonitorPair fused path computes
+      * them from its single (day, bucket) aggregate); the caller owns
+      * batchId idempotence when using this entry point directly. */
+    private[streaming] def foldMasses(m: Array[Long]): Unit = synchronized {
+      var i = 0
+      while (i < cur.length) { cur(i) += m(i); i += 1 }
+    }
 
     /** Drift rows over the cumulative state (distributionDrift's formula:
       * chi² term (p_cur − p_ref)²/p_ref on exact-count ratios, rounded at

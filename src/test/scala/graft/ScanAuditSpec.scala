@@ -121,6 +121,7 @@ class ScanAuditSpec extends SparkSpec {
     // measured 2-scan floor (offsets branch carries an internal cumsum
     // exchange); chunk_windows is per-doc-local — one scan
     assert(recordsOf(ext.Corpus.packSequences(docs, 512)) == 2 * docsRows)
+    assert(recordsOf(ext.Corpus.mixtureSample(docs, Map("src0" -> 50L), 100L)) == 2 * docsRows)
     assert(recordsOf(ext.Dedup.spanDedup(docs, 3)) == 2 * docsRows)
     assert(recordsOf(ext.Corpus.sourceQuota(docs, Map("src0" -> 50L), 100L)) == 2 * docsRows)
     assert(recordsOf(ext.Corpus.shardManifest(docs, 100)) == 2 * docsRows)
