@@ -50,7 +50,7 @@ object VelocityFeatures {
                         merchant: Array[Int], success: Array[Boolean],
                         dropped: Long = 0L)
 
-  private val EmptyBuffer = UserBuffer(
+  private[streaming] val EmptyBuffer = UserBuffer(
     Array.emptyLongArray, Array.emptyDoubleArray,
     Array.emptyIntArray, Array.empty[Boolean])
 
@@ -127,7 +127,27 @@ object VelocityFeatures {
     val arrived = incoming.toArray.sortBy(e => (e.ts.getTime, e.merchant_id))
     if (arrived.isEmpty) return Iterator.empty
     val prior = state.getOption.getOrElse(EmptyBuffer)
+    val (out, next) = processBatch(userId, arrived, prior, maxEvents)
+    state.update(next)
+    // evict when the watermark passes 24h idle; clamp ABOVE the current
+    // watermark — a group replaying events >24h behind the stream head
+    // would otherwise request a timeout in the past, which GroupState
+    // rejects with an exception that kills the whole query. The cap keeps
+    // the NEWEST events, so the buffer's last ts equals the uncapped max.
+    val horizon = math.max(next.ts(next.ts.length - 1) + H24,
+      state.getCurrentWatermarkMs() + 1)
+    state.setTimeoutTimestamp(horizon)
+    out.iterator
+  }
 
+  /** The per-batch core, shared by the flatMapGroupsWithState path and the
+    * transformWithState experiment (VelocityTws): fold a sorted batch into
+    * the prior buffer, emit one row per event against the buffer as of
+    * that event, return the horizon-pruned capped buffer. Pure function of
+    * its inputs — the state-API specifics (timeouts, eviction) stay with
+    * the callers. */
+  private[streaming] def processBatch(userId: Long, arrived: Array[TxnEvent],
+      prior: UserBuffer, maxEvents: Int): (Array[VelocityRow], UserBuffer) = {
     // working buffers: prior events + room for this batch, ascending by ts;
     // okPre(i) = successes in [0, i) — the 24h success count is then a
     // prefix difference instead of a window scan
@@ -216,16 +236,7 @@ object VelocityFeatures {
       kMch = idx.map(kMch); kOk = idx.map(kOk)
       keptLen = maxEvents
     }
-    state.update(UserBuffer(kTs, kAmt, kMch, kOk, prior.dropped + droppedNow))
-    // evict when the watermark passes 24h idle; clamp ABOVE the current
-    // watermark — a group replaying events >24h behind the stream head
-    // would otherwise request a timeout in the past, which GroupState
-    // rejects with an exception that kills the whole query. The cap keeps
-    // the NEWEST events, so kTs.last equals the uncapped buffer's max ts.
-    val horizon = math.max(kTs(keptLen - 1) + H24,
-      state.getCurrentWatermarkMs() + 1)
-    state.setTimeoutTimestamp(horizon)
-    out.iterator
+    (out, UserBuffer(kTs, kAmt, kMch, kOk, prior.dropped + droppedNow))
   }
 
   /** Streaming entry: watermarked event-time state with 24h eviction and a
