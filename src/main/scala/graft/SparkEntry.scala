@@ -85,6 +85,7 @@ object SparkEntry {
     "random_sample"        -> ((s, dir) => serving.Lookups.randomSample(s, dir, 100)),
     "asof_risk"            -> ((s, dir) => StreamAnalogJobs.asOfRisk(s, dir)),
     "pit_training_set"     -> ((s, dir) => TrainingSetJob.pitTrainingSet(s, dir)),
+    "pit_training_matrix_wide" -> ((s, dir) => TrainingSetJob.pitTrainingMatrixWide(s, dir)),
     "training_serving_skew" -> ((s, dir) => SkewMonitorJob.trainingServingSkew(s, dir)),
     "tumbling_counts"      -> ((s, dir) => StreamAnalogJobs.tumblingCounts(s, dir)),
     "transaction_features_compat" -> ((s, dir) =>
@@ -258,6 +259,7 @@ object SparkEntry {
     "percentiles_approx"   -> OracleSql.percentilesApprox,
     "asof_risk"            -> OracleSql.asOfRisk,
     "pit_training_set"     -> OracleSql.pitTrainingSet,
+    "pit_training_matrix_wide" -> OracleSql.pitTrainingMatrixWide,
     "training_serving_skew" -> OracleSql.trainingServingSkew,
     "tumbling_counts"      -> OracleSql.tumblingCounts,
     "transaction_features_compat" -> OracleSql.transactionFeaturesCompat(),

@@ -105,4 +105,50 @@ object Roles {
         col("user_id"),
         graft.ops.Ops.rnd(col("value") / 500.0, 4).as("risk_score"),
         col("ts").as("computed_at"))
+
+  // ---- WIDE role records — the reference's feature groups are multi-field
+  // records (src/feature_store/models.py:20-63), so the PIT matrix needs
+  // record-valued fact tables, not scalars. Each extra field is a
+  // deterministic derivation of (value, id) so the DuckDB oracle reproduces
+  // it bit-for-bit; thresholds sit inside the observed value distribution
+  // (median ~35, p90 ~110) so every CASE branch is exercised at every sf.
+
+  /** risk_scores as a 3-field record: score + model version + risk band. */
+  def riskScoresWide(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("score_id"),
+        col("user_id"),
+        graft.ops.Ops.rnd(col("value") / 500.0, 4).as("risk_score"),
+        (col("event_id") % 5).as("risk_model_version"),
+        when(col("value") >= 100, "high")
+          .when(col("value") >= 30, "medium")
+          .otherwise("low").as("risk_band"),
+        col("ts").as("computed_at"))
+
+  /** credit_reports as a 3-field record: utilization + score + limit. */
+  def creditReportsWide(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(
+        col("event_id").as("report_id"),
+        col("user_id"),
+        graft.ops.Ops.rnd(col("value") / 500.0, 4).as("credit_utilization"),
+        (lit(300L) + floor(col("value")).cast("long") % 551).as("credit_score"),
+        graft.ops.Ops.rnd(col("value") * 40.0, 2).as("credit_limit"),
+        col("ts").as("report_date"))
+
+  /** velocity_alerts as a 3-field record: type + severity + rule channel. */
+  def velocityAlertsWide(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(
+        col("event_id").as("alert_id"),
+        col("user_id"),
+        when(col("value") >= 245, "velocity").otherwise("pattern").as("alert_type"),
+        when(col("value") >= 150, 3).when(col("value") >= 50, 2)
+          .otherwise(1).as("alert_severity"),
+        concat(lit("rule_"), (col("event_id") % 7).cast("string")).as("alert_channel"),
+        col("ts").as("created_at"))
 }

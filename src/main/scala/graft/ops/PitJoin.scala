@@ -56,6 +56,21 @@ object PitJoin {
   case class Fact(df: DataFrame, key: String, ts: String,
                   tiebreak: String, value: String)
 
+  /** A multi-column fact table — the reference's feature groups are
+    * 11-field RECORDS (src/feature_store/models.py:20-63;
+    * sql/postgresql_schema.sql:20-62), not scalars, and PIT attachment of
+    * a record is RECORD-level: all of `values` come from the SAME latest
+    * in-band fact row (a consistent snapshot of the group), which is NOT
+    * the same as filling each column independently — a null field on the
+    * latest record legitimately masks an older row's non-null value
+    * (PitJoinSpec pins the difference). `lookback` is per-fact: the
+    * reference gives each feature group its OWN freshness window (TTLs
+    * differ by table in config/settings.py; serving takes the oldest
+    * across groups, store.py:189-201). */
+  case class WideFact(df: DataFrame, key: String, ts: String,
+                      tiebreak: String, values: Seq[String],
+                      lookback: Column)
+
   /** Forward-fill core over a pre-built timeline frame — exposed separately
     * so a caller whose probes and facts all derive from ONE source (e.g.
     * the events table roles) can build the timeline with conditional
@@ -69,17 +84,29 @@ object PitJoin {
     *                  than `ts - lookback` becomes null
     */
   def fill(timeline: DataFrame, key: String, ts: String, prio: String,
-           tb: String, valueCols: Seq[String], lookback: Column): DataFrame = {
-    val w = Window.partitionBy(key)
+           tb: String, valueCols: Seq[String], lookback: Column): DataFrame =
+    fillBanded(timeline, Seq(key), ts, prio, tb,
+      valueCols.map(_ -> lookback))
+
+  /** The general fill: multiple partition keys (the salted variant
+    * partitions by (key, salt)) and a PER-COLUMN staleness band (per-fact
+    * freshness windows). All the last() expressions still share one
+    * (partition, order) spec → a SINGLE WindowExec regardless of how many
+    * columns or how many distinct bands ride it. */
+  def fillBanded(timeline: DataFrame, keys: Seq[String], ts: String,
+                 prio: String, tb: String,
+                 bandedCols: Seq[(String, Column)]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(ts), col(prio), col(tb))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // ONE select carrying every fill: all the last() expressions share one
     // (partition, order) spec, so the analyzer extracts them into a SINGLE
     // WindowExec — chained withColumn would interleave Projects between
     // Window nodes and defeat the collapse (pinned in ScaleShapeSpec)
+    val valueCols = bandedCols.map(_._1)
     val others = timeline.columns.toSeq.filterNot(valueCols.contains)
     timeline.select(
-      others.map(col) ++ valueCols.map { v =>
+      others.map(col) ++ bandedCols.map { case (v, lookback) =>
         when(
           last(when(col(v).isNotNull, col(ts)), ignoreNulls = true).over(w)
             >= col(ts) - lookback,
@@ -124,5 +151,69 @@ object PitJoin {
       .filter(col("__prio") === 1)
       .select(col("__key").as(key) +: col("__ts").as(probeTs) +:
         (probeCarry.map(col) ++ valueCols.map(col)): _*)
+  }
+
+  /** The multi-column (record-level) PIT join over WideFacts: each fact
+    * table rides the timeline as ONE struct column, so `last(struct,
+    * ignoreNulls)` fills a consistent snapshot of the whole record — the
+    * latest in-band fact ROW wins, and all its fields arrive together
+    * (see WideFact's scaladoc for why that differs from per-column fill).
+    * Still ONE key-hashed exchange + ONE WindowExec for all tables and
+    * all bands; the structs are exploded back to flat columns on the way
+    * out. Fact value names must be globally distinct.
+    *
+    * `salts` > 1 engages the documented hot-key fix (the scaladoc above —
+    * a hot key's timeline sorts on ONE task, and AQE skew handling never
+    * applies to windows): probes spread over `salts` sub-partitions by a
+    * hash of their tiebreak, each fact row is replicated to EVERY salt,
+    * and the window partitions by (key, salt) — each probe still sees the
+    * key's complete fact timeline, so output is identical (PitJoinSpec
+    * pins salted ≡ unsalted), but the hot key's sort now runs on `salts`
+    * tasks. Cost: fact rows × salts — opt-in, for frames where one key
+    * dominates; leave at 1 for user-keyed tables. */
+  def trainingMatrixWide(probes: DataFrame, key: String, probeTs: String,
+                         probeTb: String, facts: Seq[WideFact],
+                         salts: Int = 1): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    require(salts >= 1, s"salts must be >= 1: $salts")
+    val allValues = facts.flatMap(_.values)
+    require(allValues.distinct.size == allValues.size,
+      s"fact value columns must be globally distinct: $allValues")
+    val structCols = facts.indices.map(i => s"__s$i")
+    val structTypes = facts.map(f => StructType(
+      f.values.map(v => StructField(v, f.df.schema(v).dataType))))
+    val probeCarry = probes.columns.toSeq
+      .filterNot(c => c == key || c == probeTs)
+
+    def nullS(i: Int): Column = lit(null).cast(structTypes(i)).as(structCols(i))
+    val probeSalt =
+      if (salts == 1) lit(0) else pmod(col(probeTb).cast("long"), lit(salts)).cast("int")
+    val probeSide = probes.select(
+      col(key).as("__key") +: col(probeTs).as("__ts") +: lit(1).as("__prio") +:
+        col(probeTb).cast("long").as("__tb") +: probeSalt.as("__salt") +:
+        (facts.indices.map(nullS) ++ probeCarry.map(col)): _*)
+    val factSides = facts.zipWithIndex.map { case (f, i) =>
+      val base = f.df.select(
+        col(f.key).as("__key") +: col(f.ts).as("__ts") +: lit(0).as("__prio") +:
+          col(f.tiebreak).cast("long").as("__tb") +:
+          (facts.indices.map(j =>
+            if (j == i) struct(f.values.map(col): _*).as(structCols(i))
+            else nullS(j)) ++
+            probeCarry.map(c => lit(null).cast(probes.schema(c).dataType).as(c))): _*)
+      // replicate each fact row to every salt so any probe sub-partition
+      // holds the key's COMPLETE timeline
+      if (salts == 1) base.select(lit(0).as("__salt") +: base.columns.map(col): _*)
+      else base.select(
+        explode(array((0 until salts).map(lit(_)): _*)).as("__salt") +:
+          base.columns.map(col): _*)
+    }
+    val timeline = factSides.foldLeft(probeSide)(_.unionByName(_))
+    fillBanded(timeline, Seq("__key", "__salt"), "__ts", "__prio", "__tb",
+        structCols.zip(facts.map(_.lookback)))
+      .filter(col("__prio") === 1)
+      .select(col("__key").as(key) +: col("__ts").as(probeTs) +:
+        (probeCarry.map(col) ++ facts.zipWithIndex.flatMap { case (f, i) =>
+          f.values.map(v => col(structCols(i)).getField(v).as(v))
+        }): _*)
   }
 }

@@ -70,6 +70,31 @@ object OracleSql {
       | floor((value / 500.0) * 10000.0 + 0.5) / 10000.0 AS risk_score,
       | ts AS computed_at FROM events WHERE event_type = 'purchase'""".stripMargin
 
+  // Wide (multi-field) role records — mirror Roles.{riskScoresWide,
+  // creditReportsWide, velocityAlertsWide} term for term.
+  val roleScoresWide: String =
+    """SELECT event_id AS score_id, user_id,
+      | floor((value / 500.0) * 10000.0 + 0.5) / 10000.0 AS risk_score,
+      | event_id % 5 AS risk_model_version,
+      | CASE WHEN value >= 100 THEN 'high' WHEN value >= 30 THEN 'medium'
+      |   ELSE 'low' END AS risk_band,
+      | ts AS computed_at FROM events WHERE event_type = 'purchase'""".stripMargin
+
+  val roleCreditWide: String =
+    """SELECT event_id AS report_id, user_id,
+      | floor((value / 500.0) * 10000.0 + 0.5) / 10000.0 AS credit_utilization,
+      | 300 + CAST(FLOOR(value) AS BIGINT) % 551 AS credit_score,
+      | floor((value * 40.0) * 100.0 + 0.5) / 100.0 AS credit_limit,
+      | ts AS report_date FROM events WHERE event_type = 'view'""".stripMargin
+
+  val roleAlertsWide: String =
+    """SELECT event_id AS alert_id, user_id,
+      | CASE WHEN value >= 245 THEN 'velocity' ELSE 'pattern' END AS alert_type,
+      | CAST(CASE WHEN value >= 150 THEN 3 WHEN value >= 50 THEN 2
+      |   ELSE 1 END AS INT) AS alert_severity,
+      | 'rule_' || CAST(event_id % 7 AS VARCHAR) AS alert_channel,
+      | ts AS created_at FROM events WHERE event_type = 'error'""".stripMargin
+
   // ---- shared SQL idioms ----
 
   /** COUNT(*) FILTER, written as portable conditional count. */
@@ -998,6 +1023,47 @@ object OracleSql {
        |  ON p.probe_id = r2.probe_id
        |LEFT JOIN (SELECT probe_id, alert_type FROM r3 WHERE rn = 1) r3
        |  ON p.probe_id = r3.probe_id""".stripMargin
+  }
+
+  /** WIDE PIT training matrix — mirrors jobs/TrainingSetJob.
+    * pitTrainingMatrixWide: per probe and per role, the latest in-band fact
+    * ROW (record-level ASOF — deliberately NO value-null filter: the whole
+    * record arrives from one row, PitJoin.WideFact's contract), each role
+    * under its OWN staleness band (riskBandDays/creditBandDays/
+    * alertBandDays). Outputs stay raw — null means no record in band. */
+  val pitTrainingMatrixWide: String = {
+    def side(alias: String, cte: String, ts: String, id: String,
+             cols: Seq[String], band: Int): String =
+      s"""$alias AS (SELECT p.probe_id, ${cols.map("x." + _).mkString(", ")},
+         |    ROW_NUMBER() OVER (PARTITION BY p.probe_id
+         |      ORDER BY x.$ts DESC NULLS LAST, x.$id DESC NULLS LAST) AS rn
+         |  FROM probes p LEFT JOIN $cte x ON p.user_id = x.user_id
+         |    AND x.$ts <= p.probe_ts
+         |    AND x.$ts >= p.probe_ts - INTERVAL $band DAY)""".stripMargin
+    val riskCols = Seq("risk_score", "risk_model_version", "risk_band")
+    val creditCols = Seq("credit_utilization", "credit_score", "credit_limit")
+    val alertCols = Seq("alert_type", "alert_severity", "alert_channel")
+    s"""WITH probes AS (SELECT event_id AS probe_id, user_id,
+       |    ts AS probe_ts, value >= 250 AS label
+       |  FROM events WHERE event_type = 'click'),
+       |sc AS ($roleScoresWide),
+       |cr AS ($roleCreditWide),
+       |al AS ($roleAlertsWide),
+       |${side("r1", "sc", "computed_at", "score_id", riskCols,
+                graft.jobs.TrainingSetJob.riskBandDays)},
+       |${side("r2", "cr", "report_date", "report_id", creditCols,
+                graft.jobs.TrainingSetJob.creditBandDays)},
+       |${side("r3", "al", "created_at", "alert_id", alertCols,
+                graft.jobs.TrainingSetJob.alertBandDays)}
+       |SELECT p.probe_id, p.user_id,
+       |  strftime(p.probe_ts, '%Y-%m-%d %H:%M:%S') AS probe_ts, p.label,
+       |  ${riskCols.map("r1." + _).mkString(", ")},
+       |  ${creditCols.map("r2." + _).mkString(", ")},
+       |  ${alertCols.map("r3." + _).mkString(", ")}
+       |FROM probes p
+       |LEFT JOIN (SELECT * FROM r1 WHERE rn = 1) r1 ON p.probe_id = r1.probe_id
+       |LEFT JOIN (SELECT * FROM r2 WHERE rn = 1) r2 ON p.probe_id = r2.probe_id
+       |LEFT JOIN (SELECT * FROM r3 WHERE rn = 1) r3 ON p.probe_id = r3.probe_id""".stripMargin
   }
 
   val tumblingCounts: String =

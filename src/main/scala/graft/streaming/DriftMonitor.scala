@@ -46,6 +46,11 @@ object DriftMonitor {
     val hist = DataQualityJob.equiDepthOf(ref, valueCol, buckets)
       .select("bucket", "n_rows", "hi_value")
       .collect().sortBy(_.getAs[Int]("bucket"))
+    // an empty (or all-null-value) reference would freeze a zero-bucket
+    // Reference whose first micro-batch then indexes past the empty masses
+    // array inside foreachBatch — fail at construction with the real cause
+    require(hist.nonEmpty,
+      s"drift reference is empty: '$valueCol' has no non-null rows")
     val bnds = hist.dropRight(1).map(_.getAs[Double]("hi_value"))
     // POSITIONAL indexing, deliberately NOT the emitted equi-depth bucket
     // id: current values are bucketed as "count of boundaries strictly

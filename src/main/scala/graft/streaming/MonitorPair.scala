@@ -28,9 +28,14 @@ import org.apache.spark.sql.functions._
   */
 object MonitorPair {
 
-  final class Pair(val drift: DriftMonitor.Monitor,
-                   val anomaly: AnomalyMonitor.Monitor,
-                   ref: DriftMonitor.Reference) {
+  // constructor is private to the companion: a Pair wired with a Monitor
+  // built from a DIFFERENT Reference (different bucket count) would make
+  // foldMasses read past the shorter masses array — only apply(), which
+  // derives both from one Reference, can construct one
+  final class Pair private[MonitorPair] (
+      val drift: DriftMonitor.Monitor,
+      val anomaly: AnomalyMonitor.Monitor,
+      ref: DriftMonitor.Reference) {
     private var maxSeen = -1L
 
     def update(batch: DataFrame, tsCol: String, valueCol: String,

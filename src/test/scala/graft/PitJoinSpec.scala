@@ -75,6 +75,73 @@ class PitJoinSpec extends SparkSpec {
     assert(m(100L).isEmpty)
   }
 
+  // ---- wide (record-level) facts ----
+
+  private def wideFacts(rows: (Long, String, Long, java.lang.Double, String)*) =
+    rows.toSeq.map { case (k, t, id, v, g) => (k, ts(t), id, v, g) }
+      .toDF("user_id", "fact_ts", "fact_id", "score", "grade")
+
+  private def wideMatrix(p: org.apache.spark.sql.DataFrame,
+                         f: org.apache.spark.sql.DataFrame,
+                         salts: Int = 1) =
+    PitJoin.trainingMatrixWide(p, "user_id", "probe_ts", "probe_id",
+      Seq(PitJoin.WideFact(f, "user_id", "fact_ts", "fact_id",
+        Seq("score", "grade"), lookback)), salts)
+      .select("probe_id", "score", "grade")
+      .as[(Long, Option[Double], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("wide fill is RECORD-level: the latest fact row wins whole, its null " +
+      "field masking an older non-null (the opposite of scalar fill)") {
+    val p = probes((1L, "2020-01-10 00:00:00", 100L))
+    val f = wideFacts(
+      (1L, "2020-01-05 00:00:00", 1L, 0.3, "a"),
+      (1L, "2020-01-08 00:00:00", 2L, null, "b")) // latest record: null score
+    val wide = wideMatrix(p, f)
+    assert(wide(100L) == ((None, Some("b"))),
+      "the whole latest record must arrive — a consistent group snapshot")
+    // contrast: the SCALAR fill on the same frame skips the null to 0.3
+    val scalar = matrix(p, f.drop("grade"))
+    assert(scalar(100L).contains(0.3),
+      "scalar fill's documented skip-null contract must be unchanged")
+  }
+
+  test("per-fact staleness bands null independently (per-group freshness windows)") {
+    val p = probes((1L, "2020-01-10 00:00:00", 100L))
+    val a = facts((1L, "2020-01-04 00:00:00", 1L, 0.3)) // 6d old at probe
+    val b = wideFacts((1L, "2020-01-04 00:00:00", 2L, 0.9, "g"))
+    val out = PitJoin.trainingMatrixWide(p, "user_id", "probe_ts", "probe_id",
+      Seq(
+        PitJoin.WideFact(a, "user_id", "fact_ts", "fact_id",
+          Seq("score"), expr("INTERVAL 10 DAYS")),
+        PitJoin.WideFact(b.select(col("user_id"), col("fact_ts"),
+            col("fact_id"), col("score").as("score2"), col("grade")),
+          "user_id", "fact_ts", "fact_id",
+          Seq("score2", "grade"), expr("INTERVAL 2 DAYS"))))
+      .select("probe_id", "score", "score2", "grade")
+      .as[(Long, Option[Double], Option[Double], Option[String])].collect()
+    assert(out.toSeq == Seq((100L, Some(0.3), None, None)),
+      "the 10d-band fact fills while the 2d-band fact nulls out")
+  }
+
+  test("salted wide matrix ≡ unsalted on a frame with ties, bands and misses") {
+    val p = probes(
+      (1L, "2020-01-10 00:00:00", 100L), (1L, "2020-01-10 00:00:00", 101L),
+      (1L, "2020-01-02 00:00:00", 102L), (2L, "2020-02-01 00:00:00", 200L),
+      (3L, "2020-01-15 00:00:00", 300L)) // key 3: no facts
+    val f = wideFacts(
+      (1L, "2020-01-05 00:00:00", 1L, 0.3, "a"),
+      (1L, "2020-01-10 00:00:00", 2L, 0.7, "b"),
+      (1L, "2020-01-10 00:00:00", 9L, 0.8, "c"), // tie: id 9 wins
+      (2L, "2020-01-05 00:00:00", 3L, 0.5, "d")) // stale at 02-01
+    val plain = wideMatrix(p, f, salts = 1)
+    val salted = wideMatrix(p, f, salts = 4)
+    assert(plain == salted,
+      "salting must never change output — only the task layout")
+    assert(plain(102L) == ((None, None)) && plain(200L) == ((None, None)))
+    assert(plain(100L) == ((Some(0.8), Some("c"))))
+  }
+
   test("probe columns pass through; equal-ts probes each keep their row") {
     val p = Seq(
       (1L, ts("2020-01-10 00:00:00"), 100L, "a"),

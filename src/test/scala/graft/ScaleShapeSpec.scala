@@ -317,6 +317,23 @@ class ScaleShapeSpec extends SparkSpec {
       s"all fills must share one WindowExec:\n${plan.take(1500)}")
   }
 
+  test("pit_training_matrix_wide: three struct fills under three bands share " +
+      "one events scan, one exchange, one WindowExec") {
+    // the record-level generalization must not cost more plan than the
+    // scalar matrix: per-fact bands are per-COLUMN frame expressions, not
+    // per-band window specs
+    val m = jobs.TrainingSetJob.pitTrainingMatrixWide(spark, sf0001)
+    assert(m.collect().nonEmpty)
+    assert(finalScansOf(m, "events") == 1,
+      s"expected one events scan:\n${m.queryExecution.executedPlan}")
+    val plan = m.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.split("\n").count(_.contains("Exchange hashpartitioning")) == 1,
+      s"wide PIT fill must cost one shuffle:\n${plan.take(1500)}")
+    assert(plan.split("\n").count(_.contains("Window")) == 1,
+      s"all struct fills must share one WindowExec:\n${plan.take(1500)}")
+  }
+
   test("group_sample runs as a map-side per-group top-k, not a full group sort") {
     val docs = core.Tables.documents(spark, sf0001)
     val gs = ext.Corpus.groupSample(docs, 10)

@@ -92,6 +92,10 @@ class ScanAuditSpec extends SparkSpec {
     assert(recordsOf(jobs.TrainingSetJob.pitTrainingSet(spark, sf0001)) == eventsRows)
   }
 
+  test("pit_training_matrix_wide: 9 record columns under 3 bands still cost one events scan") {
+    assert(recordsOf(jobs.TrainingSetJob.pitTrainingMatrixWide(spark, sf0001)) == eventsRows)
+  }
+
   test("heavy_hitters: two events scans by design (exact witness + the sketch pass)") {
     // the total now rides the entity-count frame; the residual second
     // scan is the POINT of the query — a one-pass sketch audited against

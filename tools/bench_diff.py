@@ -119,6 +119,13 @@ def main():
     # page-cached local parquet, fatal at 100 TB. Same-sf comparisons
     # should show ratio ~1.0 for every query.
     oir, nir = old.get("input_records", {}), new.get("input_records", {})
+    if oir and nir and old.get("sf") != new.get("sf"):
+        # cross-sf diffs would flag every query as a spurious scan
+        # regression — records legitimately grow with the data
+        print(f"note: skipping scan-budget check (sf {old.get('sf')!r} vs "
+              f"{new.get('sf')!r} — records grow with the data)",
+              file=sys.stderr)
+        oir, nir = {}, {}
     scan_flagged = [
         (k, oir[k], nir[k])
         for k in shared if k in oir and k in nir and oir[k] > 0
