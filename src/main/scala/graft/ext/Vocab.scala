@@ -134,4 +134,77 @@ object Vocab {
     words.unpersist()
     learned.toSeq
   }
+
+  /** Batched BPE training — same learned list as bpeLearn, a fraction of
+    * the Spark rounds. bpeLearn's floor is one distributed aggregate + one
+    * 1-row collect PER MERGE (1k merges = 1k jobs; the round-trip, not the
+    * data, dominates past a few hundred merges). Each batched round
+    * collects the top-(batch+1) ranked pairs and accepts a prefix that is
+    * provably what the sequential argmax would have produced:
+    *
+    *   1. CONTIGUOUS ranks, stopping at the first pair sharing a symbol
+    *      with an earlier accepted pair (an overlapping pair's count may
+    *      drop after the earlier merge — skipping it could leapfrog the
+    *      true argmax);
+    *   2. a SELF-PAIR (sym_a == sym_b) closes the round's batch after
+    *      being accepted. Every new pair a merge creates has count ≤ some
+    *      parent pair's, and a parent shares a symbol with the merged
+    *      pair — so parents are non-accepted (disjointness) and rank
+    *      below the prefix (contiguity) — EXCEPT when the parent is the
+    *      merged pair itself, which happens exactly for (a,a) in runs
+    *      "aaa…": (aa,a) inherits count from accepted (a,a) and can
+    *      outrank everything below it (caught live: the zipf bench corpus
+    *      diverged at merge 2 before this barrier existed);
+    *   3. a STRICT count drop at the acceptance boundary (ties trimmed
+    *      back, always keeping the top-1). With (2), every new or changed
+    *      pair has count ≤ count(boundary) < count(accepted): nothing can
+    *      outrank any accepted pair at its sequential slot, and accepted
+    *      ties keep the shared (count desc, sym_a, sym_b) order.
+    *
+    * Worst case (all boundary ties, or self-pair-heavy corpora) degrades
+    * to one merge per round — exactly bpeLearn; Zipfian natural-text
+    * corpora accept most of the batch (BpeBench measures both). VocabSpec
+    * pins list-equality across batch sizes on three corpus shapes incl.
+    * the self-pair and tie-storm fixtures. */
+  def bpeLearnBatched(docs: DataFrame, merges: Int, batch: Int): Seq[(String, String)] =
+    bpeLearnBatchedCounted(docs, merges, batch)._1
+
+  /** bpeLearnBatched plus its Spark-round count — the number BpeBench
+    * reports, since rounds (not data) are the cost at corpus scale. */
+  private[graft] def bpeLearnBatchedCounted(
+      docs: DataFrame, merges: Int, batch: Int): (Seq[(String, String)], Int) = {
+    require(batch >= 1, s"batch must be >= 1: $batch")
+    val words = wordFreq(docs).cache()
+    words.count(): Unit
+    var rounds = 0
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (learned.length < merges && !done) {
+      rounds += 1
+      val want = math.min(batch, merges - learned.length)
+      val cand = pairStats(words.withColumn("syms",
+          encodeSyms(col("word"), learned.toSeq)))
+        .orderBy(desc("pair_count"), asc("sym_a"), asc("sym_b"))
+        .limit(want + 1).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (cand.isEmpty) done = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        var k = 0
+        var stop = false
+        while (!stop && k < math.min(want, cand.length)) {
+          val (a, b, _) = cand(k)
+          if (k > 0 && (used(a) || used(b))) stop = true
+          else {
+            used += a; used += b; k += 1
+            if (a == b) stop = true // self-pair barrier (rule 2)
+          }
+        }
+        while (k > 1 && cand.length > k && cand(k)._3 == cand(k - 1)._3) k -= 1
+        learned ++= cand.take(k).map(t => (t._1, t._2))
+      }
+    }
+    words.unpersist()
+    (learned.toSeq, rounds)
+  }
 }

@@ -140,6 +140,38 @@ class ScanAuditSpec extends SparkSpec {
     assert(recordsOf(jobs.DataQualityJob.outliers(spark, sf0001)) == 2 * ordersRows)
   }
 
+  test("serving fused probe: a warm batch miss reads only cached group rows, " +
+      "never the source tables") {
+    // the one query path with no records pin until r11 (VERDICT item 7):
+    // getBatch's fused probe isin-joins the three .cache()d feature-group
+    // tables — a regression that recomputes a group job per probe (cache
+    // lost, or a plan that bypasses InMemoryTableScan) would re-scan
+    // orders/customer/events on EVERY batch miss, invisible at test sizes,
+    // fatal under serving load at 100 TB
+    val svc = new serving.FeatureStoreService(spark, sf0001)
+    val now = java.time.Instant.parse("2001-08-02T02:30:00Z")
+    val groups = Seq("user", "transaction", "risk")
+    // cold call: materializes the group tier — this is where the source
+    // scans are ALLOWED to happen
+    val cold = sm.measure {
+      svc.getBatch(Seq(1L, 2L, 3L), groups, now): Unit
+    }.inputRecords
+    val groupRows = jobs.UserFeaturesJob(spark, sf0001).count() +
+      jobs.TransactionFeaturesJob(spark, sf0001).count() +
+      jobs.RiskFeaturesJob(spark, sf0001).count()
+    // warm miss on FRESH ids (row tier can't serve them): the fused probe
+    // must read at most one pass over the cached group rows — cached-block
+    // reads DO count in inputMetrics.recordsRead, so 0 would mean the
+    // measurement lost the job, not that the probe was free
+    val warm = sm.measure {
+      svc.getBatch(Seq(11L, 12L, 13L, 14L), groups, now): Unit
+    }.inputRecords
+    assert(warm > 0 && warm <= groupRows,
+      s"warm probe read $warm records, budget ($groupRows cached group rows)")
+    assert(cold > warm,
+      s"cold materialization ($cold) must dominate the warm probe ($warm)")
+  }
+
   test("text-analysis family scan budgets") {
     val docs = core.Tables.documents(spark, sf0001)
     // oov_rate's two token consumers (vocab build + probe) genuinely

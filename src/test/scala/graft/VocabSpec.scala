@@ -36,6 +36,54 @@ class VocabSpec extends SparkSpec {
     assert(merges == Seq(("a", "a"), ("aa", "a")), s"learned $merges")
   }
 
+  test("bpeLearnBatched learns the EXACT sequential list across batch sizes") {
+    // the conservative accept rule (contiguous disjoint prefix + strict
+    // count drop at the boundary) claims list-equality, not similarity —
+    // pin it on the real corpus and on Sennrich's example for several
+    // batch widths, including one wider than the merge budget
+    val seq30 = ext.Vocab.bpeLearn(docs, 30)
+    for (b <- Seq(1, 2, 4, 8, 64))
+      assert(ext.Vocab.bpeLearnBatched(docs, 30, b) == seq30,
+        s"batch=$b diverged from the sequential list")
+    val sennrich = Seq(
+      (("low " * 5) + ("lower " * 2) + ("newest " * 6) + ("widest " * 3)).trim)
+      .toDF("text")
+    assert(ext.Vocab.bpeLearnBatched(sennrich, 3, 8) ==
+      ext.Vocab.bpeLearn(sennrich, 3))
+  }
+
+  test("bpeLearnBatched tie-storm: boundary ties trim back to sequential behavior") {
+    // every pair count equal — a naive batch would accept several merges
+    // whose interleaving the sequential argmax may order differently once
+    // earlier merges create new pairs; the strict-drop rule must degrade
+    // to one merge per round and still match exactly
+    val corpus = Seq(Seq("zab", "cd", "ef", "gh").map(w => (w + " ") * 10)
+      .mkString(" ").trim).toDF("text")
+    // counts: (z,a)=(a,b)=(c,d)=(e,f)=(g,h)=10 — all tied; after (a,b)
+    // merges, (z,ab)=10 appears while (z,a) drops to 0
+    val seq = ext.Vocab.bpeLearn(corpus, 5)
+    for (b <- Seq(2, 3, 5))
+      assert(ext.Vocab.bpeLearnBatched(corpus, 5, b) == seq,
+        s"batch=$b diverged under full-tie counts (got ${
+          ext.Vocab.bpeLearnBatched(corpus, 5, b)} want $seq)")
+  }
+
+  test("bpeLearnBatched self-pair barrier: (a,a) merges spawn (aa,a) at full " +
+      "count — the batch must close behind them") {
+    // the live-caught divergence (BpeBench zipf corpus): sequential learns
+    // (a,a) then the DERIVED (aa,a) then (aa,aaa); a batch that keeps
+    // accepting disjoint pairs after (a,a) leapfrogs both derived merges
+    val corpus = Seq((("aaaaaa " * 20) + ("fg " * 15) + ("hi " * 12)).trim)
+      .toDF("text")
+    val seq = ext.Vocab.bpeLearn(corpus, 6)
+    assert(seq.take(2) == Seq(("a", "a"), ("aa", "aa")) ||
+      seq.head == ("a", "a"), s"fixture must start with the self-pair: $seq")
+    for (b <- Seq(2, 4, 6))
+      assert(ext.Vocab.bpeLearnBatched(corpus, 6, b) == seq,
+        s"batch=$b diverged on the self-pair corpus (got ${
+          ext.Vocab.bpeLearnBatched(corpus, 6, b)} want $seq)")
+  }
+
   test("charPairStats equals round-1 pairStats over the char decomposition") {
     // Two formulations of the same statistic: the oracle-checked substring
     // form and the symbol-array form bpeLearn iterates on. They must agree
