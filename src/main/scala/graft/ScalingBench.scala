@@ -267,6 +267,10 @@ object ScalingBench {
     // data-bound terms are the scan and the user exchange.
     val eventQueries: Seq[(String, String => DataFrame)] = Seq(
       "pit_training_set" -> (d => graft.jobs.TrainingSetJob.pitTrainingSet(spark, d)),
+      // round-11: the wide matrix must ride the ladder at the same cost
+      // as the scalar one (same single WindowExec, 3 struct fills)
+      "pit_training_matrix_wide" -> (d =>
+        graft.jobs.TrainingSetJob.pitTrainingMatrixWide(spark, d)),
       "training_serving_skew" -> (d =>
         graft.jobs.SkewMonitorJob.trainingServingSkew(spark, d)),
       "event_funnel" -> (d => graft.jobs.StreamAnalogJobs.eventFunnel(spark, d)),

@@ -73,13 +73,20 @@ object ShuffleAudit {
         val growth =
           if (t.shuffleWriteBytes < NoiseFloor) "\"flat\""
           else fmt(t.shuffleWriteBytes.toDouble / math.max(1L, b.shuffleWriteBytes))
+        // records ride beside bytes: byte growth conflates row growth with
+        // shuffle-block compressibility (a 10x term dictionary compresses
+        // worse under LZ4), so a super-linear BYTES suspect is adjudicated
+        // on RECORDS — rows moved is the plan's quantity, bytes the data's
         println(s"""{"query":"$name","base":{"shuffle_write":${b.shuffleWriteBytes},""" +
+          s""""shuffle_write_records":${b.shuffleWriteRecords},""" +
           s""""shuffle_read":${b.shuffleReadBytes},"spill":${b.spillBytes},""" +
           s""""input_records":${b.inputRecords}},""" +
           s""""target":{"shuffle_write":${t.shuffleWriteBytes},""" +
+          s""""shuffle_write_records":${t.shuffleWriteRecords},""" +
           s""""shuffle_read":${t.shuffleReadBytes},"spill":${t.spillBytes},""" +
           s""""input_records":${t.inputRecords}},""" +
-          s""""shuffle_growth":$growth}""")
+          s""""shuffle_growth":$growth,"shuffle_records_growth":${
+            fmt(t.shuffleWriteRecords.toDouble / math.max(1L, b.shuffleWriteRecords))}}""")
         Some(name -> ((b, t)))
       } catch {
         case e: Throwable =>

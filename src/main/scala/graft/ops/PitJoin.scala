@@ -169,8 +169,18 @@ object PitJoin {
     * and the window partitions by (key, salt) — each probe still sees the
     * key's complete fact timeline, so output is identical (PitJoinSpec
     * pins salted ≡ unsalted), but the hot key's sort now runs on `salts`
-    * tasks. Cost: fact rows × salts — opt-in, for frames where one key
-    * dominates; leave at 1 for user-keyed tables. */
+    * tasks.
+    *
+    * WHEN it pays (PitSaltBench, measured both ways): only when PROBES
+    * dominate the hot timeline. Each salt partition carries probes/salts
+    * but ALL of the key's facts (the replication), so per-task work is
+    * facts + probes/salts — a probe-heavy hot key (many labels, few
+    * feature updates) parallelizes, while a FACT-heavy one gets slower
+    * (measured 148 s → 228 s at salts=8 on a 95%-hot frame with 4×
+    * facts:probes — the replicas outweigh the split). For fact-heavy hot
+    * keys the fix is upstream compaction (top-1-per-(key, band-step) on
+    * the fact side BEFORE the join), not salting. Opt-in; leave at 1 for
+    * user-keyed tables. */
   def trainingMatrixWide(probes: DataFrame, key: String, probeTs: String,
                          probeTb: String, facts: Seq[WideFact],
                          salts: Int = 1): DataFrame = {

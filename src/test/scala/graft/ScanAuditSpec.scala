@@ -151,25 +151,25 @@ class ScanAuditSpec extends SparkSpec {
     val svc = new serving.FeatureStoreService(spark, sf0001)
     val now = java.time.Instant.parse("2001-08-02T02:30:00Z")
     val groups = Seq("user", "transaction", "risk")
-    // cold call: materializes the group tier — this is where the source
-    // scans are ALLOWED to happen
-    val cold = sm.measure {
-      svc.getBatch(Seq(1L, 2L, 3L), groups, now): Unit
-    }.inputRecords
+    // first call materializes the group tier (or reuses an identical-plan
+    // cache another suite already built — Spark's CacheManager dedupes by
+    // plan, so no cold-vs-warm assertion survives suite ordering)
+    svc.getBatch(Seq(1L, 2L, 3L), groups, now): Unit
     val groupRows = jobs.UserFeaturesJob(spark, sf0001).count() +
       jobs.TransactionFeaturesJob(spark, sf0001).count() +
       jobs.RiskFeaturesJob(spark, sf0001).count()
     // warm miss on FRESH ids (row tier can't serve them): the fused probe
     // must read at most one pass over the cached group rows — cached-block
     // reads DO count in inputMetrics.recordsRead, so 0 would mean the
-    // measurement lost the job, not that the probe was free
+    // measurement lost the job, not that the probe was free. A regression
+    // to per-probe group recomputation would read the SOURCE tables
+    // (orders/customer/events — an order of magnitude more records than
+    // the group rows at any sf) and blow the budget.
     val warm = sm.measure {
       svc.getBatch(Seq(11L, 12L, 13L, 14L), groups, now): Unit
     }.inputRecords
     assert(warm > 0 && warm <= groupRows,
       s"warm probe read $warm records, budget ($groupRows cached group rows)")
-    assert(cold > warm,
-      s"cold materialization ($cold) must dominate the warm probe ($warm)")
   }
 
   test("text-analysis family scan budgets") {
