@@ -39,16 +39,16 @@ object PitSaltBench {
     def probes(hot: Boolean) = frame(nProbes, hot, "pt").select(
       col("user_id"), col("ts").as("probe_ts"), col("id").as("probe_id"))
 
-    def matrix(hot: Boolean, s: Int) =
+    def matrix(hot: Boolean, s: Int, rangeSecs: Long = 0) =
       graft.ops.PitJoin.trainingMatrixWide(probes(hot), "user_id", "probe_ts",
         "probe_id", Seq(graft.ops.PitJoin.WideFact(facts(hot), "user_id",
           "fact_ts", "fact_id", Seq("score", "grade"),
-          expr("INTERVAL 10 DAYS"))), s)
+          expr("INTERVAL 10 DAYS"))), s, rangeSecs)
 
     // order-independent checksum over every output cell: equal outputs ⇒
     // equal sums (xxhash64 per row, summed)
-    def checksum(hot: Boolean, s: Int): java.math.BigDecimal =
-      matrix(hot, s).select(sum(xxhash64(col("probe_id"), col("user_id"),
+    def checksum(hot: Boolean, s: Int, rangeSecs: Long = 0): java.math.BigDecimal =
+      matrix(hot, s, rangeSecs).select(sum(xxhash64(col("probe_id"), col("user_id"),
         col("probe_ts"), col("score"), col("grade")).cast("decimal(38,0)")).as("c"))
         .head.getDecimal(0)
 
@@ -60,16 +60,25 @@ object PitSaltBench {
       val t0 = System.nanoTime(); val c = body
       (c, (System.nanoTime() - t0) / 1e9)
     }
+    // 1-day ranges over the generator's 30-day ts window: the hot key's
+    // timeline splits over ~30 tasks with no replication
+    val rangeSecs = 86400L
     checksum(hot = true, 1): Unit // warm plans/codegen
     checksum(hot = true, salts): Unit
+    checksum(hot = true, 1, rangeSecs): Unit
     val (c1, hot1) = timed(checksum(hot = true, 1))
     val (cS, hotS) = timed(checksum(hot = true, salts))
+    val (cR, hotR) = timed(checksum(hot = true, 1, rangeSecs))
     val (_, uni1) = timed(checksum(hot = false, 1))
     val (_, uniS) = timed(checksum(hot = false, salts))
+    val (_, uniR) = timed(checksum(hot = false, 1, rangeSecs))
     require(c1 == cS, "salted output diverged — perf numbers void")
+    require(c1 == cR, "ranged output diverged — perf numbers void")
     println(f"""{"metric":"pit_salt","facts":$nFacts,"probes":$nProbes,"salts":$salts,""" +
       f""""hot95_salt1":$hot1%.2f,"hot95_salt$salts":$hotS%.2f,""" +
-      f""""uniform_salt1":$uni1%.2f,"uniform_salt$salts":$uniS%.2f}""")
+      f""""hot95_ranged1d":$hotR%.2f,""" +
+      f""""uniform_salt1":$uni1%.2f,"uniform_salt$salts":$uniS%.2f,""" +
+      f""""uniform_ranged1d":$uniR%.2f}""")
     spark.stop()
   }
 }

@@ -156,7 +156,8 @@ object TrainingSetJob {
     * the `salts` passthrough exposes the hot-key variant on the same
     * shape. */
   def pitTrainingMatrixWideGeneric(spark: SparkSession, dir: String,
-                                   salts: Int = 1): DataFrame = {
+                                   salts: Int = 1,
+                                   rangeSecs: Long = 0): DataFrame = {
     import graft.core.Roles
     def band(d: Int) = expr(s"INTERVAL $d DAYS")
     val probes = Tables.events(spark, dir)
@@ -177,7 +178,7 @@ object TrainingSetJob {
         Seq("alert_type", "alert_severity", "alert_channel"),
         band(alertBandDays)))
     PitJoin.trainingMatrixWide(probes, "user_id", "probe_ts", "probe_id",
-        facts, salts)
+        facts, salts, rangeSecs)
       .select(
         col("probe_id") +: col("user_id") +:
           date_format(col("probe_ts"), "yyyy-MM-dd HH:mm:ss").as("probe_ts") +:

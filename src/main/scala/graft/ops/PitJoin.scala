@@ -153,6 +153,79 @@ object PitJoin {
         (probeCarry.map(col) ++ valueCols.map(col)): _*)
   }
 
+  /** The SEGMENTED-SCAN form of fillBanded — the hot-key fix that works
+    * for ANY probe/fact mix (PitSaltBench: probe-salting LOSES on
+    * fact-heavy hot keys because every salt partition replicates all the
+    * key's facts; this splits by TIME instead). The classic distributed
+    * prefix-scan, three steps:
+    *
+    *   1. fill within (key, time-range) — the big window now partitions
+    *      by (keys, floor(epoch(ts)/rangeSecs)), so a hot key's sort is
+    *      bounded by one range's rows per task, with NO row replication;
+    *   2. per-(key, range) boundary frame — each range's final fill value
+    *      and its source-row ts, ranges-per-key rows (tiny);
+    *   3. carry — a second window over the boundary frame alone
+    *      (partitionBy key, orderBy range, frame ending at -1) forwards
+    *      the latest earlier-range value; joined back on (key, range) the
+    *      big side is already correctly partitioned, so the join costs no
+    *      big-side exchange.
+    *
+    * A row's fill = its own range's running fill when one exists (always
+    * at least as recent as any carry), else the carried value; the
+    * staleness band applies to whichever source ts won. If the own-range
+    * fill is stale the carry is staler — null either way, exactly
+    * fillBanded's contract (PitJoinSpec pins ranged ≡ plain on boundary
+    * ties, cross-range bands, and empty ranges; Round11InvariantSpec on
+    * the real events frame).
+    *
+    * Cost: one big (keys, range)-hashed exchange (same bytes as
+    * fillBanded's), one window + aggregate over it, and a small boundary
+    * window — the price of hot-key immunity is the boundary join-back.
+    * Pick rangeSecs so a busy key's rows-per-range fits a task
+    * comfortably (e.g. a day for minute-grained facts). */
+  def fillBandedRanged(timeline: DataFrame, keys: Seq[String], ts: String,
+                       prio: String, tb: String,
+                       bandedCols: Seq[(String, Column)],
+                       rangeSecs: Long): DataFrame = {
+    require(rangeSecs > 0, s"rangeSecs must be > 0: $rangeSecs")
+    val valueCols = bandedCols.map(_._1)
+    val others = timeline.columns.toSeq.filterNot(valueCols.contains)
+    val tl = timeline.withColumn("__rng",
+      floor(unix_timestamp(col(ts)) / rangeSecs).cast("long"))
+    val rangeKeys = keys :+ "__rng"
+    val w1 = Window.partitionBy(rangeKeys.map(col): _*)
+      .orderBy(col(ts), col(prio), col(tb))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val step = tl.select(
+      (others.map(col) :+ col("__rng")) ++ bandedCols.flatMap { case (v, _) =>
+        Seq(
+          last(col(v), ignoreNulls = true).over(w1).as(s"__f_$v"),
+          last(when(col(v).isNotNull, col(ts)), ignoreNulls = true).over(w1)
+            .as(s"__ft_$v"))
+      }: _*)
+    // each range's FINAL fill per column: max_by over the same (ts, prio,
+    // tb) total order the window sorted on — runs on the window's own
+    // partitioning, no new exchange
+    val bAggs = valueCols.map(v =>
+      max_by(struct(col(s"__f_$v").as("v"), col(s"__ft_$v").as("t")),
+        struct(col(ts), col(prio), col(tb))).as(s"__b_$v"))
+    val boundary = step.groupBy(rangeKeys.map(col): _*)
+      .agg(bAggs.head, bAggs.tail: _*)
+    val w2 = Window.partitionBy(keys.map(col): _*).orderBy(col("__rng"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = boundary.select(
+      rangeKeys.map(col) ++ valueCols.map(v =>
+        last(when(col(s"__b_$v").getField("v").isNotNull, col(s"__b_$v")),
+          ignoreNulls = true).over(w2).as(s"__c_$v")): _*)
+    step.join(carry, rangeKeys, "left").select(
+      others.map(col) ++ bandedCols.map { case (v, lookback) =>
+        when(col(s"__ft_$v").isNotNull,
+          when(col(s"__ft_$v") >= col(ts) - lookback, col(s"__f_$v")))
+          .otherwise(when(col(s"__c_$v").getField("t") >= col(ts) - lookback,
+            col(s"__c_$v").getField("v"))).as(v)
+      }: _*)
+  }
+
   /** The multi-column (record-level) PIT join over WideFacts: each fact
     * table rides the timeline as ONE struct column, so `last(struct,
     * ignoreNulls)` fills a consistent snapshot of the whole record — the
@@ -175,15 +248,22 @@ object PitJoin {
     * dominate the hot timeline. Each salt partition carries probes/salts
     * but ALL of the key's facts (the replication), so per-task work is
     * facts + probes/salts — a probe-heavy hot key (many labels, few
-    * feature updates) parallelizes, while a FACT-heavy one gets slower
-    * (measured 148 s → 228 s at salts=8 on a 95%-hot frame with 4×
-    * facts:probes — the replicas outweigh the split). For fact-heavy hot
-    * keys the fix is upstream compaction (top-1-per-(key, band-step) on
-    * the fact side BEFORE the join), not salting. Opt-in; leave at 1 for
-    * user-keyed tables. */
+    * feature updates) parallelizes (39→15 s at salts=8 on a 95%-hot
+    * frame), while a FACT-heavy one gets SLOWER (112→184 s — the
+    * replicas outweigh the split). The general fix is `rangeSecs` (the
+    * fillBandedRanged segmented scan below): it beats salting on BOTH
+    * shapes (9.0 s and 33.9 s on the same frames) with no replication —
+    * prefer it; salting survives as the simpler strategy for purely
+    * probe-dominated skew. Both are opt-in: on uniform data each costs
+    * its machinery (PERF.md round-11 table). */
+  /** @param rangeSecs > 0 switches the fill to the segmented-scan form
+    *                   (fillBandedRanged) — the hot-key strategy that
+    *                   needs no row replication and works for fact-heavy
+    *                   keys; prefer it over `salts` unless probes
+    *                   massively dominate */
   def trainingMatrixWide(probes: DataFrame, key: String, probeTs: String,
                          probeTb: String, facts: Seq[WideFact],
-                         salts: Int = 1): DataFrame = {
+                         salts: Int = 1, rangeSecs: Long = 0): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType}
     require(salts >= 1, s"salts must be >= 1: $salts")
     val allValues = facts.flatMap(_.values)
@@ -218,8 +298,14 @@ object PitJoin {
           base.columns.map(col): _*)
     }
     val timeline = factSides.foldLeft(probeSide)(_.unionByName(_))
-    fillBanded(timeline, Seq("__key", "__salt"), "__ts", "__prio", "__tb",
-        structCols.zip(facts.map(_.lookback)))
+    val bands = structCols.zip(facts.map(_.lookback))
+    val filled =
+      if (rangeSecs > 0)
+        fillBandedRanged(timeline, Seq("__key", "__salt"), "__ts", "__prio",
+          "__tb", bands, rangeSecs)
+      else fillBanded(timeline, Seq("__key", "__salt"), "__ts", "__prio",
+        "__tb", bands)
+    filled
       .filter(col("__prio") === 1)
       .select(col("__key").as(key) +: col("__ts").as(probeTs) +:
         (probeCarry.map(col) ++ facts.zipWithIndex.flatMap { case (f, i) =>

@@ -142,6 +142,42 @@ class PitJoinSpec extends SparkSpec {
     assert(plain(100L) == ((Some(0.8), Some("c"))))
   }
 
+  private def wideMatrixRanged(p: org.apache.spark.sql.DataFrame,
+                               f: org.apache.spark.sql.DataFrame,
+                               rangeSecs: Long) =
+    PitJoin.trainingMatrixWide(p, "user_id", "probe_ts", "probe_id",
+      Seq(PitJoin.WideFact(f, "user_id", "fact_ts", "fact_id",
+        Seq("score", "grade"), lookback)), rangeSecs = rangeSecs)
+      .select("probe_id", "score", "grade")
+      .as[(Long, Option[Double], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("ranged (segmented-scan) fill ≡ plain fill: cross-range carry, " +
+      "boundary ties, empty ranges, band expiry across ranges") {
+    val p = probes(
+      (1L, "2020-01-10 00:00:00", 100L), // fact 8d back, 2 ranges earlier
+      (1L, "2020-01-02 00:00:01", 101L), // just after the range boundary
+      (1L, "2020-01-02 00:00:00", 102L), // exactly AT a fact's ts (tie)
+      (2L, "2020-01-25 00:00:00", 200L), // only fact is 20d back — stale
+      (3L, "2020-01-05 00:00:00", 300L), // no facts for key 3
+      (1L, "2020-01-01 00:00:00", 103L)) // before any fact
+    val f = wideFacts(
+      (1L, "2020-01-02 00:00:00", 1L, 0.3, "a"),
+      (1L, "2020-01-02 00:00:00", 9L, 0.5, "b"), // same-ts tie: id 9 wins
+      (2L, "2020-01-05 00:00:00", 3L, 0.7, "c"))
+    // 1-day ranges: probes 100/200 read carries across several empty
+    // ranges; probes 101/102 exercise the own-range vs carry boundary
+    val plain = wideMatrix(p, f)
+    for (w <- Seq(86400L, 3600L, 7L * 86400L)) {
+      assert(wideMatrixRanged(p, f, w) == plain,
+        s"ranged fill (W=${w}s) diverged from the plain fill")
+    }
+    assert(plain(100L) == ((Some(0.5), Some("b"))))
+    assert(plain(102L) == ((Some(0.5), Some("b"))), "tie at probe ts: <= wins")
+    assert(plain(200L) == ((None, None)), "stale across ranges serves null")
+    assert(plain(103L) == ((None, None)))
+  }
+
   test("probe columns pass through; equal-ts probes each keep their row") {
     val p = Seq(
       (1L, ts("2020-01-10 00:00:00"), 100L, "a"),

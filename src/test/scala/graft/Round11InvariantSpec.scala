@@ -29,6 +29,16 @@ class Round11InvariantSpec extends SparkSpec {
       "the hot-key salt is a pure task-layout change")
   }
 
+  test("pit_training_matrix_wide: ranged (segmented-scan) generic ≡ plain on real data") {
+    // 2-day ranges over the 30-day events window: every carry/boundary
+    // path runs on the real distribution
+    val plain = jobs.TrainingSetJob.pitTrainingMatrixWideGeneric(spark, sf0001)
+    val ranged = jobs.TrainingSetJob.pitTrainingMatrixWideGeneric(
+      spark, sf0001, rangeSecs = 2L * 86400L)
+    assert(plain.exceptAll(ranged).isEmpty && ranged.exceptAll(plain).isEmpty,
+      "the time-range segmentation is a pure task-layout change")
+  }
+
   test("pit_training_matrix_wide: risk column agrees with pit_training_set " +
       "(same band, same tiebreak, record vs scalar fill)") {
     // the risk group's risk_score has no null fields, so record-level and
