@@ -108,6 +108,20 @@ object GenScaled {
     replicate(emb)("vec_id" -> shifted(kVec), "embedding" -> flipped)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+    // rename-collision guard (code-review finding): an md5 prefix of
+    // length L has only 16^L values, so two same-length tokens can merge
+    // inside a replica — silently changing the shingle/near-dup structure
+    // the rung exists to hold constant. Distinct-token count must scale
+    // exactly with replicas (renamed vocabularies are disjoint across
+    // replicas by the |r| key).
+    def vocab(df: DataFrame): Long = df
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct().count()
+    val (srcV, outV) =
+      (vocab(docs), vocab(spark.read.parquet(s"$out/documents.parquet")))
+    require(outV == srcV * reps,
+      s"token rename collided: $srcV source tokens x $reps replicas != $outV renamed")
+
     println(s"[gen-scaled] wrote $out at ${reps}x of $src " +
       s"(events=${spark.read.parquet(s"$out/events.parquet").count()}, " +
       s"lineitem=${spark.read.parquet(s"$out/lineitem.parquet").count()}, " +

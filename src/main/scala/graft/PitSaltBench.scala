@@ -63,9 +63,15 @@ object PitSaltBench {
     // 1-day ranges over the generator's 30-day ts window: the hot key's
     // timeline splits over ~30 tasks with no replication
     val rangeSecs = 86400L
-    checksum(hot = true, 1): Unit // warm plans/codegen
+    // warm EVERY flavor (hot AND uniform) — timing the first uniform run
+    // cold would inflate the uniform baseline with plan/codegen cost, the
+    // same protocol error round 11 retracted in the monitor-tax ledger
+    checksum(hot = true, 1): Unit
     checksum(hot = true, salts): Unit
     checksum(hot = true, 1, rangeSecs): Unit
+    checksum(hot = false, 1): Unit
+    checksum(hot = false, salts): Unit
+    checksum(hot = false, 1, rangeSecs): Unit
     val (c1, hot1) = timed(checksum(hot = true, 1))
     val (cS, hotS) = timed(checksum(hot = true, salts))
     val (cR, hotR) = timed(checksum(hot = true, 1, rangeSecs))

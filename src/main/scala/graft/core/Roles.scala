@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Role-mapping: the reference's OLTP tables (sql/postgresql_schema.sql:8-122)
@@ -112,43 +112,53 @@ object Roles {
   // deterministic derivation of (value, id) so the DuckDB oracle reproduces
   // it bit-for-bit; thresholds sit inside the observed value distribution
   // (median ~35, p90 ~110) so every CASE branch is exercised at every sf.
+  //
+  // The field derivations are defined ONCE here and shared with
+  // TrainingSetJob.wideTimeline's conditional struct projections, so the
+  // one-scan specialization cannot drift from the role frames (the DuckDB
+  // oracle remains an intentionally independent third derivation).
 
-  /** risk_scores as a 3-field record: score + model version + risk band. */
+  /** Risk-record fields: score + model version + risk band. */
+  private[graft] def riskFields(value: Column, id: Column): Seq[Column] = Seq(
+    graft.ops.Ops.rnd(value / 500.0, 4).as("risk_score"),
+    (id % 5).as("risk_model_version"),
+    when(value >= 100, "high").when(value >= 30, "medium")
+      .otherwise("low").as("risk_band"))
+
+  /** Credit-record fields: utilization + score + limit. */
+  private[graft] def creditFields(value: Column): Seq[Column] = Seq(
+    graft.ops.Ops.rnd(value / 500.0, 4).as("credit_utilization"),
+    (lit(300L) + floor(value).cast("long") % 551).as("credit_score"),
+    graft.ops.Ops.rnd(value * 40.0, 2).as("credit_limit"))
+
+  /** Alert-record fields: type + severity + rule channel. */
+  private[graft] def alertFields(value: Column, id: Column): Seq[Column] = Seq(
+    when(value >= 245, "velocity").otherwise("pattern").as("alert_type"),
+    when(value >= 150, 3).when(value >= 50, 2)
+      .otherwise(1).as("alert_severity"),
+    concat(lit("rule_"), (id % 7).cast("string")).as("alert_channel"))
+
+  /** risk_scores as a 3-field record. */
   def riskScoresWide(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
-      .select(
-        col("event_id").as("score_id"),
-        col("user_id"),
-        graft.ops.Ops.rnd(col("value") / 500.0, 4).as("risk_score"),
-        (col("event_id") % 5).as("risk_model_version"),
-        when(col("value") >= 100, "high")
-          .when(col("value") >= 30, "medium")
-          .otherwise("low").as("risk_band"),
-        col("ts").as("computed_at"))
+      .select(col("event_id").as("score_id") +: col("user_id") +:
+        riskFields(col("value"), col("event_id")) :+
+        col("ts").as("computed_at"): _*)
 
-  /** credit_reports as a 3-field record: utilization + score + limit. */
+  /** credit_reports as a 3-field record. */
   def creditReportsWide(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .filter(col("event_type") === "view")
-      .select(
-        col("event_id").as("report_id"),
-        col("user_id"),
-        graft.ops.Ops.rnd(col("value") / 500.0, 4).as("credit_utilization"),
-        (lit(300L) + floor(col("value")).cast("long") % 551).as("credit_score"),
-        graft.ops.Ops.rnd(col("value") * 40.0, 2).as("credit_limit"),
-        col("ts").as("report_date"))
+      .select(col("event_id").as("report_id") +: col("user_id") +:
+        creditFields(col("value")) :+
+        col("ts").as("report_date"): _*)
 
-  /** velocity_alerts as a 3-field record: type + severity + rule channel. */
+  /** velocity_alerts as a 3-field record. */
   def velocityAlertsWide(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .filter(col("event_type") === "error")
-      .select(
-        col("event_id").as("alert_id"),
-        col("user_id"),
-        when(col("value") >= 245, "velocity").otherwise("pattern").as("alert_type"),
-        when(col("value") >= 150, 3).when(col("value") >= 50, 2)
-          .otherwise(1).as("alert_severity"),
-        concat(lit("rule_"), (col("event_id") % 7).cast("string")).as("alert_channel"),
-        col("ts").as("created_at"))
+      .select(col("event_id").as("alert_id") +: col("user_id") +:
+        alertFields(col("value"), col("event_id")) :+
+        col("ts").as("created_at"): _*)
 }

@@ -103,21 +103,17 @@ object TrainingSetJob {
         col("ts").as("__ts"),
         when(col("event_type") === "click", 1).otherwise(0).as("__prio"),
         col("event_id").as("__tb"),
+        // field derivations come from the SAME Roles builders the wide
+        // role frames select — the one-scan form can't drift from the
+        // generic one (code-review finding, r11)
         when(col("event_type") === "purchase", struct(
-          Ops.rnd(col("value") / 500.0, 4).as("risk_score"),
-          (col("event_id") % 5).as("risk_model_version"),
-          when(col("value") >= 100, "high").when(col("value") >= 30, "medium")
-            .otherwise("low").as("risk_band"))).as("__risk"),
+          graft.core.Roles.riskFields(col("value"), col("event_id")): _*))
+          .as("__risk"),
         when(col("event_type") === "view", struct(
-          Ops.rnd(col("value") / 500.0, 4).as("credit_utilization"),
-          (lit(300L) + floor(col("value")).cast("long") % 551).as("credit_score"),
-          Ops.rnd(col("value") * 40.0, 2).as("credit_limit"))).as("__credit"),
+          graft.core.Roles.creditFields(col("value")): _*)).as("__credit"),
         when(col("event_type") === "error", struct(
-          when(col("value") >= 245, "velocity").otherwise("pattern").as("alert_type"),
-          when(col("value") >= 150, 3).when(col("value") >= 50, 2)
-            .otherwise(1).as("alert_severity"),
-          concat(lit("rule_"), (col("event_id") % 7).cast("string"))
-            .as("alert_channel"))).as("__alert"),
+          graft.core.Roles.alertFields(col("value"), col("event_id")): _*))
+          .as("__alert"),
         when(col("event_type") === "click", col("event_id")).as("probe_id"),
         when(col("event_type") === "click", col("value") >= 250).as("label"))
 

@@ -214,10 +214,16 @@ object PitJoin {
     val w2 = Window.partitionBy(keys.map(col): _*).orderBy(col("__rng"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = boundary.select(
-      rangeKeys.map(col) ++ valueCols.map(v =>
+      rangeKeys.map(k => col(k).as(s"__k_$k")) ++ valueCols.map(v =>
         last(when(col(s"__b_$v").getField("v").isNotNull, col(s"__b_$v")),
           ignoreNulls = true).over(w2).as(s"__c_$v")): _*)
-    step.join(carry, rangeKeys, "left").select(
+    // NULL-SAFE join back: Window.partitionBy groups null keys into one
+    // partition, so fillBanded fills across null-key rows — a using-columns
+    // equi-join (null != null) would silently drop their carry and diverge
+    // from the plain fill's contract (code-review finding, r11)
+    val joinCond = rangeKeys.map(k => step(k) <=> carry(s"__k_$k"))
+      .reduce(_ && _)
+    step.join(carry, joinCond, "left").select(
       others.map(col) ++ bandedCols.map { case (v, lookback) =>
         when(col(s"__ft_$v").isNotNull,
           when(col(s"__ft_$v") >= col(ts) - lookback, col(s"__f_$v")))
@@ -276,8 +282,13 @@ object PitJoin {
       .filterNot(c => c == key || c == probeTs)
 
     def nullS(i: Int): Column = lit(null).cast(structTypes(i)).as(structCols(i))
+    // coalesce: a null (or non-castable) tiebreak must land on a REAL salt
+    // — facts replicate only to salts 0..N-1, so a null salt would isolate
+    // those probes in a factless partition and break the salted ≡ unsalted
+    // contract (code-review finding, r11)
     val probeSalt =
-      if (salts == 1) lit(0) else pmod(col(probeTb).cast("long"), lit(salts)).cast("int")
+      if (salts == 1) lit(0)
+      else coalesce(pmod(col(probeTb).cast("long"), lit(salts)).cast("int"), lit(0))
     val probeSide = probes.select(
       col(key).as("__key") +: col(probeTs).as("__ts") +: lit(1).as("__prio") +:
         col(probeTb).cast("long").as("__tb") +: probeSalt.as("__salt") +:

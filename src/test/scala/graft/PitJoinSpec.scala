@@ -178,6 +178,35 @@ class PitJoinSpec extends SparkSpec {
     assert(plain(103L) == ((None, None)))
   }
 
+  test("null keys and null tiebreaks: ranged and salted fills match the plain " +
+      "fill's null-grouping contract") {
+    // Window.partitionBy groups null keys into ONE partition, so the plain
+    // fill forward-fills across null-key rows; the ranged fill's carry
+    // join-back must be null-safe and a null probe tiebreak must land on
+    // a real salt (both were silent divergences — code-review findings)
+    val p = Seq[(java.lang.Long, Timestamp, java.lang.Long)](
+      (null, ts("2020-01-03 00:00:00"), 100L),
+      (1L, ts("2020-01-03 00:00:00"), null))
+      .toDF("user_id", "probe_ts", "probe_id")
+    val f = Seq[(java.lang.Long, Timestamp, Long, Double, String)](
+      (null, ts("2020-01-01 00:00:00"), 1L, 0.3, "a"),
+      (1L, ts("2020-01-01 00:00:00"), 2L, 0.7, "b"))
+      .toDF("user_id", "fact_ts", "fact_id", "score", "grade")
+    def run(salts: Int = 1, rangeSecs: Long = 0) =
+      PitJoin.trainingMatrixWide(p, "user_id", "probe_ts", "probe_id",
+        Seq(PitJoin.WideFact(f, "user_id", "fact_ts", "fact_id",
+          Seq("score", "grade"), lookback)), salts, rangeSecs)
+        .select("score", "grade").as[(Option[Double], Option[String])]
+        .collect().toSet
+    val plain = run()
+    assert(plain == Set((Some(0.3), Some("a")), (Some(0.7), Some("b"))),
+      s"plain fill must serve both the null-key probe and the null-tb probe: $plain")
+    assert(run(rangeSecs = 86400L) == plain,
+      "ranged fill dropped the null-key carry (join must be null-safe)")
+    assert(run(salts = 4) == plain,
+      "salted fill isolated the null-tiebreak probe in a factless partition")
+  }
+
   test("probe columns pass through; equal-ts probes each keep their row") {
     val p = Seq(
       (1L, ts("2020-01-10 00:00:00"), 100L, "a"),
