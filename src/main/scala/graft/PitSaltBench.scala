@@ -52,10 +52,14 @@ object PitSaltBench {
         col("probe_ts"), col("score"), col("grade")).cast("decimal(38,0)")).as("c"))
         .head.getDecimal(0)
 
-    // the TIMED action is the checksum itself: it references every output
-    // column, so the window fills cannot be pruned (a bare count() lets
-    // Catalyst eliminate the whole WindowExec — the first run of this
-    // bench timed an empty plan, flat across a 10x size sweep)
+    // the TIMED action is the checksum itself, for two reasons: (a) it
+    // references every output column, so no part of the fill can be
+    // pruned out from under the measurement (count()-timed runs of this
+    // bench measured implausibly flat across a 10x size sweep; the exact
+    // short-circuit was never pinned down — plan dumps DO show the
+    // Window surviving count() — so the bench times an action whose
+    // result PROVES the work happened instead), and (b) the checksum is
+    // the output-equality witness, so one action serves both purposes
     def timed(body: => java.math.BigDecimal): (java.math.BigDecimal, Double) = {
       val t0 = System.nanoTime(); val c = body
       (c, (System.nanoTime() - t0) / 1e9)

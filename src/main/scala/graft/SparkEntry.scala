@@ -69,6 +69,8 @@ object SparkEntry {
     "dedup_simhash"        -> ((s, dir) => ext.Dedup.simhash(core.Tables.documents(s, dir))),
     "dedup_simhash_pairs"  -> ((s, dir) => ext.Dedup.simhashPairTable(s, dir, 3)),
     "dedup_clusters"       -> ((s, dir) => ext.Dedup.clusterTable(s, dir, 0.5)),
+    "dedup_cluster_keepers" -> ((s, dir) => ext.Dedup.clusterKeepers(
+      ext.Dedup.clusterTable(s, dir, 0.5), core.Tables.documents(s, dir), "n_chars")),
     "similarity_topk"      -> ((s, dir) => ext.Similarity.bruteTopK(core.Tables.embeddings(s, dir), 5, 10)),
     "ann_buckets"          -> ((s, dir) => ext.Similarity.lshBucketsCached(s, dir)),
     "dedup_embedding"      -> ((s, dir) => ext.Similarity.cosineNearDupsCached(s, dir, 20)),
@@ -238,6 +240,7 @@ object SparkEntry {
     "dedup_simhash"        -> OracleSql.dedupSimhash,
     "dedup_simhash_pairs"  -> OracleSql.dedupSimhashPairs(3),
     "dedup_clusters"       -> OracleSql.dedupClusters(0.5),
+    "dedup_cluster_keepers" -> OracleSql.dedupClusterKeepers(0.5),
     "similarity_topk"      -> OracleSql.similarityTopK(5, 10),
     "ann_buckets"          -> OracleSql.annBuckets,
     "dedup_embedding"      -> OracleSql.cosineNearDups(20),

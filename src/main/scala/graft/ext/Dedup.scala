@@ -470,6 +470,32 @@ object Dedup {
       .select(col("doc_id"), col("label").as("keeper_doc_id"), col("cluster_size"))
   }
 
+  /** Quality-aware keeper election over duplicate clusters — the retention
+    * rule production cleaning pipelines actually apply (C4/RefinedWeb keep
+    * the LONGEST member of a duplicate cluster; a min-id keeper throws
+    * away content whenever the shortest crawl happened to be fetched
+    * first). Takes the `clusters` output (doc_id, keeper_doc_id = min-id
+    * cluster label, cluster_size) and elects, per cluster, the member
+    * maximizing `score` with doc_id ASC as the deterministic tie-break.
+    * The min-id label stays as the stable cluster_id (re-electing keepers
+    * under a different score must not re-identify clusters).
+    *
+    * Scale: one join of the (collision-bounded) cluster table against the
+    * score frame on doc_id, then a map-side-combinable max_by per
+    * cluster — one shuffle over clustered docs only, never the corpus. */
+  def clusterKeepers(clusterTable: DataFrame, scored: DataFrame,
+                     scoreCol: String): DataFrame =
+    clusterTable
+      .join(scored.select(col("doc_id"), col(scoreCol).as("__s")), Seq("doc_id"))
+      .groupBy(col("keeper_doc_id").as("cluster_id"))
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        max_by(struct(col("doc_id"), col("__s")),
+          struct(col("__s"), negate(col("doc_id")))).as("__k"))
+      .select(col("cluster_id"), col("cluster_size"),
+        col("__k").getField("doc_id").as("keeper_doc_id"),
+        col("__k").getField("__s").as("keeper_score"))
+
   /** Span-level exact dedup — the C4 "discard repeated lines" rule
     * re-expressed for unstructured text: each document is chopped into
     * fixed `spanTokens`-token spans, and a span is a duplicate when the

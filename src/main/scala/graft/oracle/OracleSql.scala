@@ -617,6 +617,28 @@ object OracleSql {
        |SELECT l.doc_id, l.keeper_doc_id, s.cluster_size
        |FROM lab l JOIN sz s ON l.keeper_doc_id = s.keeper_doc_id""".stripMargin
 
+  /** Quality-aware cluster keepers — mirrors ext/Dedup.clusterKeepers over
+    * the same recursive-CC clustering: per cluster (identified by its
+    * stable min-id label), the member with the greatest n_chars, doc_id
+    * ASC breaking ties. */
+  def dedupClusterKeepers(threshold: Double): String =
+    s"""WITH RECURSIVE ${jaccardCtes(threshold)},
+       |edges AS (SELECT doc_a AS s, doc_b AS t FROM jp
+       |  UNION SELECT doc_b, doc_a FROM jp),
+       |reach(s, t) AS (
+       |  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+       |  UNION
+       |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+       |lab AS (SELECT s AS doc_id, MIN(t) AS cluster_id FROM reach GROUP BY s),
+       |ranked AS (SELECT l.cluster_id, d.doc_id, d.n_chars,
+       |    COUNT(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+       |    ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+       |      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+       |  FROM lab l JOIN documents d ON l.doc_id = d.doc_id)
+       |SELECT cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  doc_id AS keeper_doc_id, n_chars AS keeper_score
+       |FROM ranked WHERE rn = 1""".stripMargin
+
   /** SimHash near-dup pairs — mirrors ext/Dedup.simhashPairs: 64-bit
     * fingerprint over distinct 3-shingles (two keyed md5 halves), 4 bands
     * of 16 bits for candidates with a bucket-size cap, exact positional

@@ -301,6 +301,21 @@ class SinksAndExtSpec extends SparkSpec {
       50L -> (50L, 2L), 60L -> (50L, 2L)))
   }
 
+  test("clusterKeepers elects the best-quality member, doc_id ASC on ties; " +
+      "cluster identity stays the min-id label") {
+    import spark.implicits._
+    val pairs = Seq((10L, 20L), (20L, 30L), (50L, 60L)).toDF("doc_a", "doc_b")
+    // cluster {10,20,30}: 20 is longest (keeper); cluster {50,60}: tie on
+    // score -> 50 wins by id; min-id labels (10, 50) stay the cluster ids
+    val scored = Seq((10L, 5L), (20L, 9L), (30L, 7L), (50L, 4L), (60L, 4L))
+      .toDF("doc_id", "n_chars")
+    val out = Dedup.clusterKeepers(Dedup.clusters(pairs), scored, "n_chars")
+      .collect().map(r => (r.getAs[Long]("cluster_id"),
+        (r.getAs[Long]("cluster_size"), r.getAs[Long]("keeper_doc_id"),
+          r.getAs[Long]("keeper_score")))).toMap
+    assert(out == Map(10L -> (3L, 20L, 9L), 50L -> (2L, 50L, 4L)))
+  }
+
   test("frame-sample byte/char equivalence guard: the documents corpus is ASCII") {
     // Spark slices media payloads by BYTES (binary substring) while the
     // DuckDB oracle slices text by CHARACTERS; frame boundaries and frame_md5
