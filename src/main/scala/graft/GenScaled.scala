@@ -14,13 +14,15 @@ import org.apache.spark.sql.functions._
   *     doc_id, vec_id) get a per-replica stride = max(key)+1, applied
   *     consistently to PKs and FKs, so per-user/per-order structure is
   *     untouched and replica users are disjoint;
-  *   - `documents.text` is token-renamed per replica (token → same-LENGTH
-  *     md5-derived string keyed on (token, replica)): within-replica
-  *     shingle/jaccard/token structure is preserved bijectively, while
-  *     cross-replica similarity collapses — without this, replica copies
-  *     of every doc are mutual near-dups and the pair generators measure
-  *     a quadratic DATA artifact, not the plan (n_chars stays consistent
-  *     because lengths are preserved);
+  *   - `documents.text` goes through a per-replica alphabet SUBSTITUTION
+  *     CIPHER (a keyed permutation of [a-z0-9] via translate()):
+  *     within-replica shingle/jaccard/token structure is preserved
+  *     bijectively BY CONSTRUCTION, lengths and spaces are untouched
+  *     (n_chars stays consistent), and different replica permutations
+  *     diverge at nearly every character so cross-replica similarity
+  *     collapses — without this, replica copies of every doc are mutual
+  *     near-dups and the pair generators measure a quadratic DATA
+  *     artifact, not the plan;
   *   - `embeddings.embedding` gets a per-replica diagonal ±1 sign flip
   *     (md5-keyed per (replica, dim)): an orthogonal transform, so every
   *     within-replica inner product is EXACTLY preserved while
@@ -88,15 +90,27 @@ object GenScaled {
     replicate(ev)("event_id" -> shifted(kEv), "user_id" -> shifted(kCust))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
-    // token rename: same-length md5-derived string keyed on (token, replica);
-    // two md5 blocks cover tokens up to 64 chars without shortening
-    val renamed: Column => Column = t => concat_ws(" ",
-      transform(split(t, " "), w =>
-        when(length(w) === 0, w).otherwise(
-          concat(
-            md5(concat(w, lit("|"), col("__r"), lit("|1"))),
-            md5(concat(w, lit("|"), col("__r"), lit("|2"))))
-            .substr(lit(1), length(w)))))
+    // text rename: a per-replica SUBSTITUTION CIPHER on the alphabet —
+    // bijective on tokens BY CONSTRUCTION (the first cut, md5-prefix
+    // truncation, was not: a length-L prefix has only 16^L values, and on
+    // the real corpus 1-char tokens collided across replicas at reps=10 —
+    // code-review finding). translate() preserves spaces (not in the
+    // alphabet) and every length, so token boundaries, token lengths and
+    // n_chars all stay consistent; different replica permutations make
+    // cross-replica texts diverge at nearly every character, collapsing
+    // cross-replica near-dup similarity.
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    def perm(r: Int): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h(c: Char): String = md.digest(s"$r|$c".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      alpha.toSeq.sortBy(c => (h(c), c)).mkString
+    }
+    val renamed: Column => Column = t =>
+      (1 until reps).foldLeft(
+        when(col("__r") === 0, translate(t, alpha, perm(0)))) { (acc, r) =>
+        acc.when(col("__r") === r, translate(t, alpha, perm(r)))
+      }
     replicate(docs)("doc_id" -> shifted(kDoc), "text" -> renamed)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
@@ -108,19 +122,25 @@ object GenScaled {
     replicate(emb)("vec_id" -> shifted(kVec), "embedding" -> flipped)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    // rename-collision guard (code-review finding): an md5 prefix of
-    // length L has only 16^L values, so two same-length tokens can merge
-    // inside a replica — silently changing the shingle/near-dup structure
-    // the rung exists to hold constant. Distinct-token count must scale
-    // exactly with replicas (renamed vocabularies are disjoint across
-    // replicas by the |r| key).
-    def vocab(df: DataFrame): Long = df
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0).distinct().count()
-    val (srcV, outV) =
-      (vocab(docs), vocab(spark.read.parquet(s"$out/documents.parquet")))
-    require(outV == srcV * reps,
-      s"token rename collided: $srcV source tokens x $reps replicas != $outV renamed")
+    // structure guard: WITHIN each replica the rename must be bijective
+    // (that is the property the rung's "within-replica structure
+    // preserved" claim rests on; the cipher guarantees it by construction
+    // — this check catches a future rename regression). Cross-replica
+    // token coincidences are allowed: exact-zero cross-collisions is a
+    // pigeonhole impossibility for 1-char tokens, and document-level
+    // near-dup artifacts need broad shingle overlap, not a shared token.
+    // Replica identity is recovered from the doc_id stride.
+    val srcV = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).select("w").distinct().count()
+    val perReplica = spark.read.parquet(s"$out/documents.parquet")
+      .select(floor(col("doc_id") / kDoc).as("__r"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("__r").agg(countDistinct(col("w")).as("v"))
+      .select(min(col("v")).as("lo"), max(col("v")).as("hi")).head
+    require(perReplica.getLong(0) == srcV && perReplica.getLong(1) == srcV,
+      s"rename broke within-replica bijectivity: source $srcV tokens, " +
+        s"replicas carry [${perReplica.getLong(0)}, ${perReplica.getLong(1)}]")
 
     println(s"[gen-scaled] wrote $out at ${reps}x of $src " +
       s"(events=${spark.read.parquet(s"$out/events.parquet").count()}, " +

@@ -480,16 +480,28 @@ object Dedup {
     * The min-id label stays as the stable cluster_id (re-electing keepers
     * under a different score must not re-identify clusters).
     *
+    * `scored` may be NARROWER than the corpus (e.g. a quality-filtered
+    * frame): the join is LEFT, members without a score rank below every
+    * scored member (null-first struct ordering) and still count toward
+    * cluster_size; a fully-unscored cluster elects its min-id member with
+    * a null keeper_score — no cluster ever silently disappears
+    * (code-review finding: the first cut inner-joined, shrinking
+    * cluster_size and dropping unscored clusters).
+    *
     * Scale: one join of the (collision-bounded) cluster table against the
     * score frame on doc_id, then a map-side-combinable max_by per
     * cluster — one shuffle over clustered docs only, never the corpus. */
   def clusterKeepers(clusterTable: DataFrame, scored: DataFrame,
                      scoreCol: String): DataFrame =
     clusterTable
-      .join(scored.select(col("doc_id"), col(scoreCol).as("__s")), Seq("doc_id"))
+      .join(scored.select(col("doc_id"), col(scoreCol).as("__s")),
+        Seq("doc_id"), "left")
       .groupBy(col("keeper_doc_id").as("cluster_id"))
       .agg(
         count(lit(1)).as("cluster_size"),
+        // nulls sort FIRST inside struct ordering, so an unscored member
+        // can win only when no member is scored; negate(doc_id) makes the
+        // tie-break min-id in both regimes
         max_by(struct(col("doc_id"), col("__s")),
           struct(col("__s"), negate(col("doc_id")))).as("__k"))
       .select(col("cluster_id"), col("cluster_size"),

@@ -166,9 +166,12 @@ object PitJoin {
     *      and its source-row ts, ranges-per-key rows (tiny);
     *   3. carry — a second window over the boundary frame alone
     *      (partitionBy key, orderBy range, frame ending at -1) forwards
-    *      the latest earlier-range value; joined back on (key, range) the
-    *      big side is already correctly partitioned, so the join costs no
-    *      big-side exchange.
+    *      the latest earlier-range value; joined back on (key, range) as
+    *      an explicit BROADCAST (the null-safe join keys Spark rewrites
+    *      to coalesce/isnull pairs defeat big-side partitioning reuse),
+    *      so the timeline is never re-exchanged. The carry must fit a
+    *      broadcast — inherent to the hot-KEY premise; see the inline
+    *      note at the join.
     *
     * A row's fill = its own range's running fill when one exists (always
     * at least as recent as any carry), else the carried value; the
@@ -220,10 +223,19 @@ object PitJoin {
     // NULL-SAFE join back: Window.partitionBy groups null keys into one
     // partition, so fillBanded fills across null-key rows — a using-columns
     // equi-join (null != null) would silently drop their carry and diverge
-    // from the plain fill's contract (code-review finding, r11)
+    // from the plain fill's contract (code-review finding, r11).
+    // BROADCAST, explicitly: Spark rewrites <=> join keys to
+    // (coalesce(k), isnull(k)) pairs, which the big side's window
+    // partitioning does NOT satisfy — a shuffled join here would
+    // re-exchange the whole timeline (verified in the executed plan). The
+    // carry frame is (hot keys × ranges) rows, small by the operator's
+    // own premise (it exists for hot-KEY skew — few keys dominate); a
+    // frame with so many (key, range) cells that the carry can't
+    // broadcast doesn't have the hot-key problem and should use the
+    // plain fill.
     val joinCond = rangeKeys.map(k => step(k) <=> carry(s"__k_$k"))
       .reduce(_ && _)
-    step.join(carry, joinCond, "left").select(
+    step.join(broadcast(carry), joinCond, "left").select(
       others.map(col) ++ bandedCols.map { case (v, lookback) =>
         when(col(s"__ft_$v").isNotNull,
           when(col(s"__ft_$v") >= col(ts) - lookback, col(s"__f_$v")))

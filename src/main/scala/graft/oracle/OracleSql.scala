@@ -603,15 +603,26 @@ object OracleSql {
     * (recursive CTE: reach = all nodes reachable from s), then keeper =
     * MIN(reachable) — quadratic within a component, fine at oracle scale;
     * the engine side runs the O(log d)-round label propagation instead. */
-  def dedupClusters(threshold: Double): String =
-    s"""WITH RECURSIVE ${jaccardCtes(threshold)},
+  /** Shared connected-components CTE block (transitive closure over the
+    * verified pairs; `lab` labels each clustered doc with its component's
+    * MIN doc_id as `$labelAs`) — ONE definition for both cluster oracles,
+    * so they can never check against different clusterings (code-review
+    * finding: the block was copy-pasted). Quadratic within a component,
+    * fine at oracle scale; the engine runs O(log d) label propagation. */
+  private def ccCtes(threshold: Double, labelAs: String): String =
+    s"""${jaccardCtes(threshold)},
        |edges AS (SELECT doc_a AS s, doc_b AS t FROM jp
        |  UNION SELECT doc_b, doc_a FROM jp),
        |reach(s, t) AS (
        |  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
        |  UNION
        |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
-       |lab AS (SELECT s AS doc_id, MIN(t) AS keeper_doc_id FROM reach GROUP BY s),
+       |lab AS (SELECT s AS doc_id, MIN(t) AS $labelAs FROM reach GROUP BY s)""".stripMargin
+
+  /** Duplicate clusters over the verified pairs — mirrors ext/Dedup
+    * .clusters (see ccCtes for the closure form). */
+  def dedupClusters(threshold: Double): String =
+    s"""WITH RECURSIVE ${ccCtes(threshold, "keeper_doc_id")},
        |sz AS (SELECT keeper_doc_id, COUNT(*) AS cluster_size FROM lab
        |  GROUP BY keeper_doc_id)
        |SELECT l.doc_id, l.keeper_doc_id, s.cluster_size
@@ -622,14 +633,7 @@ object OracleSql {
     * stable min-id label), the member with the greatest n_chars, doc_id
     * ASC breaking ties. */
   def dedupClusterKeepers(threshold: Double): String =
-    s"""WITH RECURSIVE ${jaccardCtes(threshold)},
-       |edges AS (SELECT doc_a AS s, doc_b AS t FROM jp
-       |  UNION SELECT doc_b, doc_a FROM jp),
-       |reach(s, t) AS (
-       |  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
-       |  UNION
-       |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
-       |lab AS (SELECT s AS doc_id, MIN(t) AS cluster_id FROM reach GROUP BY s),
+    s"""WITH RECURSIVE ${ccCtes(threshold, "cluster_id")},
        |ranked AS (SELECT l.cluster_id, d.doc_id, d.n_chars,
        |    COUNT(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
        |    ROW_NUMBER() OVER (PARTITION BY l.cluster_id

@@ -304,16 +304,24 @@ class SinksAndExtSpec extends SparkSpec {
   test("clusterKeepers elects the best-quality member, doc_id ASC on ties; " +
       "cluster identity stays the min-id label") {
     import spark.implicits._
-    val pairs = Seq((10L, 20L), (20L, 30L), (50L, 60L)).toDF("doc_a", "doc_b")
+    val pairs = Seq((10L, 20L), (20L, 30L), (50L, 60L), (70L, 80L))
+      .toDF("doc_a", "doc_b")
     // cluster {10,20,30}: 20 is longest (keeper); cluster {50,60}: tie on
-    // score -> 50 wins by id; min-id labels (10, 50) stay the cluster ids
-    val scored = Seq((10L, 5L), (20L, 9L), (30L, 7L), (50L, 4L), (60L, 4L))
+    // score -> 50 wins by id; min-id labels (10, 50) stay the cluster ids.
+    // UNscored members (30 missing; whole cluster {70,80} unscored) still
+    // count toward size, rank below every scored member, and a fully
+    // unscored cluster elects min-id with a null score (left-join contract)
+    val scored = Seq((10L, 5L), (20L, 9L), (50L, 4L), (60L, 4L))
       .toDF("doc_id", "n_chars")
     val out = Dedup.clusterKeepers(Dedup.clusters(pairs), scored, "n_chars")
       .collect().map(r => (r.getAs[Long]("cluster_id"),
         (r.getAs[Long]("cluster_size"), r.getAs[Long]("keeper_doc_id"),
-          r.getAs[Long]("keeper_score")))).toMap
-    assert(out == Map(10L -> (3L, 20L, 9L), 50L -> (2L, 50L, 4L)))
+          Option(r.get(r.fieldIndex("keeper_score"))
+            .asInstanceOf[java.lang.Long]).map(_.longValue)))).toMap
+    assert(out == Map(
+      10L -> (3L, 20L, Some(9L)),
+      50L -> (2L, 50L, Some(4L)),
+      70L -> (2L, 70L, None)))
   }
 
   test("frame-sample byte/char equivalence guard: the documents corpus is ASCII") {
