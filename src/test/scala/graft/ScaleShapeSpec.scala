@@ -334,6 +334,24 @@ class ScaleShapeSpec extends SparkSpec {
       s"all struct fills must share one WindowExec:\n${plan.take(1500)}")
   }
 
+  test("ranged PIT fill: the carry joins back as a BROADCAST — never a " +
+      "shuffled join that would re-exchange the timeline") {
+    // the null-safe (<=>) join keys rewrite to coalesce/isnull pairs,
+    // which the timeline's window partitioning cannot satisfy; without
+    // the explicit broadcast a large-enough carry frame flips to
+    // SortMergeJoin and EnsureRequirements re-exchanges (and re-sorts)
+    // the ENTIRE timeline — doubling the operator's dominant cost
+    val m = jobs.TrainingSetJob.pitTrainingMatrixWideGeneric(
+      spark, sf0001, rangeSecs = 2L * 86400L)
+    m.collect()
+    val plan = m.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"carry join-back must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a sort-merge carry join re-exchanges the timeline:\n${plan.take(1500)}")
+  }
+
   test("group_sample runs as a map-side per-group top-k, not a full group sort") {
     val docs = core.Tables.documents(spark, sf0001)
     val gs = ext.Corpus.groupSample(docs, 10)
