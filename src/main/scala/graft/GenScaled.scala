@@ -87,6 +87,14 @@ object GenScaled {
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     // events.user_id lives in the custkey domain (the role mapping joins
     // it against customer-derived users), so it shifts by the SAME stride
+    // — VERIFIED, not assumed: a user_id >= kCust would silently collide
+    // with the next replica's key space and merge cross-replica per-user
+    // aggregates (advisor finding, r11; mirrors the cipher's bijectivity
+    // guard on documents)
+    val maxUid = ev.agg(max(col("user_id").cast("long"))).head.getLong(0)
+    require(maxUid < kCust,
+      s"events.user_id max ($maxUid) outside the custkey stride ($kCust): " +
+        "replica user spaces would overlap")
     replicate(ev)("event_id" -> shifted(kEv), "user_id" -> shifted(kCust))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 

@@ -206,12 +206,23 @@ object PitJoin {
           last(when(col(v).isNotNull, col(ts)), ignoreNulls = true).over(w1)
             .as(s"__ft_$v"))
       }: _*)
-    // each range's FINAL fill per column: max_by over the same (ts, prio,
-    // tb) total order the window sorted on — runs on the window's own
-    // partitioning, no new exchange
+    // each range's FINAL fill, PER COLUMN: max_by keyed on (__ft_v, ts,
+    // prio, tb), not (ts, prio, tb) alone. Two fact rows from DIFFERENT
+    // WideFact tables can legitimately share (key, ts, prio, tb) at the
+    // end of a range (e.g. two feature groups keyed off the same upstream
+    // event id); (ts, prio, tb) then ties and an arbitrary winner could
+    // hold a running fill whose window frame EXCLUDED the other tied
+    // row's column — dropping that column's value from the carry. The
+    // plain fill is per-column robust to such ties (each column's
+    // last(ignoreNulls) sees every row), so the boundary must be too:
+    // prepending the fill's own source ts (__ft_v, null sorts lowest)
+    // elects, per column, a row that has already absorbed the most recent
+    // source for THAT column — deterministic whenever the plain fill is
+    // (advisor finding, r11). Still runs on the window's own partitioning,
+    // no new exchange.
     val bAggs = valueCols.map(v =>
       max_by(struct(col(s"__f_$v").as("v"), col(s"__ft_$v").as("t")),
-        struct(col(ts), col(prio), col(tb))).as(s"__b_$v"))
+        struct(col(s"__ft_$v"), col(ts), col(prio), col(tb))).as(s"__b_$v"))
     val boundary = step.groupBy(rangeKeys.map(col): _*)
       .agg(bAggs.head, bAggs.tail: _*)
     val w2 = Window.partitionBy(keys.map(col): _*).orderBy(col("__rng"))

@@ -112,6 +112,12 @@ object MonitorPair {
       val ok = col(tsCol).isNotNull && col(valueCol).isNotNull
       val bucket = size(filter(bnds, x => col(valueCol).cast("double") > x))
       val day = date_format(col(tsCol), "yyyy-MM-dd")
+      // the helper columns below are withColumn'd onto the caller's batch
+      // and dropped after the CollectMetrics node — a caller column with
+      // one of these names would be silently REPLACED and then removed
+      // from the frame the sink writes (advisor finding, r11): fail loud
+      require(!batch.columns.exists(Set("__gb", "__gd", "__gt")),
+        s"batch columns collide with Observed's helper names __gb/__gd/__gt: ${batch.columns.mkString(",")}")
       val obs = org.apache.spark.sql.Observation()
       // bucket/day/decimal are computed ONCE per row into helper columns
       // (dropped after the CollectMetrics node) — B independent metric

@@ -178,6 +178,36 @@ class PitJoinSpec extends SparkSpec {
     assert(plain(103L) == ((None, None)))
   }
 
+  test("cross-table boundary ties: facts from DIFFERENT tables sharing " +
+      "(key, ts, tiebreak) at a range end both survive into the carry") {
+    // advisor finding (r11): the ranged fill's boundary max_by used to
+    // elect ONE tied row for ALL struct columns — the losing table's
+    // running fill vanished from the carry and later-range probes saw a
+    // stale record for it, while the plain fill (per-column last over
+    // every row) was unaffected. The fix elects per COLUMN, keyed on the
+    // fill's own source ts. Plausible input: two feature groups keyed off
+    // the same upstream event id share (key, ts, tiebreak) exactly.
+    val p = probes((1L, "2020-01-05 00:00:00", 100L)) // ranges after the tie
+    val a = facts((1L, "2020-01-02 00:00:00", 7L, 0.3))
+    val b = wideFacts((1L, "2020-01-02 00:00:00", 7L, 0.9, "g"))
+      .select(col("user_id"), col("fact_ts"), col("fact_id"), col("grade"))
+    def run(rangeSecs: Long) =
+      PitJoin.trainingMatrixWide(p, "user_id", "probe_ts", "probe_id",
+        Seq(
+          PitJoin.WideFact(a, "user_id", "fact_ts", "fact_id",
+            Seq("score"), lookback),
+          PitJoin.WideFact(b, "user_id", "fact_ts", "fact_id",
+            Seq("grade"), lookback)),
+        rangeSecs = rangeSecs)
+        .select("probe_id", "score", "grade")
+        .as[(Long, Option[Double], Option[String])].collect().toSeq
+    val plain = run(0)
+    assert(plain == Seq((100L, Some(0.3), Some("g"))),
+      s"plain fill must carry both tied tables' records: $plain")
+    assert(run(86400L) == plain,
+      "ranged fill dropped a tied table's value from the boundary carry")
+  }
+
   test("null keys and null tiebreaks: ranged and salted fills match the plain " +
       "fill's null-grouping contract") {
     // Window.partitionBy groups null keys into ONE partition, so the plain

@@ -45,28 +45,47 @@ def load(path):
                                  "bench_diag.json")
         if "runs" not in d and os.path.exists(diag_path):
             try:
-                diag = json.load(open(diag_path))
+                raw = open(diag_path, "rb").read()
+                diag = json.loads(raw)
                 # identity check: Bench overwrites bench_diag.json in CWD on
                 # every run, so a stale diag must not drive adjudication
-                # verdicts for this artifact. sf alone is too weak (a stale
-                # SAME-sf diag survives a failed later write); since r10 the
-                # diag carries the artifact's total and query count and all
-                # three must match.
-                same_sf = diag.get("sf") == d.get("sf")
-                same_total = ("total" not in diag or "value" not in d
-                              or abs(float(diag["total"]) - float(d["value"])) < 1e-6)
-                same_nq = ("nq" not in diag
-                           or diag["nq"] == len(d.get("queries", {})))
-                if same_sf and same_total and same_nq:
-                    for key in ("runs", "gc_ms"):
+                # verdicts for this artifact. Since r12 the contract line
+                # carries the diag file's sha256 — a content-hash identity
+                # (stale, hand-edited, or wrong-run diags all fail it).
+                # Older artifacts fall back to the r10 (sf, total, nq)
+                # triple; nq compares against the artifact's own "nq" field
+                # when present (since r12 the inline queries map is only the
+                # worst-10, so its length is NOT the query count).
+                if "diag_sha256" in d:
+                    import hashlib
+                    ok = hashlib.sha256(raw).hexdigest() == d["diag_sha256"]
+                    if not ok:
+                        print(f"note: ignoring {diag_path} "
+                              f"(sha256 does not match the artifact's "
+                              f"diag_sha256 — stale or modified diag)",
+                              file=sys.stderr)
+                else:
+                    same_sf = diag.get("sf") == d.get("sf")
+                    same_total = ("total" not in diag or "value" not in d
+                                  or abs(float(diag["total"]) - float(d["value"])) < 1e-6)
+                    same_nq = ("nq" not in diag
+                               or diag["nq"] == d.get("nq", len(d.get("queries", {}))))
+                    ok = same_sf and same_total and same_nq
+                    if not ok:
+                        print(f"note: ignoring {diag_path} (identity mismatch: "
+                              f"sf {diag.get('sf')!r} vs {d.get('sf')!r}, "
+                              f"total {diag.get('total')!r} vs {d.get('value')!r}, "
+                              f"nq {diag.get('nq')!r} vs "
+                              f"{d.get('nq', len(d.get('queries', {})))})",
+                              file=sys.stderr)
+                if ok:
+                    for key in ("runs", "gc_ms", "input_records"):
                         if key in diag:
                             d[key] = diag[key]
-                else:
-                    print(f"note: ignoring {diag_path} (identity mismatch: "
-                          f"sf {diag.get('sf')!r} vs {d.get('sf')!r}, "
-                          f"total {diag.get('total')!r} vs {d.get('value')!r}, "
-                          f"nq {diag.get('nq')!r} vs {len(d.get('queries', {}))})",
-                          file=sys.stderr)
+                    # since r12 the artifact's inline map is the worst-10
+                    # subset; the diag carries the full medians
+                    if len(diag.get("queries", {})) > len(d.get("queries", {})):
+                        d["queries"] = diag["queries"]
             except (json.JSONDecodeError, OSError):
                 pass
         return d
