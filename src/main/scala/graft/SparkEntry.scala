@@ -42,6 +42,10 @@ object SparkEntry {
     "transaction_features" -> ((s, dir) => canon(TransactionFeaturesJob(s, dir))),
     "user_features"        -> ((s, dir) => canon(UserFeaturesJob(s, dir))),
     "risk_features"        -> ((s, dir) => canon(RiskFeaturesJob(s, dir))),
+    // day-bucket incremental maintenance: 3-day delta ladder, oracle'd
+    // against the SAME full-recompute SQL as transaction_features
+    "transaction_features_incremental" -> ((s, dir) =>
+      canon(IncrementalTransactionFeatures.ladder(s, dir))),
     "feature_view"         -> ((s, dir) => canon(FeatureViewJob(s, dir))),
     "migration_checks"     -> ((s, dir) => MigrationValidationJob.checks(s, dir)),
     "count_reconciliation" -> ((s, dir) => MigrationValidationJob.countReconciliation(s, dir)),
@@ -55,6 +59,10 @@ object SparkEntry {
     "dq_alerts"            -> ((s, dir) => DataQualityJob.alerts(s, dir)),
     "point_lookup"         -> ((s, dir) => canon(serving.Lookups.pointLookup(s, dir, LookupIds.point))),
     "batch_lookup"         -> ((s, dir) => canon(serving.Lookups.batchLookup(s, dir, LookupIds.batch))),
+    // the COLD serving path: same rows as point_lookup, served from the
+    // bucketed CLUSTER BY user_id layout (S2 at 100 TB without the cache)
+    "point_lookup_clustered" -> ((s, dir) =>
+      canon(sinks.BucketedLayout.pointLookupClustered(s, dir, LookupIds.point))),
     "ordered_export"       -> ((s, dir) => serving.Lookups.orderedExport(s, dir)),
     "percentiles"          -> ((s, dir) => serving.Lookups.percentiles(s, dir)),
     "equi_depth_histogram" -> ((s, dir) => DataQualityJob.equiDepthHistogram(s, dir)),
@@ -214,6 +222,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "transaction_features" -> OracleSql.transactionFeatures(),
+    // incremental ≡ full recompute IS the claim: same oracle SQL
+    "transaction_features_incremental" -> OracleSql.transactionFeatures(),
     "user_features"        -> OracleSql.userFeatures(),
     "risk_features"        -> OracleSql.riskFeatures(),
     "feature_view"         -> OracleSql.featureView(),
@@ -229,6 +239,8 @@ object SparkEntry {
     "dq_alerts"            -> OracleSql.dqAlerts(),
     "point_lookup"         -> OracleSql.pointLookup(LookupIds.point),
     "batch_lookup"         -> OracleSql.pointLookup(LookupIds.batch),
+    // the clustered layout must serve byte-identical rows to the flat path
+    "point_lookup_clustered" -> OracleSql.pointLookup(LookupIds.point),
     "ordered_export"       -> OracleSql.orderedExport,
     "percentiles"          -> OracleSql.percentiles,
     "equi_depth_histogram" -> OracleSql.equiDepthHistogram(),

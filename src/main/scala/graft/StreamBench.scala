@@ -133,6 +133,58 @@ object StreamBench {
     val monHotEps = wireRun(wireHot, "fused")
     val monObsHotEps = wireRun(wireHot, "observed")
 
+    // -- end-to-end: wire + observed monitor + velocity state TOGETHER --
+    // (VERDICT r11 next #6: each leg was measured alone). Topology: two
+    // consumers of one source — the reference's own shape (the feature
+    // pipeline and the monitor subscribe to the same events topic
+    // independently); each query runs its own full plan, so the feature
+    // leg re-parses the wire — that re-read is the honest cost of the
+    // fork and is inside the published number. The all-in events/s is
+    // n / (time until BOTH queries drained every chunk).
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    def e2eRun(data: IndexedSeq[String], observed: Boolean): Long = {
+      val in = MemoryStream[String](spark)
+      val routed = EventPipeline.route(EventPipeline.parse(in.toDF()))
+      val txns = routed
+        .filter(col("valid") && col("route") === "transaction_features")
+        .select(col("user_id"), col("ts"), col("value").as("amount"),
+          pmod(col("event_id"), lit(37)).cast("int").as("merchant_id"),
+          lit(true).as("success"))
+        .as[TxnEvent]
+      val sink: (DataFrame, Long) => Unit =
+        if (observed) {
+          val o = graft.streaming.MonitorPair.observed(ref)
+          (b, id) => {
+            val (inst, complete) = o(b, "ts", "value", id)
+            inst.count(); complete(): Unit
+          }
+        } else (b, _) => { b.count(); () }
+      def ckpt = java.nio.file.Files.createTempDirectory("graft-sbench").toString
+      val q1 = routed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      val q2 = VelocityFeatures.stream(txns).toDF().writeStream
+        .foreachBatch((b: DataFrame, _: Long) => { b.count(); () })
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      val chunks = chunksOf(data)
+      def drain(): Unit = { q1.processAllAvailable(); q2.processAllAvailable() }
+      in.addData(chunks.head); drain() // warm-up, untimed
+      val t0 = System.nanoTime()
+      chunks.tail.foreach { c => in.addData(c); drain() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q1.stop(); q2.stop()
+      (chunks.tail.map(_.size.toLong).sum / secs).toLong
+    }
+    // hot e2e frame: BOTH skews at once — 95% of events on one user
+    // (velocity hot key) AND one value bucket (monitor groupBy skew)
+    val e2eHot = (0L until n).map(i =>
+      if (i % 20 != 0) eventJson(i, 0L, 25.0) else eventJson(i, i % 200))
+    Seq((wire, false), (wire, true), (e2eHot, false), (e2eHot, true))
+      .foreach { case (d, o) => e2eRun(d, o): Unit } // JIT-warm each flavor
+    val e2eUni = e2eRun(wire, observed = false)
+    val e2eUniObs = e2eRun(wire, observed = true)
+    val e2eHot95 = e2eRun(e2eHot, observed = false)
+    val e2eHot95Obs = e2eRun(e2eHot, observed = true)
+
     val hotJson = hotEps.map { case (c, e) => "\"cap" + c + "\":" + e }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stream_events_per_sec","events":$n,"chunk":$chunkSize,""" +
@@ -140,7 +192,9 @@ object StreamBench {
       s""""parse_route_observed":$monObsEps,""" +
       s""""parse_route_hot95":$hotWireEps,"parse_route_monitored_hot95":$monHotEps,""" +
       s""""parse_route_observed_hot95":$monObsHotEps,""" +
-      s""""velocity_uniform":$uniEps,"velocity_hot95":$hotJson}""")
+      s""""velocity_uniform":$uniEps,"velocity_hot95":$hotJson,""" +
+      s""""e2e_uniform":$e2eUni,"e2e_uniform_observed":$e2eUniObs,""" +
+      s""""e2e_hot95":$e2eHot95,"e2e_hot95_observed":$e2eHot95Obs}""")
     spark.stop()
   }
 }

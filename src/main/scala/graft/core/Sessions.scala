@@ -24,6 +24,14 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // DisableUnnecessaryBucketedScan treats only join/agg distributions
+      // as "interesting" — a bare key-equality FILTER on a bucketed table
+      // gets its bucketed read (and with it, bucket PRUNING) planned away,
+      // which is exactly backwards for the cold point-lookup layout
+      // (sinks/BucketedLayout): pruning 15/16 buckets dwarfs the lost
+      // split flexibility. Only the engine's own clustered tables are
+      // bucketed, and every read of them wants the bucket spec honored.
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel(logLevel)

@@ -346,4 +346,67 @@ object PitJoin {
           f.values.map(v => col(structCols(i)).getField(v).as(v))
         }): _*)
   }
+
+  /** The fill strategy for one matrix build: `rangeSecs == 0` means the
+    * plain single-window fill; > 0 means the segmented scan
+    * (fillBandedRanged) with that range width. Pass `rangeSecs` straight
+    * to `trainingMatrixWide`. */
+  final case class Strategy(rangeSecs: Long) {
+    def isRanged: Boolean = rangeSecs > 0
+  }
+
+  /** Auto-pick the hot-key strategy from the timeline's own key histogram
+    * (VERDICT r11 next #5 — `rangeSecs` was a knob with measured
+    * crossovers but no decision helper). ONE cheap aggregate decides:
+    * per-key (count, ts span) with map-side partial aggregation, top-1 by
+    * count — the histogram is keys-sized, never rows-sized.
+    *
+    * Decision rule, from PitSaltBench's measured A/B (PERF.md r11 table):
+    * the segmented scan beats plain 4.4× on probe-heavy AND 3.3× on
+    * fact-heavy 95%-hot frames — the probe/fact mix picks between
+    * salting and ranged (salting loses fact-heavy), but NEVER between
+    * plain and ranged, so the recommendation is mix-free: ranged iff the
+    * hottest key's timeline exceeds what one task sorts comfortably
+    * (`targetRowsPerTask`), else plain (both hot-key forms measurably
+    * LOSE on uniform frames — carry join-back / replication overhead).
+    * Salting is deliberately never recommended: ranged dominated it on
+    * both measured hot shapes.
+    *
+    * `rangeSecs` then sizes ranges so the hottest key lands
+    * ~count/targetRowsPerTask ranges across ITS OWN ts span (assumes
+    * rows roughly uniform over the span — a key whose mass clumps into
+    * one range degrades toward plain, never below it).
+    *
+    * The default threshold is deliberately conservative: a 500k-row
+    * single-task sort is ~1 s — well under the measured 39 s/112 s
+    * pathologies — while the uniform controls (≤ tens of thousands of
+    * rows per key) stay far below it. Callers at 100 TB can pass a
+    * SAMPLED timeline; counts scale linearly, so compare against
+    * `targetRowsPerTask × fraction`. */
+  def recommendStrategy(probes: DataFrame, key: String, probeTs: String,
+                        facts: Seq[WideFact],
+                        targetRowsPerTask: Long = 500000L): Strategy = {
+    require(targetRowsPerTask > 0)
+    val parts = probes.select(col(key).as("__k"),
+        unix_timestamp(col(probeTs)).as("__t")) +:
+      facts.map(f => f.df.select(col(f.key).as("__k"),
+        unix_timestamp(col(f.ts)).as("__t")))
+    val top = parts.reduce(_ unionByName _)
+      .groupBy("__k")
+      .agg(count(lit(1)).as("__n"), min(col("__t")).as("__lo"),
+        max(col("__t")).as("__hi"))
+      .orderBy(col("__n").desc, col("__k").asc_nulls_last)
+      .limit(1).collect()
+    // an all-null-ts hot key can't be range-split (no span) — the window
+    // groups those rows regardless; fall back to plain rather than divide
+    // by a fictitious span
+    if (top.isEmpty || top(0).getLong(1) <= targetRowsPerTask ||
+        top(0).isNullAt(2) || top(0).isNullAt(3)) Strategy(0L)
+    else {
+      val n = top(0).getLong(1)
+      val span = math.max(1L, top(0).getLong(3) - top(0).getLong(2))
+      val ranges = math.max(2L, n / targetRowsPerTask)
+      Strategy(math.max(1L, span / ranges))
+    }
+  }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{AsOf, Roles}
+import graft.jobs.{IncrementalTransactionFeatures => Inc, TransactionFeaturesJob}
+
+/** Pins for day-bucket incremental feature maintenance: the incremental
+  * path must be CELL-EXACT against the full recompute (the merge algebra's
+  * whole claim), replays must be idempotent, and the midnight-anchor
+  * precondition must fail loud. */
+class IncrementalFeaturesSpec extends SparkSpec {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+    val cols = df.columns.sorted
+    df.select(cols.map(col): _*).collect()
+      .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))))
+      .toSeq.sortBy(_.mkString("|"))
+  }
+
+  test("3-day ladder == full recompute, cell-exact (sf0.001)") {
+    val full = TransactionFeaturesJob.compute(
+      Roles.transactions(spark, sf0001), Roles.users(spark, sf0001), AsOf.orders)
+    assert(rows(Inc.ladder(spark, sf0001)) == rows(full))
+  }
+
+  test("a 7-day ladder reaches the identical state (slice count is free)") {
+    assert(rows(Inc.ladder(spark, sf0001, days = 7)) ==
+      rows(Inc.ladder(spark, sf0001, days = 3)))
+  }
+
+  test("replaying a day's delta is idempotent (at-least-once delivery)") {
+    val tx = Roles.transactions(spark, sf0001)
+    val d = AsOf.date(AsOf.orders).minusDays(2)
+    val base = Inc.summarize(
+      tx.filter(col("created_at") < lit(java.sql.Date.valueOf(d))))
+    val once = Inc.applyDelta(base, Inc.dailyDelta(tx, d))
+    val twice = Inc.applyDelta(once, Inc.dailyDelta(tx, d))
+    assert(rows(twice) == rows(once),
+      "replaying the same day must leave the state unchanged")
+  }
+
+  test("non-midnight anchors are rejected (day-grain exactness precondition)") {
+    val e = intercept[IllegalArgumentException] {
+      Inc.featuresFromState(
+        Inc.summarize(Roles.transactions(spark, sf0001)),
+        Roles.users(spark, sf0001),
+        java.time.Instant.parse("2001-08-02T13:30:00Z"))
+    }
+    assert(e.getMessage.contains("midnight"))
+  }
+}

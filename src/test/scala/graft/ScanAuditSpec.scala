@@ -63,6 +63,21 @@ class ScanAuditSpec extends SparkSpec {
       s"drift read $r records, budget (${ordersRows}, ${2 * ordersRows}]")
   }
 
+  test("cold point lookup on the clustered layout reads ~1/16th of the view " +
+      "(bucket pruning, no cache tier in front)") {
+    val view = sinks.BucketedLayout.featureViewClustered(spark, sf0001)
+    val total = view.count()
+    // a PRESENT key: an absent key's bucket can row-group-prune to zero
+    // records and the pin would measure nothing
+    val id = view.agg(org.apache.spark.sql.functions.min(
+      org.apache.spark.sql.functions.col("user_id"))).head.getLong(0)
+    val recs = recordsOf(
+      sinks.BucketedLayout.pointLookupClustered(spark, sf0001, Seq(id)))
+    assert(recs > 0 && recs <= total / 4,
+      s"cold clustered point lookup read $recs of $total rows — " +
+        "bucket pruning lost (a flat cold S2 lookup reads the whole view)")
+  }
+
   test("quantile_normalize: collapse scan + value-keyed join-back scan (2x rows)") {
     val r = recordsOf(ext.Corpus.quantileNormalize(core.Tables.documents(spark, sf0001)))
     assert(r == 2 * docsRows, s"read $r, budget ${2 * docsRows}")

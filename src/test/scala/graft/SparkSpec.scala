@@ -13,6 +13,9 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // mirror Sessions.local: bucket pruning on bare filters needs the
+    // bucketed scan kept (see the note there)
+    .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

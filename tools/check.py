@@ -40,9 +40,15 @@ def cells_equal(a, b):
 
 
 def main(sf_dir, out_dir):
+    import os
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver testdata ships single-file tables; GenScaled rungs are
+        # Spark-written DIRECTORIES of part files — glob those
+        pat = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(pat):
+            pat += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
