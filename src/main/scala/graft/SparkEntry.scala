@@ -46,6 +46,9 @@ object SparkEntry {
     // against the SAME full-recompute SQL as transaction_features
     "transaction_features_incremental" -> ((s, dir) =>
       canon(IncrementalTransactionFeatures.ladder(s, dir))),
+    // the additive-fold family (running totals + in-grain MODE), same idea
+    "user_features_incremental" -> ((s, dir) =>
+      canon(IncrementalUserFeatures.ladder(s, dir))),
     "feature_view"         -> ((s, dir) => canon(FeatureViewJob(s, dir))),
     "migration_checks"     -> ((s, dir) => MigrationValidationJob.checks(s, dir)),
     "count_reconciliation" -> ((s, dir) => MigrationValidationJob.countReconciliation(s, dir)),
@@ -224,6 +227,7 @@ object SparkEntry {
     "transaction_features" -> OracleSql.transactionFeatures(),
     // incremental ≡ full recompute IS the claim: same oracle SQL
     "transaction_features_incremental" -> OracleSql.transactionFeatures(),
+    "user_features_incremental" -> OracleSql.userFeatures(),
     "user_features"        -> OracleSql.userFeatures(),
     "risk_features"        -> OracleSql.riskFeatures(),
     "feature_view"         -> OracleSql.featureView(),

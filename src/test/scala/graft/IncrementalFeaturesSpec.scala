@@ -40,6 +40,40 @@ class IncrementalFeaturesSpec extends SparkSpec {
       "replaying the same day must leave the state unchanged")
   }
 
+  // ---- the additive-fold family (UserFeaturesJob) ----
+
+  test("user-features 3-day ladder == full recompute, cell-exact (sf0.001)") {
+    val full = jobs.UserFeaturesJob.compute(
+      Roles.transactions(spark, sf0001), Roles.users(spark, sf0001), AsOf.orders)
+    assert(rows(jobs.IncrementalUserFeatures.ladder(spark, sf0001)) == rows(full))
+  }
+
+  test("user-features 7-day ladder reaches the identical state") {
+    assert(rows(jobs.IncrementalUserFeatures.ladder(spark, sf0001, days = 7)) ==
+      rows(jobs.IncrementalUserFeatures.ladder(spark, sf0001, days = 3)))
+  }
+
+  test("the additive fold is NOT idempotent — replaying a delta double-" +
+      "counts (the documented contract difference from the day-bucket family)") {
+    val tx = Roles.transactions(spark, sf0001)
+    // the latest day that actually has completed transactions — a fixed
+    // offset guessed empty at sf0.001
+    val d = tx.filter(col("status").isin("O", "P"))
+      .agg(max(to_date(col("created_at")))).head.getDate(0).toLocalDate
+    val delta = jobs.IncrementalUserFeatures.dailyDelta(tx, d)
+    assert(delta.count() > 0)
+    val base = jobs.IncrementalUserFeatures.summarize(
+      tx.filter(col("created_at") < lit(java.sql.Date.valueOf(d))))
+    val once = jobs.IncrementalUserFeatures.applyDelta(base, delta)
+    val twice = jobs.IncrementalUserFeatures.applyDelta(once, delta)
+    val cnt = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(sum(col("cnt_rows"))).head.getLong(0)
+    assert(cnt(twice) == cnt(once) + delta.agg(sum(col("cnt_rows")))
+      .head.getLong(0),
+      "running totals must ADD on replay — exactly-once application is " +
+        "the caller's contract, unlike the day-bucket family's replace")
+  }
+
   test("non-midnight anchors are rejected (day-grain exactness precondition)") {
     val e = intercept[IllegalArgumentException] {
       Inc.featuresFromState(
