@@ -47,6 +47,8 @@ object Bench {
       () => { graft.jobs.UserFeaturesJob(spark, sfDir).count(): Unit },
       () => { graft.jobs.RiskFeaturesJob(spark, sfDir).count(): Unit },
       () => { graft.jobs.FeatureViewJob(spark, sfDir).count(): Unit },
+      () => { graft.jobs.IncrementalTransactionFeatures.ladder(spark, sfDir).count(): Unit },
+      () => { graft.jobs.IncrementalUserFeatures.ladder(spark, sfDir).count(): Unit },
       () => { graft.ext.Dedup.shingleTable(spark, sfDir).count(): Unit },
       () => { graft.ext.Dedup.signatureTable(spark, sfDir).count(): Unit },
       () => { graft.ext.Dedup.candidatePairTable(spark, sfDir).count(): Unit },

@@ -145,16 +145,29 @@ object IncrementalTransactionFeatures {
     * partition the transaction log on day boundaries. */
   def ladder(spark: SparkSession, dir: String, days: Int = 3,
              asOf: Instant = AsOf.orders): DataFrame = {
-    val tx = Roles.transactions(spark, dir)
-    val d = midnight(asOf)
-    val cut = d.minusDays(days.toLong)
-    val base = summarize(tx.filter(col("created_at") < dayLit(cut)))
-    val stepped = (0 until days).foldLeft(base) { (state, i) =>
-      applyDelta(state, dailyDelta(tx, cut.plusDays(i.toLong)))
+    // the state rides FeatureCache — in production it IS a stored table;
+    // without this, featuresFromState's two consumers (stats + the
+    // active set) re-evaluate the whole slice tree and the ladder
+    // re-decodes the transaction log per consumer (measured 9× at
+    // one-row-group granularity before the cache; ScanAuditSpec pins
+    // the budget)
+    // cache key carries `days` but not `asOf` — cache only the default
+    // anchor (the driver-contract shape), like every feature job's apply
+    def buildState = {
+      val tx = Roles.transactions(spark, dir)
+      val d = midnight(asOf)
+      val cut = d.minusDays(days.toLong)
+      val base = summarize(tx.filter(col("created_at") < dayLit(cut)))
+      val stepped = (0 until days).foldLeft(base) { (st, i) =>
+        applyDelta(st, dailyDelta(tx, cut.plusDays(i.toLong)))
+      }
+      // anchor-day-and-later tail: the batch job's scan has no upper bound
+      applyDelta(stepped, summarize(tx.filter(col("created_at") >= dayLit(d))))
     }
-    // anchor-day-and-later tail: the batch job's scan has no upper bound
-    val state = applyDelta(stepped,
-      summarize(tx.filter(col("created_at") >= dayLit(d))))
+    val state =
+      if (asOf == AsOf.orders)
+        graft.core.FeatureCache.cached(spark, dir, s"inc_tx_state_d$days")(buildState)
+      else buildState
     featuresFromState(state, Roles.users(spark, dir), asOf)
   }
 }

@@ -123,15 +123,25 @@ object IncrementalUserFeatures {
              asOf: Instant = AsOf.orders): DataFrame = {
     require(asOf.truncatedTo(ChronoUnit.DAYS) == asOf,
       s"day-sliced deltas need a midnight-aligned anchor: $asOf")
-    val tx = Roles.transactions(spark, dir)
-    val d = AsOf.date(asOf)
-    val cut = d.minusDays(days.toLong)
-    val base = summarize(tx.filter(col("created_at") < dayLit(cut)))
-    val stepped = (0 until days).foldLeft(base) { (state, i) =>
-      applyDelta(state, dailyDelta(tx, cut.plusDays(i.toLong)))
+    // state on FeatureCache, like the transaction family: the stored-table
+    // posture, and featuresFromState's stats + mode consumers share one
+    // slice-tree evaluation (ScanAuditSpec budget pin)
+    // cache key carries `days` but not `asOf` — cache only the default
+    // anchor (the driver-contract shape), like every feature job's apply
+    def buildState = {
+      val tx = Roles.transactions(spark, dir)
+      val d = AsOf.date(asOf)
+      val cut = d.minusDays(days.toLong)
+      val base = summarize(tx.filter(col("created_at") < dayLit(cut)))
+      val stepped = (0 until days).foldLeft(base) { (st, i) =>
+        applyDelta(st, dailyDelta(tx, cut.plusDays(i.toLong)))
+      }
+      applyDelta(stepped, summarize(tx.filter(col("created_at") >= dayLit(d))))
     }
-    val state = applyDelta(stepped,
-      summarize(tx.filter(col("created_at") >= dayLit(d))))
+    val state =
+      if (asOf == AsOf.orders)
+        graft.core.FeatureCache.cached(spark, dir, s"inc_uf_state_d$days")(buildState)
+      else buildState
     featuresFromState(state, Roles.users(spark, dir), asOf)
   }
 }
