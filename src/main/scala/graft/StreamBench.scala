@@ -66,6 +66,14 @@ object StreamBench {
     val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "100000").toLong
     val chunkSize = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNK", "10000").toInt
     val spark = graft.core.Sessions.local(cpus)
+    // SPARK_GRAFT_STATE_PROVIDER=rocksdb swaps the state backend for every
+    // stateful query in this run — the 100 TB lever (disk-bounded state
+    // instead of executor-heap-bounded); RocksDbStateSpec pins output
+    // parity, this knob prices it
+    val stateProvider = sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER", "hdfs")
+    if (stateProvider == "rocksdb")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import spark.implicits._
 
     def chunksOf[A](xs: IndexedSeq[A]): Seq[Seq[A]] =
@@ -188,6 +196,7 @@ object StreamBench {
     val hotJson = hotEps.map { case (c, e) => "\"cap" + c + "\":" + e }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stream_events_per_sec","events":$n,"chunk":$chunkSize,""" +
+      s""""state_provider":"$stateProvider",""" +
       s""""parse_route":$wireEps,"parse_route_monitored":$monEps,""" +
       s""""parse_route_observed":$monObsEps,""" +
       s""""parse_route_hot95":$hotWireEps,"parse_route_monitored_hot95":$monHotEps,""" +
