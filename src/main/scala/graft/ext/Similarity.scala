@@ -310,7 +310,10 @@ object Similarity {
     * dim centroid frame folds to one array row per label and BROADCASTs
     * back, and scoring is row-local arithmetic — nothing shuffles the
     * corpus at all; only the labels-row centroid frame and the final
-    * per-label top-k rank move. Assumes fixed-width `dim` vectors (the
+    * per-label top-k rank move. The rank itself is a two-phase salted
+    * bottom-k (per-(label, salt) partial ranks, then a final rank over the
+    * ≤ k·32 survivors per label) so election parallelism never collapses
+    * to the label count. Assumes fixed-width `dim` vectors (the
     * table contract; ragged or null embeddings would change the per-pos
     * counts vs the exploded form). */
   def embeddingOutliers(embeddings: DataFrame, k: Int = 5, dim: Int = 64): DataFrame = {
@@ -339,7 +342,23 @@ object Similarity {
           decDot(x, col("__c")) /
             sqrt(decDot(x, x) * col("__nc")), 6)
           .as("cos_to_centroid"))
-    scored
+    // Bottom-k election in TWO phases instead of one window partitioned by
+    // the handful of labels: a per-label window caps task parallelism at
+    // the LABEL COUNT (at corpus scale one task would sort corpus/labels
+    // rows). Phase 1 ranks within (label, salt) buckets — (cos, vec_id) is
+    // a total order over rows, so every row of the global bottom-k is also
+    // in its own bucket's bottom-k — and phase 2 ranks only the ≤ k·SALTS
+    // survivors per label. Output is identical to the single-window form
+    // by construction (AnalyticsOpsSpec pins the equality).
+    val salts = 32
+    val phase1 = scored
+      .withColumn("__salt", pmod(hash(col("vec_id")), lit(salts)))
+      .withColumn("__r1", row_number().over(
+        Window.partitionBy("label", "__salt")
+          .orderBy(col("cos_to_centroid").asc, col("vec_id").asc)))
+      .filter(col("__r1") <= k)
+      .drop("__salt", "__r1")
+    phase1
       .withColumn("outlier_rank", row_number().over(
         Window.partitionBy("label")
           .orderBy(col("cos_to_centroid").asc, col("vec_id").asc)))

@@ -196,6 +196,24 @@ class AnalyticsOpsSpec extends SparkSpec {
       .filter($"__f".isNull)
     assert(unflagged.join(worstKept, Seq("label"))
       .filter($"cos_to_centroid" < $"worst_flagged").count() == 0)
+    // the two-phase salted election is byte-identical to the plain
+    // single-window bottom-k it replaced (the r12 parallelism hardening):
+    // recompute the rank with one window over the full scored set and
+    // compare rows, ranks included
+    val plain = all
+      .withColumn("plain_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("label")
+          .orderBy($"cos_to_centroid".asc, $"vec_id".asc)))
+      .filter($"plain_rank" <= 5)
+      .select($"vec_id".as("p_vec"), $"plain_rank".as("p_rank"),
+        $"cos_to_centroid".as("p_cos"))
+    val salted = out.select($"vec_id".as("s_vec"),
+      $"outlier_rank".as("s_rank"), $"cos_to_centroid".as("s_cos"))
+    assert(salted.join(plain,
+      $"s_vec" === $"p_vec" && $"s_rank" === $"p_rank" && $"s_cos" === $"p_cos",
+      "full_outer")
+      .filter($"s_vec".isNull || $"p_vec".isNull).count() == 0,
+      "salted two-phase bottom-k must equal the single-window election")
     out.unpersist()
   }
 

@@ -42,6 +42,9 @@ def cells_equal(a, b):
 def main(sf_dir, out_dir):
     import os
     con = duckdb.connect()
+    threads = os.environ.get("GRAFT_CHECK_THREADS")
+    if threads:
+        con.execute(f"SET threads TO {int(threads)}")
     for t in TABLES:
         # driver testdata ships single-file tables; GenScaled rungs are
         # Spark-written DIRECTORIES of part files — glob those
