@@ -49,6 +49,7 @@ object Bench {
       () => { graft.jobs.FeatureViewJob(spark, sfDir).count(): Unit },
       () => { graft.jobs.IncrementalTransactionFeatures.ladder(spark, sfDir).count(): Unit },
       () => { graft.jobs.IncrementalUserFeatures.ladder(spark, sfDir).count(): Unit },
+      () => { graft.jobs.IncrementalRiskFeatures.ladder(spark, sfDir).count(): Unit },
       () => { graft.ext.Dedup.shingleTable(spark, sfDir).count(): Unit },
       () => { graft.ext.Dedup.signatureTable(spark, sfDir).count(): Unit },
       () => { graft.ext.Dedup.candidatePairTable(spark, sfDir).count(): Unit },

@@ -49,6 +49,9 @@ object SparkEntry {
     // the additive-fold family (running totals + in-grain MODE), same idea
     "user_features_incremental" -> ((s, dir) =>
       canon(IncrementalUserFeatures.ladder(s, dir))),
+    // the 5-way fan: per-CTE day-grained states + the unchanged fan-in
+    "risk_features_incremental" -> ((s, dir) =>
+      canon(IncrementalRiskFeatures.ladder(s, dir))),
     "feature_view"         -> ((s, dir) => canon(FeatureViewJob(s, dir))),
     "migration_checks"     -> ((s, dir) => MigrationValidationJob.checks(s, dir)),
     "count_reconciliation" -> ((s, dir) => MigrationValidationJob.countReconciliation(s, dir)),
@@ -228,6 +231,7 @@ object SparkEntry {
     // incremental ≡ full recompute IS the claim: same oracle SQL
     "transaction_features_incremental" -> OracleSql.transactionFeatures(),
     "user_features_incremental" -> OracleSql.userFeatures(),
+    "risk_features_incremental" -> OracleSql.riskFeatures(),
     "user_features"        -> OracleSql.userFeatures(),
     "risk_features"        -> OracleSql.riskFeatures(),
     "feature_view"         -> OracleSql.featureView(),

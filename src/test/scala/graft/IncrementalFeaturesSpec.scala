@@ -74,6 +74,45 @@ class IncrementalFeaturesSpec extends SparkSpec {
         "the caller's contract, unlike the day-bucket family's replace")
   }
 
+  // ---- the 5-way fan family (RiskFeaturesJob) ----
+
+  test("risk-features 3-day ladder == full recompute, cell-exact (sf0.001)") {
+    val full = jobs.RiskFeaturesJob.compute(
+      Roles.payments(spark, sf0001), Roles.userLogins(spark, sf0001),
+      Roles.velocityAlerts(spark, sf0001), Roles.creditReports(spark, sf0001),
+      Roles.riskScores(spark, sf0001), Roles.users(spark, sf0001),
+      AsOf.lineitem, AsOf.events)
+    assert(rows(jobs.IncrementalRiskFeatures.ladder(spark, sf0001)) == rows(full))
+  }
+
+  test("risk-features 7-day ladder reaches the identical state") {
+    assert(rows(jobs.IncrementalRiskFeatures.ladder(spark, sf0001, days = 7)) ==
+      rows(jobs.IncrementalRiskFeatures.ladder(spark, sf0001, days = 3)))
+  }
+
+  test("risk-features day-bucket states replay idempotently (all five grains)") {
+    import jobs.{IncrementalRiskFeatures => R}
+    val d = AsOf.date(AsOf.events).minusDays(2)
+    val dayLit = lit(java.sql.Date.valueOf(d))
+    val nextLit = lit(java.sql.Date.valueOf(d.plusDays(1)))
+    for ((src, ts, summ, grain) <- Seq(
+        (Roles.userLogins(spark, sf0001), "created_at",
+          R.summarizeLogins _, R.loginGrain),
+        (Roles.velocityAlerts(spark, sf0001), "created_at",
+          R.summarizeAlerts _, R.dayGrain),
+        (Roles.creditReports(spark, sf0001), "report_date",
+          R.summarizeCredit _, R.dayGrain),
+        (Roles.riskScores(spark, sf0001), "computed_at",
+          R.summarizeScores _, R.dayGrain))) {
+      val base = summ(src.filter(col(ts) < dayLit))
+      val delta = summ(src.filter(col(ts) >= dayLit && col(ts) < nextLit))
+      val once = R.applyDelta(base, delta, grain)
+      val twice = R.applyDelta(once, delta, grain)
+      assert(rows(twice) == rows(once),
+        s"replaying a $grain day bucket must leave the state unchanged")
+    }
+  }
+
   test("non-midnight anchors are rejected (day-grain exactness precondition)") {
     val e = intercept[IllegalArgumentException] {
       Inc.featuresFromState(

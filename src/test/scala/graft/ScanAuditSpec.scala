@@ -84,7 +84,8 @@ class ScanAuditSpec extends SparkSpec {
     val nationRows = spark.read.parquet(s"$sf0001/nation.parquet").count()
     for (f <- Seq(
         () => jobs.IncrementalTransactionFeatures.ladder(spark, sf0001),
-        () => jobs.IncrementalUserFeatures.ladder(spark, sf0001))) {
+        () => jobs.IncrementalUserFeatures.ladder(spark, sf0001),
+        () => jobs.IncrementalRiskFeatures.ladder(spark, sf0001))) {
       val r = recordsOf(f())
       // the state rides FeatureCache (the stored-table posture): a warm
       // feature read must never re-decode the transaction log (measured
