@@ -1,0 +1,103 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction for the partitioned warehouse layout — the
+  * maintenance half of the S10/S11 sink story. The daily pattern
+  * (MergeByKey.overwritePartitions per batch, late/corrected days
+  * re-landing under dynamic overwrite) accretes files per partition; at
+  * 100 TB small files are a first-order tax: driver-side listing grows
+  * with file count, every file open pays a round trip, and tiny row
+  * groups gut min/max pruning (a 4 MB file's one row group spans its
+  * whole value range). The reference never needs this only because its
+  * warehouse (BigQuery, sql/bigquery_schema.sql) compacts internally —
+  * a Spark-native layout has to own it.
+  *
+  * Design:
+  *
+  *   - `stats` is METADATA-ONLY (one FS listing per partition dir) —
+  *     bounded by file counts, never row counts; at 100 TB this is the
+  *     same listing any scan's planning already pays.
+  *   - `plan` picks only partitions whose file count exceeds what their
+  *     byte size needs at `targetBytes` — already-compact partitions are
+  *     never rewritten, so a re-run is a no-op (idempotence pin).
+  *   - `compact` rewrites each picked partition with `coalesce(k)` — a
+  *     NARROW dependency, no shuffle: compaction moves bytes, it must not
+  *     pay an exchange to do so. Rows are untouched (content pin); the
+  *     write goes to a sibling temp dir then swaps in with two renames,
+  *     so a reader never sees a half-written partition and a crash leaves
+  *     either the old or the new layout, not a mix. HOT partitions keep
+  *     landing via dynamic overwrite while OTHER partitions compact —
+  *     the swap touches only its own directory.
+  *
+  * Compaction is day-partition-local by construction, so at cluster scale
+  * the rewrites parallelize per partition and none of them shuffles. */
+object Compaction {
+
+  final case class PartitionStat(value: String, files: Int, bytes: Long)
+
+  final case class Rewrite(value: String, filesBefore: Int, filesAfter: Int)
+
+  /** One FS listing per partition: (partition value, data-file count,
+    * total bytes). Hidden/metadata files (_SUCCESS, .crc) excluded. */
+  def stats(spark: SparkSession, path: String,
+            partitionCol: String): Seq[PartitionStat] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val prefix = s"$partitionCol="
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map { dir =>
+        val files = fs.listStatus(dir.getPath).toSeq.filter { f =>
+          val n = f.getPath.getName
+          f.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        PartitionStat(dir.getPath.getName.stripPrefix(prefix),
+          files.size, files.map(_.getLen).sum)
+      }
+      .sortBy(_.value)
+  }
+
+  /** Partitions worth rewriting at `targetBytes`: those holding more
+    * files than ceil(bytes/target). Returns (value, target file count). */
+  def plan(stats: Seq[PartitionStat], targetBytes: Long): Seq[(String, Int)] = {
+    require(targetBytes > 0, s"targetBytes must be > 0: $targetBytes")
+    stats.flatMap { p =>
+      val want = math.max(1L, (p.bytes + targetBytes - 1) / targetBytes)
+      if (p.files > want) Some(p.value -> want.toInt) else None
+    }
+  }
+
+  /** Rewrite each planned partition to its target file count. Returns the
+    * rewrites performed (empty = layout already compact). */
+  def compact(spark: SparkSession, path: String, partitionCol: String,
+              targetBytes: Long): Seq[Rewrite] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = stats(spark, path, partitionCol)
+    plan(before, targetBytes).map { case (value, k) =>
+      val dir = new Path(root, s"$partitionCol=$value")
+      // leaf-dir read: partition column lives in the directory name, so
+      // the frame carries exactly the data columns and writes back flat
+      val tmp = new Path(root, s".compact-tmp-$partitionCol=$value")
+      if (fs.exists(tmp)) fs.delete(tmp, true) // stale crash leftover
+      spark.read.parquet(dir.toString)
+        .coalesce(k)
+        .write.parquet(tmp.toString)
+      // two-rename swap: readers racing the swap see old or new, never a
+      // mix; the old dir is removed only after the new one is in place
+      val old = new Path(root, s".compact-old-$partitionCol=$value")
+      require(fs.rename(dir, old), s"compaction swap failed: $dir -> $old")
+      require(fs.rename(tmp, dir), s"compaction swap failed: $tmp -> $dir")
+      fs.delete(old, true)
+      val after = fs.listStatus(dir).count { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      Rewrite(value, before.find(_.value == value).map(_.files).getOrElse(0),
+        after)
+    }
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.{Compaction, MergeByKey}
+
+/** Pins for the warehouse small-file compactor: content is untouched,
+  * only over-fragmented partitions are rewritten, re-runs are no-ops,
+  * and the rewrite is narrow (no shuffle). */
+class CompactionSpec extends SparkSpec {
+
+  private def mkFragmented(): (String, org.apache.spark.sql.DataFrame) = {
+    val base = Files.createTempDirectory("graft-compact").toString
+    import spark.implicits._
+    val df = (0 until 400).map(i => (i.toLong, s"v$i", f"2024-01-${i % 4 + 1}%02d"))
+      .toDF("id", "payload", "partition_date")
+    // 8 writer tasks per partition value -> 8 small files per partition
+    MergeByKey.overwritePartitions(df.repartition(8), base, "partition_date")
+    (base, df)
+  }
+
+  test("compaction: content identical, files reduced to the byte target") {
+    val (base, df) = mkFragmented()
+    val before = Compaction.stats(spark, base, "partition_date")
+    assert(before.size == 4 && before.forall(_.files == 8),
+      s"fixture should be fragmented: $before")
+
+    // target larger than any partition's bytes -> 1 file each
+    val rewrites = Compaction.compact(spark, base, "partition_date", 1L << 30)
+    assert(rewrites.size == 4 && rewrites.forall(_.filesAfter == 1), s"$rewrites")
+
+    val after = Compaction.stats(spark, base, "partition_date")
+    assert(after.forall(_.files == 1), s"$after")
+
+    val got = spark.read.parquet(base)
+      .select("id", "payload", "partition_date")
+      .collect().map(_.toString).sorted
+    assert(got.toSeq == df.collect().map(_.toString).sorted.toSeq,
+      "compaction must not change a single row")
+  }
+
+  test("already-compact partitions are never rewritten; re-run is a no-op") {
+    val (base, _) = mkFragmented()
+    Compaction.compact(spark, base, "partition_date", 1L << 30)
+    val pathsBefore = Compaction.stats(spark, base, "partition_date")
+
+    assert(Compaction.plan(pathsBefore, 1L << 30).isEmpty,
+      "a compact layout must plan zero rewrites")
+    assert(Compaction.compact(spark, base, "partition_date", 1L << 30).isEmpty,
+      "re-running compaction must be a no-op")
+  }
+
+  test("a small byte target keeps multiple files (never over-merges)") {
+    val (base, _) = mkFragmented()
+    val st = Compaction.stats(spark, base, "partition_date")
+    // target = half a partition's bytes -> want 2 files, have 8 -> rewrite
+    val target = st.head.bytes / 2
+    val rewrites = Compaction.compact(spark, base, "partition_date", target)
+    assert(rewrites.nonEmpty && rewrites.forall(r => r.filesAfter >= 2),
+      s"byte-targeted compaction must not collapse to one file: $rewrites")
+  }
+
+  test("the rewrite is narrow — coalesce, not an exchange") {
+    val (base, _) = mkFragmented()
+    val leaf = s"$base/partition_date=2024-01-01"
+    val plan = spark.read.parquet(leaf).coalesce(1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"compaction's read+coalesce must not shuffle:\n$plan")
+  }
+
+  test("hidden temp/metadata files are excluded from stats") {
+    val (base, _) = mkFragmented()
+    val st = Compaction.stats(spark, base, "partition_date")
+    // overwritePartitions leaves _SUCCESS at the root, not in leaves; the
+    // leaves may carry .crc siblings locally — stats must count data files
+    assert(st.forall(p => p.files == 8 && p.bytes > 0), s"$st")
+  }
+}
