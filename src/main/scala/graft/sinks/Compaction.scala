@@ -26,10 +26,10 @@ import org.apache.spark.sql.SparkSession
   *     NARROW dependency, no shuffle: compaction moves bytes, it must not
   *     pay an exchange to do so. Rows are untouched (content pin); the
   *     write goes to a sibling temp dir then swaps in with two renames,
-  *     so a reader never sees a half-written partition and a crash leaves
-  *     either the old or the new layout, not a mix. HOT partitions keep
-  *     landing via dynamic overwrite while OTHER partitions compact —
-  *     the swap touches only its own directory.
+  *     so a reader never sees a half-written partition (see the in-window
+  *     caveat at the swap). HOT partitions keep landing via dynamic
+  *     overwrite while OTHER partitions compact — the swap touches only
+  *     its own directory.
   *
   * Compaction is day-partition-local by construction, so at cluster scale
   * the rewrites parallelize per partition and none of them shuffles. */
@@ -86,8 +86,12 @@ object Compaction {
       spark.read.parquet(dir.toString)
         .coalesce(k)
         .write.parquet(tmp.toString)
-      // two-rename swap: readers racing the swap see old or new, never a
-      // mix; the old dir is removed only after the new one is in place
+      // two-rename swap: a racing reader sees the old files or the new,
+      // never a mix — though between the renames the partition is briefly
+      // ABSENT (dir renames aren't jointly atomic; closing that window
+      // needs a transactional table format, which isn't on the classpath).
+      // A crash never loses data: the old dir survives as .compact-old
+      // until the new one is in place
       val old = new Path(root, s".compact-old-$partitionCol=$value")
       require(fs.rename(dir, old), s"compaction swap failed: $dir -> $old")
       require(fs.rename(tmp, dir), s"compaction swap failed: $tmp -> $dir")
