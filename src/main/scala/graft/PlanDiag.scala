@@ -28,6 +28,25 @@ object PlanDiag {
       val mix = nodes.map(n => s"$n=${p.split(java.util.regex.Pattern.quote(n)).length - 1}")
         .mkString(" ")
       println(s"[plan-diag] $name @ $dir: $mix")
+      // per-exchange record counts: WHICH shuffle carries the growth
+      def walk(n: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        n match {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            val recs = Seq("shuffleRecordsWritten", "recordsWritten",
+              "numOutputRows").flatMap(e.metrics.get).map(_.value)
+              .headOption.getOrElse(-1L)
+            val child = e.child.toString.linesIterator.next().take(90)
+            println(s"[plan-diag]   exchange records=$recs " +
+              s"[${e.metrics.keys.toSeq.sorted.mkString(",")}]  child: $child")
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan)
+          case _ => ()
+        }
+        n.children.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
     }
     spark.stop()
   }

@@ -20,64 +20,86 @@ object MigrationValidationJob {
   /** Stacked named checks, one row per check (U2 union-all of counts —
     * sql/migration_queries.sql:8-45 stacks per-table results the same way).
     *
-    * Scan discipline: every row-level check is rewritten over shared
-    * KEY-GROUPED frames — `lineitem.groupBy(l_orderkey)` feeds both the
-    * multi-line check (keys with count > 1) and the orphan check, the
-    * PK-count frames feed both the dup checks and the orphan probes, and
-    * `orders.groupBy(o_custkey)` feeds the orphan-order and null-key
-    * checks. Orphans are LEFT JOIN + IS NULL over the grouped frames with
-    * SUM of per-key counts (identical to counting orphan rows) — written
-    * as an outer join deliberately: an anti-join would be pushed BELOW the
-    * aggregate by PushDownLeftSemiAntiJoin, splitting the shared subtree
-    * back into one scan per check, while the outer join keeps the grouped
-    * subtrees byte-identical so ReuseExchange runs each fact scan ONCE
-    * (lineitem: 1 scan; orders: 2 — the two distinct grouping keys;
-    * pinned in ScaleShapeSpec). The join shuffles (key, count) rows,
-    * never raw fact rows. */
+    * Scale shape (rewritten after the ×30→×60 rung audit): each fact
+    * table is key-grouped ONCE, and each PAIR of grouped frames meets in
+    * one FULL OUTER join from which every check over that pair reads as a
+    * conditional aggregate of the SAME single pass —
+    *
+    *   custKeys ⟗ orderCust  → dup_user_pk (cust count > 1),
+    *                           orphan_orders (order side present, cust
+    *                           side absent — includes the null-custkey
+    *                           group, which never joins),
+    *                           null_user_orders (order side present with
+    *                           a null key);
+    *   orderKeys ⟗ lineGroups → dup_order_pk, multi_line_orders,
+    *                           orphan_lineitems (same construction).
+    *
+    * The earlier form shared the grouped frames between a dup check and
+    * an orphan probe and leaned on ReuseExchange to run each scan once —
+    * the plan SHOWED one scan per table, but at runtime AQE re-executed
+    * every shared subtree (each table scanned ~2×, each groupBy shuffled
+    * 2×: ShuffleAudit input_records 45.45M at ×30 vs 22.95M of table
+    * rows), and the ×30→×60 A/B measured ×2.7 shuffle records for ×2 rows
+    * with the orphan probe's broadcast flipping to SMJ as the key set
+    * outgrew the threshold. The full-outer form needs no reuse to be
+    * minimal: both join sides are already hash-partitioned on their group
+    * keys (= the join keys), so the join adds ZERO exchanges, nothing is
+    * broadcast at any scale, and the six checks cost exactly four
+    * key-grouped shuffles of (key, count) rows — never raw fact rows.
+    * ScaleShapeSpec pins the scan counts; the runtime record economy is
+    * in the ShuffleAudit ledger. */
   def checks(spark: SparkSession, dir: String): DataFrame = {
     val customer = Tables.customer(spark, dir)
     val orders   = Tables.orders(spark, dir)
     val lineitem = Tables.lineitem(spark, dir)
 
-    def cnt(name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("violation_count"))
-        .select(lit(name).as("check_name"), col("violation_count"))
-    // row-weighted check over a grouped frame: SUM of per-key counts ==
-    // count of underlying rows (empty → 0, matching count(*) over empty)
-    def summed(name: String, df: DataFrame): DataFrame =
-      df.agg(coalesce(sum(col("c")), lit(0L)).as("violation_count"))
-        .select(lit(name).as("check_name"), col("violation_count"))
-
     // PK-grouped frames filter null keys explicitly: PKs are NOT NULL by
     // the reference's DDL (postgresql_schema.sql), so this is semantics-
-    // faithful — and it keeps each frame byte-identical to its orphan
-    // probe's subtree (the left join INFERS IsNotNull on the probe key;
-    // without the matching filter the shared scan splits per check)
+    // faithful; FK-grouped frames keep their null groups (the null-key
+    // and orphan checks read them off the outer join's unmatched side)
     val custKeys = customer.filter(col("c_custkey").isNotNull)
-      .groupBy(col("c_custkey")).agg(count(lit(1)).as("c"))
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("cust_c"))
     val orderKeys = orders.filter(col("o_orderkey").isNotNull)
-      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
-    val lineGroups = lineitem.groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
-    val orderCust  = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("ord_c"))
+    val lineGroups = lineitem.groupBy(col("l_orderkey")).agg(count(lit(1)).as("line_c"))
+    val orderCust  = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("ocust_c"))
 
-    Seq(
-      cnt("dup_user_pk", custKeys.filter(col("c") > 1)),
-      cnt("dup_order_pk", orderKeys.filter(col("c") > 1)),
-      cnt("multi_line_orders", lineGroups.filter(col("c") > 1)),
-      // the probe sides filter on `c > 0` (vacuously true for a count) so
-      // column pruning can't strip the count from the probe's aggregate —
-      // a pruned probe subtree would no longer match the dup-check's frame
-      // and the shared scan would split back into one per check
-      summed("orphan_orders",
-        orderCust.join(custKeys.filter(col("c") > 0).select(col("c_custkey")),
-            col("o_custkey") === col("c_custkey"), "left")
-          .filter(col("c_custkey").isNull)),
-      summed("orphan_lineitems",
-        lineGroups.join(orderKeys.filter(col("c") > 0).select(col("o_orderkey")),
-            col("l_orderkey") === col("o_orderkey"), "left")
-          .filter(col("o_orderkey").isNull)),
-      summed("null_user_orders", orderCust.filter(col("o_custkey").isNull)),
-    ).reduce(_ unionByName _)
+    // side-presence tests ride the count columns: count(1) is never null,
+    // so a null cust_c/ocust_c/... means that side had no matching row
+    val userChecks = custKeys
+      .join(orderCust, col("c_custkey") === col("o_custkey"), "full_outer")
+      .agg(
+        countIf(col("cust_c") > 1).as("dup_user_pk"),
+        coalesce(sum(when(col("ocust_c").isNotNull && col("c_custkey").isNull,
+          col("ocust_c"))), lit(0L)).as("orphan_orders"),
+        coalesce(sum(when(col("ocust_c").isNotNull && col("o_custkey").isNull,
+          col("ocust_c"))), lit(0L)).as("null_user_orders"))
+
+    val orderChecks = orderKeys
+      .join(lineGroups, col("o_orderkey") === col("l_orderkey"), "full_outer")
+      .agg(
+        countIf(col("ord_c") > 1).as("dup_order_pk"),
+        countIf(col("line_c") > 1).as("multi_line_orders"),
+        coalesce(sum(when(col("line_c").isNotNull && col("o_orderkey").isNull,
+          col("line_c"))), lit(0L)).as("orphan_lineitems"))
+
+    // two 1-row aggregates → the six named rows (the cross join is the
+    // sanctioned single-row-scaffold shape, same as A10's two-pass)
+    userChecks.crossJoin(orderChecks)
+      .select(explode(array(
+        struct(lit("dup_user_pk").as("check_name"),
+          col("dup_user_pk").as("violation_count")),
+        struct(lit("dup_order_pk").as("check_name"),
+          col("dup_order_pk").as("violation_count")),
+        struct(lit("multi_line_orders").as("check_name"),
+          col("multi_line_orders").as("violation_count")),
+        struct(lit("orphan_orders").as("check_name"),
+          col("orphan_orders").as("violation_count")),
+        struct(lit("orphan_lineitems").as("check_name"),
+          col("orphan_lineitems").as("violation_count")),
+        struct(lit("null_user_orders").as("check_name"),
+          col("null_user_orders").as("violation_count")))).as("__r"))
+      .select(col("__r.check_name"), col("__r.violation_count"))
   }
 
   /** Scalar count reconciliation — one row, one count per table

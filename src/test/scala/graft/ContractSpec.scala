@@ -34,7 +34,11 @@ class ContractSpec extends SparkSpec {
       // weighted_sample / vocab_growth / dq_drift broadcast a 1-row
       // grand-total or boundary-array frame into the per-row bucket math —
       // the dq_outliers single-row-stats family
-      "weighted_sample", "vocab_growth", "dq_drift")
+      "weighted_sample", "vocab_growth", "dq_drift",
+      // migration_checks crosses its TWO single-row check aggregates to
+      // stack the six named rows (the r12 full-outer rewrite; 1 row × 1
+      // row — the same sanctioned scaffold)
+      "migration_checks")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.optimizedPlan.toString
       assert(!plan.contains("UnresolvedRelation"), s"$name has unresolved relations")
