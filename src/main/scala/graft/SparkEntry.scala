@@ -52,6 +52,13 @@ object SparkEntry {
     // the 5-way fan: per-CTE day-grained states + the unchanged fan-in
     "risk_features_incremental" -> ((s, dir) =>
       canon(IncrementalRiskFeatures.ladder(s, dir))),
+    // the whole daily pipeline composes: the wide serving view built from
+    // the THREE incremental ladders, against the full-recompute view SQL
+    "feature_view_incremental" -> ((s, dir) =>
+      canon(FeatureViewJob.compute(
+        IncrementalUserFeatures.ladder(s, dir),
+        IncrementalTransactionFeatures.ladder(s, dir),
+        IncrementalRiskFeatures.ladder(s, dir)))),
     "feature_view"         -> ((s, dir) => canon(FeatureViewJob(s, dir))),
     "migration_checks"     -> ((s, dir) => MigrationValidationJob.checks(s, dir)),
     "count_reconciliation" -> ((s, dir) => MigrationValidationJob.countReconciliation(s, dir)),
@@ -232,6 +239,7 @@ object SparkEntry {
     "transaction_features_incremental" -> OracleSql.transactionFeatures(),
     "user_features_incremental" -> OracleSql.userFeatures(),
     "risk_features_incremental" -> OracleSql.riskFeatures(),
+    "feature_view_incremental" -> OracleSql.featureView(),
     "user_features"        -> OracleSql.userFeatures(),
     "risk_features"        -> OracleSql.riskFeatures(),
     "feature_view"         -> OracleSql.featureView(),

@@ -113,6 +113,19 @@ class IncrementalFeaturesSpec extends SparkSpec {
     }
   }
 
+  test("the wide view composed from the three ladders == the full-recompute view") {
+    val full = jobs.FeatureViewJob.compute(
+      jobs.UserFeaturesJob(spark, sf0001),
+      jobs.TransactionFeaturesJob(spark, sf0001),
+      jobs.RiskFeaturesJob(spark, sf0001))
+    val inc = jobs.FeatureViewJob.compute(
+      jobs.IncrementalUserFeatures.ladder(spark, sf0001),
+      jobs.IncrementalTransactionFeatures.ladder(spark, sf0001),
+      jobs.IncrementalRiskFeatures.ladder(spark, sf0001))
+    assert(rows(inc) == rows(full),
+      "the daily pipeline must compose incrementally end-to-end")
+  }
+
   test("non-midnight anchors are rejected (day-grain exactness precondition)") {
     val e = intercept[IllegalArgumentException] {
       Inc.featuresFromState(
