@@ -133,6 +133,7 @@ object SparkEntry {
     "mixture_sample"       -> ((s, dir) => ext.Corpus.mixtureSample(
       core.Tables.documents(s, dir), MixBudgets.bySource, MixBudgets.default)),
     "span_dedup"           -> ((s, dir) => ext.Dedup.spanDedup(core.Tables.documents(s, dir), 16)),
+    "substring_dedup"      -> ((s, dir) => ext.Dedup.substringDedup(core.Tables.documents(s, dir), 12)),
     "pii_scan"             -> ((s, dir) => ext.TextAnalysis.piiScan(core.Tables.documents(s, dir))),
     "interval_agg"         -> ((s, dir) => StreamAnalogJobs.intervalAgg(s, dir)),
     "incremental_user_stats" -> ((s, dir) =>
@@ -178,6 +179,9 @@ object SparkEntry {
     "dedup_incremental"    -> ((s, dir) => ext.Dedup.incrementalPairTable(s, dir, 0.1)),
     "mixture_weights"      -> ((s, dir) => ext.Corpus.mixtureWeights(
       core.Tables.documents(s, dir))),
+    // target domain = English docs (DSIR's "formal text" stand-in here)
+    "dsir_weights"         -> ((s, dir) => ext.Corpus.dsirWeights(
+      core.Tables.documents(s, dir), col("lang") === "en")),
     "chunk_windows"        -> ((s, dir) => ext.Corpus.chunkWindows(
       core.Tables.documents(s, dir), 64, 48)),
     "curation_gate"        -> ((s, dir) => ext.TextAnalysis.curationGateCached(s, dir)),
@@ -307,6 +311,7 @@ object SparkEntry {
     "mixture_sample"       -> OracleSql.mixtureSample(
       MixBudgets.bySource.toSeq.sortBy(_._1), MixBudgets.default),
     "span_dedup"           -> OracleSql.spanDedup(16),
+    "substring_dedup"      -> OracleSql.substringDedup(12),
     "pii_scan"             -> OracleSql.piiScan,
     "interval_agg"         -> OracleSql.intervalAgg,
     "incremental_user_stats" -> OracleSql.incrementalUserStats,
@@ -336,6 +341,7 @@ object SparkEntry {
     "quality_tiers"        -> OracleSql.qualityTiers(10),
     "dedup_incremental"    -> OracleSql.incrementalPairs(0.1),
     "mixture_weights"      -> OracleSql.mixtureWeights,
+    "dsir_weights"         -> OracleSql.dsirWeights("lang = 'en'"),
     "chunk_windows"        -> OracleSql.chunkWindows(64, 48),
     "curation_gate"        -> OracleSql.curationGate(10, 1000, 0.5, 0.2, 20, 0.2),
     "source_quota"         -> OracleSql.sourceQuota(

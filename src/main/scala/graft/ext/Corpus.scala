@@ -507,6 +507,83 @@ object Corpus {
         col("c.fp").as("chunk_fp"))
   }
 
+  /** DSIR-style importance weights — hashed-n-gram importance sampling for
+    * data selection (Xie et al. 2023, "Data Selection for Language Models
+    * via Importance Resampling"): estimate a target-domain and a raw-corpus
+    * distribution over HASHED bigram features, then score every document by
+    * how much more target-like than raw-like its features are. The paper's
+    * per-document log-likelihood ratio Σ log(p_t(b)/p_r(b)) is replaced by
+    * the RATIONAL mass-ratio surrogate
+    *
+    *   score = [Σ cnt·(t(b)+1)] · (r_tot+B) / ([Σ cnt·(r(b)+1)] · (t_tot+B))
+    *
+    * — add-one-smoothed expected target mass over expected raw mass, the
+    * same libm-free substitution this codebase makes for log-idf (tfidf)
+    * and pow (mixtureWeights): logs are transcendentals whose last ulp
+    * differs across engines, while the surrogate is two exact BIGINT sums
+    * and one fixed-shape double expression (every multiply/divide correctly
+    * rounded, association order pinned by the expression tree). score ≈ 1
+    * reads "as target-like as the average raw bigram"; resampling keeps
+    * the high-score tail.
+    *
+    * Features are B=256 buckets from the first two hex nibbles of
+    * md5(bigram) — engine-portable (no murmur), collision-folding exactly
+    * like the paper's hashed generative model. Raw occurrences (NOT
+    * distinct grams) are counted, per the paper's bag-of-ngrams model.
+    * Documents under 2 tokens have no feature and are omitted.
+    *
+    * Scale shape: one (doc, bucket) combinable groupBy bounds the shuffle
+    * at 256 rows/doc regardless of document length; the global bucket
+    * table (≤256 rows) and the 1-row totals ride broadcasts; the final
+    * per-doc rollup is the only other exchange. The feature frame feeds
+    * both the global estimate and the scoring join — the same 2-scan
+    * budget as the sibling two-phase selectors (pinned in ScanAuditSpec);
+    * a production pipeline materializes the (doc, bucket) table once. */
+  def dsirWeights(docs: DataFrame, isTarget: Column): DataFrame = {
+    val B = 256
+    // hex nibble value without conv()/parsing: md5 hex is lowercase in
+    // both engines, so digit/letter split at '9' covers the alphabet
+    def hexv(c: Column): Column =
+      when(c <= "9", ascii(c) - 48).otherwise(ascii(c) - 87)
+    val bg = docs
+      .withColumn("__toks", split(col("text"), " "))
+      .filter(size(col("__toks")) >= 2)
+      .select(col("doc_id"), isTarget.as("is_target"),
+        explode(transform(sequence(lit(0), size(col("__toks")) - 2),
+          i => concat_ws(" ",
+            element_at(col("__toks"), i + 1),
+            element_at(col("__toks"), i + 2)))).as("bigram"))
+      .withColumn("__h", md5(col("bigram")))
+      .select(col("doc_id"), col("is_target"),
+        (hexv(substring(col("__h"), 1, 1)) * 16 +
+          hexv(substring(col("__h"), 2, 1))).as("bucket"))
+    val perDoc = bg.groupBy("doc_id", "is_target", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+    // totals ride the ≤256-row bucket table as a whole-frame window (a
+    // single-partition sort of 256 rows) — a separate .agg would re-execute
+    // the corpus lineage a third time (the A10/ReusedExchange lesson)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val global = perDoc.groupBy("bucket").agg(
+      sum(col("cnt")).as("r_cnt"),
+      sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("t_cnt"))
+      .withColumn("r_tot", sum(col("r_cnt")).over(wAll))
+      .withColumn("t_tot", sum(col("t_cnt")).over(wAll))
+    perDoc.join(broadcast(global), Seq("bucket"))
+      .groupBy("doc_id", "is_target", "r_tot", "t_tot")
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * (col("t_cnt") + 1L)).as("t_mass"),
+        sum(col("cnt") * (col("r_cnt") + 1L)).as("r_mass"))
+      .select(col("doc_id"), col("is_target"), col("n_bigrams"),
+        col("t_mass"), col("r_mass"),
+        graft.ops.Ops.rnd(
+          (col("t_mass").cast("double") * (col("r_tot") + B).cast("double")) /
+            (col("r_mass").cast("double") * (col("t_tot") + B).cast("double")),
+          4).as("dsir_score"))
+  }
+
   /** Temperature-smoothed source mixture weights — the multilingual-
     * pretraining reweighting (the mBERT/XLM exponent trick): sampling a
     * source ∝ tokens^α with α < 1 upweights small sources so the head

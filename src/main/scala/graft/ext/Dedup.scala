@@ -545,6 +545,77 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Cross-document exact-substring dedup — the ExactSubstr rule of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better") re-expressed for a distributed engine: any `k`-token span
+    * that occurs more than once ANYWHERE in the corpus (within or across
+    * documents) is a duplicate, the first occurrence (min (doc_id, pos))
+    * is kept, and every later occurrence is removable. Unlike `spanDedup`
+    * (the C4 fixed-grid rule), windows here OVERLAP at stride 1 — a
+    * repeated passage is caught at every alignment, so runs of duplicate
+    * windows merge into maximal removable spans exactly like the paper's
+    * suffix-array intervals. Emits per-doc accounting a cleaning pass cuts
+    * on: window/dup counts, merged-span count, removable token count and
+    * fraction. Documents shorter than `k` tokens have no window and are
+    * omitted (trivially nothing to remove).
+    *
+    * Scale shape: the suffix array of the paper is a single-machine
+    * construction; the distributed equivalent is hash-grouping the n
+    * overlapping windows (n = corpus tokens, shuffled as 32-char md5 keys —
+    * constant width regardless of k). First-occurrence election is a
+    * map-side-combinable MIN over the packed (doc_id, pos) key, the dup
+    * check joins back on the same hash key, and the span merge is a
+    * per-document streaming interval union: ONE window over doc_id whose
+    * running max of preceding dup-window ends turns each dup row into a
+    * new-span flag plus an uncovered-length contribution (equal-length
+    * intervals sorted by pos can never be fully covered by their
+    * predecessors, so the contribution is exact without clipping). The
+    * final per-doc rollup groups on doc_id and reuses the window's
+    * exchange — three linear shuffles total, no all-pairs stage, no
+    * driver state. */
+  def substringDedup(docs: DataFrame, k: Int = 12): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    val wins = docs
+      .withColumn("__toks", split(col("text"), " "))
+      .filter(size(col("__toks")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("__toks")) - k),
+        i => md5(concat_ws(" ", slice(col("__toks"), i + 1, lit(k)))))))
+      .toDF("doc_id", "pos", "h")
+    // packed key: same (doc_id, pos) total order as spanDedup's — pos is
+    // bounded by document length, far under the 10^6 packing stride
+    val packed = col("doc_id") * 1000000L + col("pos")
+    val first = wins.groupBy("h").agg(min(packed).as("first_key"))
+    val flagged = wins.join(first, Seq("h"))
+      .withColumn("__dup", packed > col("first_key"))
+      .withColumn("__end", col("pos") + k)
+    // streaming interval union over this doc's PRECEDING dup windows:
+    // max ignores the nulls non-dup rows contribute
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    flagged
+      // materialized once: two inline .over() copies would plan two
+      // identical window expressions
+      .withColumn("__prev_end", max(when(col("__dup"), col("__end"))).over(w))
+      .withColumn("__new_span",
+        col("__dup") && (col("__prev_end").isNull || col("pos") > col("__prev_end")))
+      .withColumn("__contrib", when(col("__dup"),
+        col("__end") - greatest(coalesce(col("__prev_end"), col("pos")), col("pos")))
+        .otherwise(0L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("dup_windows"),
+        sum(when(col("__new_span"), 1L).otherwise(0L)).as("dup_spans"),
+        sum(col("__contrib")).as("removable_tokens"))
+      .select(col("doc_id"), col("n_windows"), col("dup_windows"),
+        col("dup_spans"), col("removable_tokens"),
+        // n_tokens = n_windows + k - 1 for every doc that has a window,
+        // so the fraction needs no second corpus scan
+        graft.ops.Ops.rnd(col("removable_tokens").cast("double") /
+          (col("n_windows") + (k - 1)).cast("double"), 4).as("removable_frac"))
+  }
+
   /** 32-bit SimHash: bit j votes with the high bit of nibble j of each
     * token's md5; majority sign wins. Emitted as a 32-char bit string (no
     * cross-engine integer-parsing hazards). */

@@ -1259,6 +1259,34 @@ object OracleSql {
        |  ${rnd("CAST(SUM(dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 4)} AS dup_frac
        |FROM j GROUP BY doc_id""".stripMargin
 
+  /** Cross-document exact-substring dedup — mirrors ext/Dedup.substringDedup
+    * (overlapping stride-1 windows, first occurrence by packed (doc_id, pos)
+    * key, per-doc streaming interval union via the preceding-dup-ends
+    * running max). SUMs cast to BIGINT (DuckDB widens to HUGEINT). */
+  def substringDedup(k: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |e AS (SELECT doc_id, i AS pos, md5(array_to_string(toks[i+1 : i+$k], ' ')) AS h
+       |  FROM t, unnest(generate_series(0, len(toks) - $k)) AS u(i)
+       |  WHERE len(toks) >= $k),
+       |f AS (SELECT h, MIN(doc_id * 1000000 + pos) AS first_key FROM e GROUP BY h),
+       |j AS (SELECT e.doc_id, e.pos, e.pos + $k AS e_end,
+       |    CASE WHEN e.doc_id * 1000000 + e.pos > f.first_key THEN 1 ELSE 0 END AS dup
+       |  FROM e JOIN f ON e.h = f.h),
+       |x AS (SELECT doc_id, pos, e_end, dup,
+       |    MAX(CASE WHEN dup = 1 THEN e_end END) OVER (PARTITION BY doc_id
+       |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM j)
+       |SELECT doc_id, COUNT(*) AS n_windows,
+       |  CAST(SUM(dup) AS BIGINT) AS dup_windows,
+       |  CAST(SUM(CASE WHEN dup = 1 AND (prev_end IS NULL OR pos > prev_end)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+       |  CAST(SUM(CASE WHEN dup = 1
+       |    THEN e_end - GREATEST(COALESCE(prev_end, pos), pos) ELSE 0 END) AS BIGINT)
+       |    AS removable_tokens,
+       |  ${rnd(s"CAST(SUM(CASE WHEN dup = 1 THEN e_end - GREATEST(COALESCE(prev_end, pos), pos) ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) + $k - 1 AS DOUBLE)", 4)}
+       |    AS removable_frac
+       |FROM x GROUP BY doc_id""".stripMargin
+
   /** PII scan + redaction — mirrors ext/TextAnalysis.piiScan, including the
     * deterministic augmentation. Patterns live in the RE2∩Java subset so
     * DuckDB (RE2) and Spark (java.util.regex) match byte-identically; the
@@ -1982,6 +2010,39 @@ object OracleSql {
        |  md5(array_to_string(
        |    t[chunk_idx * $stride + 1 : chunk_idx * $stride + $chunk], ' ')) AS chunk_fp
        |FROM g""".stripMargin
+
+  /** DSIR importance weights — mirrors ext/Corpus.dsirWeights term for
+    * term: 256 hash buckets from the first two md5 hex nibbles (ascii
+    * arithmetic, no conv()), raw-occurrence bigram counts, add-one-smoothed
+    * integer masses, and the SAME fixed-shape double expression for the
+    * score (association order matters for cross-engine bit-equality).
+    * SUMs cast to BIGINT (DuckDB widens to HUGEINT). */
+  def dsirWeights(targetPred: String): String = {
+    def nib(i: Int) =
+      s"""(CASE WHEN substr(h, $i, 1) <= '9' THEN ascii(substr(h, $i, 1)) - 48
+         | ELSE ascii(substr(h, $i, 1)) - 87 END)""".stripMargin.replace("\n", "")
+    s"""WITH t AS (SELECT doc_id, ($targetPred) AS is_target,
+       |    string_split(text, ' ') AS toks FROM documents),
+       |bg AS (SELECT doc_id, is_target,
+       |    md5(toks[i+1] || ' ' || toks[i+2]) AS h
+       |  FROM t, unnest(generate_series(0, len(toks) - 2)) AS u(i)
+       |  WHERE len(toks) >= 2),
+       |pd AS (SELECT doc_id, is_target, ${nib(1)} * 16 + ${nib(2)} AS bucket,
+       |    COUNT(*) AS cnt FROM bg GROUP BY 1, 2, 3),
+       |g AS (SELECT bucket, SUM(cnt) AS r_cnt,
+       |    SUM(CASE WHEN is_target THEN cnt ELSE 0 END) AS t_cnt
+       |  FROM pd GROUP BY 1),
+       |tot AS (SELECT SUM(r_cnt) AS r_tot, SUM(t_cnt) AS t_tot FROM g),
+       |agg AS (SELECT doc_id, is_target, r_tot, t_tot,
+       |    CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(cnt * (t_cnt + 1)) AS BIGINT) AS t_mass,
+       |    CAST(SUM(cnt * (r_cnt + 1)) AS BIGINT) AS r_mass
+       |  FROM pd JOIN g USING (bucket), tot
+       |  GROUP BY doc_id, is_target, r_tot, t_tot)
+       |SELECT doc_id, is_target, n_bigrams, t_mass, r_mass,
+       |  ${rnd("(CAST(t_mass AS DOUBLE) * CAST(r_tot + 256 AS DOUBLE)) / (CAST(r_mass AS DOUBLE) * CAST(t_tot + 256 AS DOUBLE))", 4)} AS dsir_score
+       |FROM agg""".stripMargin
+  }
 
   /** Temperature-smoothed mixture weights — mirrors ext/Corpus.
     * mixtureWeights (α=1/2 via correctly-rounded sqrt; Σ√tokens as a

@@ -170,6 +170,13 @@ class ScanAuditSpec extends SparkSpec {
     assert(recordsOf(ext.Corpus.packSequences(docs, 512)) == 2 * docsRows)
     assert(recordsOf(ext.Corpus.mixtureSample(docs, Map("src0" -> 50L), 100L)) == 2 * docsRows)
     assert(recordsOf(ext.Dedup.spanDedup(docs, 3)) == 2 * docsRows)
+    // substring dedup shares spanDedup's shape: the window frame feeds the
+    // first-occurrence groupBy AND the join-back probe (two corpus scans)
+    assert(recordsOf(ext.Dedup.substringDedup(docs, 3)) == 2 * docsRows)
+    // dsir: the (doc, bucket) feature frame feeds the global bucket
+    // estimate AND the scoring join — the same two-phase 2-scan budget
+    assert(recordsOf(ext.Corpus.dsirWeights(docs,
+      org.apache.spark.sql.functions.col("lang") === "en")) == 2 * docsRows)
     assert(recordsOf(ext.Corpus.sourceQuota(docs, Map("src0" -> 50L), 100L)) == 2 * docsRows)
     assert(recordsOf(ext.Corpus.shardManifest(docs, 100)) == 2 * docsRows)
     assert(recordsOf(ext.Corpus.chunkWindows(docs, 128, 32)) == docsRows)

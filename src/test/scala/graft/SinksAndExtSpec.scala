@@ -36,6 +36,66 @@ class SinksAndExtSpec extends SparkSpec {
       s"LSH candidates must cover verified pairs; missing ${verified -- candidates}")
   }
 
+  test("substring dedup: overlapping dup windows merge into maximal removable spans") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // owns every first occurrence
+      (2L, "x y c d e f g z"),     // shares the 5-token passage "c d e f g"
+      (3L, "p q r s p q r s"),     // WITHIN-doc repeat of "p q r s"
+      (4L, "u v w")                // shorter than k: no window, omitted
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(!out.contains(4L), "sub-k docs have no window row")
+    assert(out(1L) == ((7L, 0L, 0L, 0L, 0.0)), s"doc1: ${out(1L)}")
+    // doc2's dup windows at pos 2 and 3 merge: [2,6) U [3,7) = [2,7) —
+    // ONE span of 5 removable tokens out of 8
+    assert(out(2L) == ((5L, 2L, 1L, 5L, 0.625)), s"doc2: ${out(2L)}")
+    // doc3: window at pos 4 repeats pos 0's "p q r s" — 4 of 8 removable
+    assert(out(3L) == ((5L, 1L, 1L, 4L, 0.5)), s"doc3: ${out(3L)}")
+  }
+
+  test("dsir weights match an independent reimplementation; target clones score target-like") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat", true),
+      (2L, "the dog sat on the rug", true),
+      (3L, "zx qq ww ee rr tt yy uu", false),
+      (4L, "the cat sat on the mat", false), // clone of target doc 1
+      (5L, "solo", false))                   // <2 tokens: no feature, omitted
+    val docs = corpus.toDF("doc_id", "text", "tgt")
+    val out = graft.ext.Corpus.dsirWeights(docs, col("tgt")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+
+    // independent model: same buckets (first two md5 hex nibbles), raw
+    // occurrence counts, add-one masses, one fixed-shape double expression
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucketOf(bg: String) = Integer.parseInt(md5hex(bg).substring(0, 2), 16)
+    val feats = corpus.collect { case (id, text, tgt) if text.split(" ").length >= 2 =>
+      val cnts = text.split(" ").sliding(2).map(_.mkString(" "))
+        .toSeq.groupBy(bucketOf).map { case (b, g) => b -> g.size.toLong }
+      (id, tgt, cnts)
+    }
+    val rCnt = feats.flatMap(_._3).groupBy(_._1).map { case (b, g) => b -> g.map(_._2).sum }
+    val tCnt = feats.filter(_._2).flatMap(_._3).groupBy(_._1)
+      .map { case (b, g) => b -> g.map(_._2).sum }.withDefaultValue(0L)
+    val (rTot, tTot) = (rCnt.values.sum, feats.filter(_._2).flatMap(_._3.values).sum)
+    feats.foreach { case (id, tgt, cnts) =>
+      val n = cnts.values.sum
+      val tMass = cnts.map { case (b, c) => c * (tCnt(b) + 1) }.sum
+      val rMass = cnts.map { case (b, c) => c * (rCnt(b) + 1) }.sum
+      val score = math.floor((tMass.toDouble * (rTot + 256).toDouble) /
+        (rMass.toDouble * (tTot + 256).toDouble) * 10000.0 + 0.5) / 10000.0
+      assert(out(id) == ((tgt, n, tMass, rMass, score)), s"doc $id: ${out(id)}")
+    }
+    assert(!out.contains(5L), "featureless docs are omitted")
+    assert(out(4L)._5 == out(1L)._5, "a clone of a target doc carries its exact score")
+    assert(out(3L)._5 < out(1L)._5, "out-of-domain junk scores below target text")
+  }
+
   test("simhash signatures of near-dup pairs are close in Hamming distance") {
     val docs = graft.core.Tables.documents(spark, sf0001)
     val pairs = Dedup.jaccardPairs(docs, 0.5).collect().map(r => (r.getLong(0), r.getLong(1)))
