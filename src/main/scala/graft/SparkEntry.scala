@@ -179,9 +179,11 @@ object SparkEntry {
     "dedup_incremental"    -> ((s, dir) => ext.Dedup.incrementalPairTable(s, dir, 0.1)),
     "mixture_weights"      -> ((s, dir) => ext.Corpus.mixtureWeights(
       core.Tables.documents(s, dir))),
-    // target domain = English docs (DSIR's "formal text" stand-in here)
-    "dsir_weights"         -> ((s, dir) => ext.Corpus.dsirWeights(
-      core.Tables.documents(s, dir), col("lang") === "en")),
+    // target domain = English docs (DSIR's "formal text" stand-in here);
+    // the cached weights table feeds both the listing and the resampler
+    "dsir_weights"         -> ((s, dir) => ext.Corpus.dsirWeightsCached(s, dir)),
+    "dsir_resample"        -> ((s, dir) => ext.Corpus.dsirResample(
+      ext.Corpus.dsirWeightsCached(s, dir), 100)),
     "chunk_windows"        -> ((s, dir) => ext.Corpus.chunkWindows(
       core.Tables.documents(s, dir), 64, 48)),
     "curation_gate"        -> ((s, dir) => ext.TextAnalysis.curationGateCached(s, dir)),
@@ -342,6 +344,7 @@ object SparkEntry {
     "dedup_incremental"    -> OracleSql.incrementalPairs(0.1),
     "mixture_weights"      -> OracleSql.mixtureWeights,
     "dsir_weights"         -> OracleSql.dsirWeights("lang = 'en'"),
+    "dsir_resample"        -> OracleSql.dsirResample("lang = 'en'", 100),
     "chunk_windows"        -> OracleSql.chunkWindows(64, 48),
     "curation_gate"        -> OracleSql.curationGate(10, 1000, 0.5, 0.2, 20, 0.2),
     "source_quota"         -> OracleSql.sourceQuota(

@@ -356,16 +356,29 @@ object Corpus {
     * spine-first — all floor at 2; ScanAuditSpec pins it so a regression
     * to 3 or an upstream Spark fix to 1 both surface). */
   def weightedSample(docs: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // tokenize once; everything after the repartition carries only
     // (doc_id, source, n_tokens, __h, __chunk) — never the text
     val base = docs.select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    systematicPicks(base, "n_tokens", k)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("n_picks"))
+  }
+
+  /** The chunked two-phase systematic span sampler behind weightedSample
+    * and dsirResample: deterministic unit-hash admission order, exact
+    * integer pick spans ((lo+w)·k DIV total − lo·k DIV total), prefix sums
+    * decomposed per 64-way hash chunk so no global sort or rank window
+    * ever sees the full frame. `base` must carry doc_id + `weightCol`;
+    * other columns ride along. Rows with zero weight can never be picked
+    * and are filtered with the rest of the n_picks = 0 mass. */
+  private def systematicPicks(base0: DataFrame, weightCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = base0
       .withColumn("__h", unitHash(col("doc_id")))
       .withColumn("__chunk", floor(col("__h") * 64).cast("long"))
       .repartition(col("__chunk"))
     val offsets = base.groupBy("__chunk")
-      .agg(sum(col("n_tokens")).as("__chunk_tokens"))
+      .agg(sum(col(weightCol)).as("__chunk_tokens"))
       .withColumn("__chunk_offset",
         coalesce(sum(col("__chunk_tokens"))
           .over(Window.orderBy("__chunk")
@@ -377,13 +390,43 @@ object Corpus {
     val wLocal = Window.partitionBy("__chunk").orderBy(col("__h"), col("doc_id"))
     base.join(broadcast(offsets), Seq("__chunk"))
       .withColumn("__lo",
-        col("__chunk_offset") + coalesce(sum(col("n_tokens"))
+        col("__chunk_offset") + coalesce(sum(col(weightCol))
           .over(wLocal.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("n_picks",
-        expr(s"((__lo + n_tokens) * $k) DIV __w_total - (__lo * $k) DIV __w_total"))
+        expr(s"((__lo + $weightCol) * $k) DIV __w_total - (__lo * $k) DIV __w_total"))
       .filter(col("n_picks") > 0)
-      .select(col("doc_id"), col("source"), col("n_tokens"), col("n_picks"))
+      .drop("__h", "__chunk", "__chunk_offset", "__w_total", "__lo")
   }
+
+  /** The resampling half of DSIR: systematic sampling ∝ importance weight
+    * over the `dsirWeights` output (the paper resamples k documents with
+    * probability proportional to the importance ratio; the systematic
+    * sampler is this codebase's deterministic, engine-portable stand-in
+    * for Gumbel draws — same machinery as weightedSample). The score is
+    * quantized to an integer weight at its own 4-decimal rounding grid
+    * (floor(score·10⁴ + 0.5) — exact: the score is already a 4-decimal
+    * value, the +0.5/floor just undoes its FP representation error), so
+    * span arithmetic stays in exact BIGINT. Anti-target docs with a
+    * rounded score of 0 get weight 0 and can never be picked.
+    *
+    * Takes the weights frame rather than recomputing it: a production
+    * pipeline materializes weights once and resamples many times (and the
+    * sampler references its input twice — offsets + picks — which would
+    * double the weight computation's corpus scans inline). */
+  def dsirResample(weights: DataFrame, k: Int): DataFrame = {
+    val w = weights
+      .withColumn("w_int",
+        floor(col("dsir_score") * 10000.0 + 0.5).cast("long"))
+      .select(col("doc_id"), col("dsir_score"), col("w_int"))
+    systematicPicks(w, "w_int", k)
+  }
+
+  /** Session-cached DSIR weights over the standard target (English docs) —
+    * the materialize-once artifact both the weights query and the
+    * resampler consume (see dsirResample's scaladoc). */
+  def dsirWeightsCached(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.core.FeatureCache.cached(spark, dir, "dsir_weights")(
+      dsirWeights(graft.core.Tables.documents(spark, dir), col("lang") === "en"))
 
   /** Quantile normalization — map each value to its mid-rank corpus
     * quantile in [0, 1], the rank-based feature scaling that makes a

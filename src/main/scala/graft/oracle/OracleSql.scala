@@ -2044,6 +2044,23 @@ object OracleSql {
        |FROM agg""".stripMargin
   }
 
+  /** DSIR resampling — mirrors ext/Corpus.dsirResample: the dsirWeights
+    * output quantized to an integer weight (floor(score·10⁴+0.5)), then
+    * the SAME systematic span sampler as weighted_sample (global cumsum
+    * over (unit_hash, doc_id) order ≡ the engine's chunked two-phase
+    * prefix, the sourceQuota/weightedSample equivalence). */
+  def dsirResample(targetPred: String, k: Int): String =
+    s"""WITH d AS (SELECT * FROM (${dsirWeights(targetPred)}) dw),
+       |w0 AS (SELECT doc_id, dsir_score,
+       |    CAST(floor(dsir_score * 10000.0 + 0.5) AS BIGINT) AS w_int FROM d),
+       |${unitHashCtes(", dsir_score, w_int", "w0", "doc_id")},
+       |c AS (SELECT *, SUM(w_int) OVER (ORDER BY unit_hash, doc_id) AS hi FROM u),
+       |t AS (SELECT SUM(w_int) AS wt FROM w0)
+       |SELECT doc_id, dsir_score, w_int,
+       |  CAST((hi * $k) // wt - ((hi - w_int) * $k) // wt AS BIGINT) AS n_picks
+       |FROM c, t
+       |WHERE (hi * $k) // wt > ((hi - w_int) * $k) // wt""".stripMargin
+
   /** Temperature-smoothed mixture weights — mirrors ext/Corpus.
     * mixtureWeights (α=1/2 via correctly-rounded sqrt; Σ√tokens as a
     * DECIMAL sum; boost from the rounded shares; SUMs pinned to BIGINT). */

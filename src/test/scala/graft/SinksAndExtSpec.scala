@@ -96,6 +96,37 @@ class SinksAndExtSpec extends SparkSpec {
     assert(out(3L)._5 < out(1L)._5, "out-of-domain junk scores below target text")
   }
 
+  test("dsir resample: exact systematic spans in unit-hash order, zero weights never picked") {
+    val weights = Seq(
+      (1L, 2.5), (2L, 0.0001), (3L, 0.0), (4L, 1.0), (5L, 0.3),
+      (6L, 1.7), (7L, 0.9), (8L, 0.0), (9L, 4.2), (10L, 0.05))
+    val k = 10
+    val out = graft.ext.Corpus.dsirResample(
+      weights.toDF("doc_id", "dsir_score"), k).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+
+    // independent sampler: same Knuth unit hash, global cumsum, same spans
+    def unitHash(id: Long): Double = {
+      val K = 2654435761L
+      val a = ((id % 4294967296L) + 4294967296L) % 4294967296L
+      val h = a / 65536L; val l = a - h * 65536L
+      val mixed = ((h * K) % 65536L) * 65536L + l * K
+      (((mixed % 4294967296L) + 4294967296L) % 4294967296L).toDouble / 4.294967296e9
+    }
+    val wInt = weights.map { case (id, s) => id -> math.floor(s * 10000.0 + 0.5).toLong }
+    val total = wInt.map(_._2).sum
+    var lo = 0L
+    val expected = wInt.sortBy { case (id, _) => (unitHash(id), id) }.flatMap {
+      case (id, w) =>
+        val picks = (lo + w) * k / total - lo * k / total
+        lo += w
+        if (picks > 0) Some(id -> picks) else None
+    }.toMap
+    assert(out == expected, s"got $out expected $expected")
+    assert(out.values.sum == k, "systematic spans partition exactly k picks")
+    assert(!out.contains(3L) && !out.contains(8L), "zero-weight docs never picked")
+  }
+
   test("simhash signatures of near-dup pairs are close in Hamming distance") {
     val docs = graft.core.Tables.documents(spark, sf0001)
     val pairs = Dedup.jaccardPairs(docs, 0.5).collect().map(r => (r.getLong(0), r.getLong(1)))
