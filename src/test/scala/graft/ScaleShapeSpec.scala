@@ -352,6 +352,27 @@ class ScaleShapeSpec extends SparkSpec {
       s"a sort-merge carry join re-exchanges the timeline:\n${plan.take(1500)}")
   }
 
+  test("round-12 ops keep their scale shapes: one interval-union window, broadcast dsir estimates") {
+    val docs = core.Tables.documents(spark, sf0001)
+    // substring_dedup: exactly ONE Window operator (the streaming interval
+    // union) — a second would mean the running-max expression was planned
+    // twice; and no cartesian anywhere
+    val sd = ext.Dedup.substringDedup(docs, 4).queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(sd.split("\n").count(_.contains("Window [")) == 1,
+      s"interval union must be one window:\n${sd.take(1200)}")
+    // dsir: the ≤256-row bucket table must BROADCAST into the scoring
+    // join — an SMJ would shuffle the corpus-sized feature frame on bucket
+    val dw = ext.Corpus.dsirWeights(docs,
+      org.apache.spark.sql.functions.col("lang") === "en")
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(dw.contains("BroadcastHashJoin"),
+      s"bucket estimates must broadcast:\n${dw.take(1200)}")
+    assert(!dw.contains("SortMergeJoin"),
+      s"the feature frame must not shuffle on bucket:\n${dw.take(1200)}")
+    for (p <- Seq(sd, dw)) assert(!p.contains("CartesianProduct"))
+  }
+
   test("group_sample runs as a map-side per-group top-k, not a full group sort") {
     val docs = core.Tables.documents(spark, sf0001)
     val gs = ext.Corpus.groupSample(docs, 10)
