@@ -67,7 +67,9 @@ object Bench {
       () => { graft.ext.TextAnalysis.bigramDfTable(spark, sfDir).count(): Unit },
       () => { graft.ext.Similarity.lshBucketsCached(spark, sfDir).count(): Unit },
       () => { graft.ext.Similarity.cosineNearDupsCached(spark, sfDir, 20).count(): Unit },
-      () => { graft.ext.Similarity.semanticClusterTable(spark, sfDir, 0.2).count(): Unit }
+      () => { graft.ext.Similarity.semanticClusterTable(spark, sfDir, 0.2).count(): Unit },
+      () => { graft.ext.Dedup.substringWindowTable(spark, sfDir, 12).count(): Unit },
+      () => { graft.ext.Corpus.dsirWeightsCached(spark, sfDir).count(): Unit }
     ).foreach(f => try f() catch { case _: Throwable => () })
   }
 

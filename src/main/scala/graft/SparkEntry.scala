@@ -133,7 +133,9 @@ object SparkEntry {
     "mixture_sample"       -> ((s, dir) => ext.Corpus.mixtureSample(
       core.Tables.documents(s, dir), MixBudgets.bySource, MixBudgets.default)),
     "span_dedup"           -> ((s, dir) => ext.Dedup.spanDedup(core.Tables.documents(s, dir), 16)),
-    "substring_dedup"      -> ((s, dir) => ext.Dedup.substringDedup(core.Tables.documents(s, dir), 12)),
+    "substring_dedup"      -> ((s, dir) => ext.Dedup.substringDedup(
+      core.Tables.documents(s, dir), 12,
+      winsPre = Some(ext.Dedup.substringWindowTable(s, dir, 12)))),
     "pii_scan"             -> ((s, dir) => ext.TextAnalysis.piiScan(core.Tables.documents(s, dir))),
     "interval_agg"         -> ((s, dir) => StreamAnalogJobs.intervalAgg(s, dir)),
     "incremental_user_stats" -> ((s, dir) =>

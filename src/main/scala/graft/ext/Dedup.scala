@@ -545,6 +545,27 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** (doc_id, pos, h): every overlapping `k`-token window of every doc of
+    * ≥ k tokens, hashed (md5 of the joined tokens — shuffles at constant
+    * 32-char width). The tokenize + window + hash pass is the expensive
+    * half of substringDedup, and its output is referenced twice there —
+    * factored out so a session (or a pipeline, as a materialized corpus
+    * column) computes it once. */
+  def substringWindows(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .withColumn("__toks", split(col("text"), " "))
+      .filter(size(col("__toks")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("__toks")) - k),
+        i => md5(concat_ws(" ", slice(col("__toks"), i + 1, lit(k)))))))
+      .toDF("doc_id", "pos", "h")
+
+  /** Session-cached window table for the standard k (see substringWindows). */
+  def substringWindowTable(spark: org.apache.spark.sql.SparkSession, dir: String,
+                           k: Int): DataFrame =
+    graft.core.FeatureCache.cached(spark, dir, s"substr_windows_$k")(
+      substringWindows(graft.core.Tables.documents(spark, dir), k))
+
   /** Cross-document exact-substring dedup — the ExactSubstr rule of
     * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
     * Better") re-expressed for a distributed engine: any `k`-token span
@@ -563,8 +584,11 @@ object Dedup {
     * construction; the distributed equivalent is hash-grouping the n
     * overlapping windows (n = corpus tokens, shuffled as 32-char md5 keys —
     * constant width regardless of k). First-occurrence election is a
-    * map-side-combinable MIN over the packed (doc_id, pos) key, the dup
-    * check joins back on the same hash key, and the span merge is a
+    * map-side-combinable MIN over the packed (doc_id, pos) key; only
+    * hashes seen more than once survive to the join-back (a left join
+    * against the small duplicated-hash table — broadcastable, so the
+    * window table shuffles once, for the election, not twice), and the
+    * span merge is a
     * per-document streaming interval union: ONE window over doc_id whose
     * running max of preceding dup-window ends turns each dup row into a
     * new-span flag plus an uncovered-length contribution (equal-length
@@ -573,21 +597,24 @@ object Dedup {
     * final per-doc rollup groups on doc_id and reuses the window's
     * exchange — three linear shuffles total, no all-pairs stage, no
     * driver state. */
-  def substringDedup(docs: DataFrame, k: Int = 12): DataFrame = {
+  def substringDedup(docs: DataFrame, k: Int = 12,
+                     winsPre: Option[DataFrame] = None): DataFrame = {
     require(k >= 2, s"window must span at least 2 tokens, got $k")
-    val wins = docs
-      .withColumn("__toks", split(col("text"), " "))
-      .filter(size(col("__toks")) >= k)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), size(col("__toks")) - k),
-        i => md5(concat_ws(" ", slice(col("__toks"), i + 1, lit(k)))))))
-      .toDF("doc_id", "pos", "h")
+    val wins = winsPre.getOrElse(substringWindows(docs, k))
     // packed key: same (doc_id, pos) total order as spanDedup's — pos is
     // bounded by document length, far under the 10^6 packing stride
     val packed = col("doc_id") * 1000000L + col("pos")
-    val first = wins.groupBy("h").agg(min(packed).as("first_key"))
-    val flagged = wins.join(first, Seq("h"))
-      .withColumn("__dup", packed > col("first_key"))
+    // only hashes seen ≥2× matter to the dup check: filtering the election
+    // table before the join-back shrinks its build side from |distinct
+    // windows| (≈ corpus tokens) to |duplicated windows| — typically a few
+    // percent, so the probe side streams through a broadcast instead of
+    // shuffling the whole window table a second time
+    val first = wins.groupBy("h")
+      .agg(min(packed).as("first_key"), count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select(col("h"), col("first_key"))
+    val flagged = wins.join(first, Seq("h"), "left")
+      .withColumn("__dup", col("first_key").isNotNull && packed > col("first_key"))
       .withColumn("__end", col("pos") + k)
     // streaming interval union over this doc's PRECEDING dup windows:
     // max ignores the nulls non-dup rows contribute

@@ -1268,10 +1268,12 @@ object OracleSql {
        |e AS (SELECT doc_id, i AS pos, md5(array_to_string(toks[i+1 : i+$k], ' ')) AS h
        |  FROM t, unnest(generate_series(0, len(toks) - $k)) AS u(i)
        |  WHERE len(toks) >= $k),
-       |f AS (SELECT h, MIN(doc_id * 1000000 + pos) AS first_key FROM e GROUP BY h),
+       |f AS (SELECT h, MIN(doc_id * 1000000 + pos) AS first_key FROM e
+       |  GROUP BY h HAVING COUNT(*) > 1),
        |j AS (SELECT e.doc_id, e.pos, e.pos + $k AS e_end,
-       |    CASE WHEN e.doc_id * 1000000 + e.pos > f.first_key THEN 1 ELSE 0 END AS dup
-       |  FROM e JOIN f ON e.h = f.h),
+       |    CASE WHEN f.first_key IS NOT NULL
+       |      AND e.doc_id * 1000000 + e.pos > f.first_key THEN 1 ELSE 0 END AS dup
+       |  FROM e LEFT JOIN f ON e.h = f.h),
        |x AS (SELECT doc_id, pos, e_end, dup,
        |    MAX(CASE WHEN dup = 1 THEN e_end END) OVER (PARTITION BY doc_id
        |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end

@@ -170,9 +170,10 @@ class ScanAuditSpec extends SparkSpec {
     assert(recordsOf(ext.Corpus.packSequences(docs, 512)) == 2 * docsRows)
     assert(recordsOf(ext.Corpus.mixtureSample(docs, Map("src0" -> 50L), 100L)) == 2 * docsRows)
     assert(recordsOf(ext.Dedup.spanDedup(docs, 3)) == 2 * docsRows)
-    // substring dedup shares spanDedup's shape: the window frame feeds the
-    // first-occurrence groupBy AND the join-back probe (two corpus scans)
-    assert(recordsOf(ext.Dedup.substringDedup(docs, 3)) == 2 * docsRows)
+    // substring dedup: the window frame feeds the dup-hash election AND
+    // the join-back probe, but the broadcast-left form lets the election's
+    // exchange be reused — ONE physical corpus scan (measured, not 2)
+    assert(recordsOf(ext.Dedup.substringDedup(docs, 3)) == docsRows)
     // dsir: the (doc, bucket) feature frame feeds the global bucket
     // estimate AND the scoring join — the same two-phase 2-scan budget
     assert(recordsOf(ext.Corpus.dsirWeights(docs,
