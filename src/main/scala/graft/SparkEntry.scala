@@ -136,6 +136,9 @@ object SparkEntry {
     "substring_dedup"      -> ((s, dir) => ext.Dedup.substringDedup(
       core.Tables.documents(s, dir), 12,
       winsPre = Some(ext.Dedup.substringWindowTable(s, dir, 12)))),
+    "substring_clean"      -> ((s, dir) => ext.Dedup.substringClean(
+      core.Tables.documents(s, dir), 12,
+      winsPre = Some(ext.Dedup.substringWindowTable(s, dir, 12)))),
     "pii_scan"             -> ((s, dir) => ext.TextAnalysis.piiScan(core.Tables.documents(s, dir))),
     "interval_agg"         -> ((s, dir) => StreamAnalogJobs.intervalAgg(s, dir)),
     "incremental_user_stats" -> ((s, dir) =>
@@ -316,6 +319,7 @@ object SparkEntry {
       MixBudgets.bySource.toSeq.sortBy(_._1), MixBudgets.default),
     "span_dedup"           -> OracleSql.spanDedup(16),
     "substring_dedup"      -> OracleSql.substringDedup(12),
+    "substring_clean"      -> OracleSql.substringClean(12),
     "pii_scan"             -> OracleSql.piiScan,
     "interval_agg"         -> OracleSql.intervalAgg,
     "incremental_user_stats" -> OracleSql.incrementalUserStats,

@@ -566,39 +566,13 @@ object Dedup {
     graft.core.FeatureCache.cached(spark, dir, s"substr_windows_$k")(
       substringWindows(graft.core.Tables.documents(spark, dir), k))
 
-  /** Cross-document exact-substring dedup — the ExactSubstr rule of
-    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
-    * Better") re-expressed for a distributed engine: any `k`-token span
-    * that occurs more than once ANYWHERE in the corpus (within or across
-    * documents) is a duplicate, the first occurrence (min (doc_id, pos))
-    * is kept, and every later occurrence is removable. Unlike `spanDedup`
-    * (the C4 fixed-grid rule), windows here OVERLAP at stride 1 — a
-    * repeated passage is caught at every alignment, so runs of duplicate
-    * windows merge into maximal removable spans exactly like the paper's
-    * suffix-array intervals. Emits per-doc accounting a cleaning pass cuts
-    * on: window/dup counts, merged-span count, removable token count and
-    * fraction. Documents shorter than `k` tokens have no window and are
-    * omitted (trivially nothing to remove).
-    *
-    * Scale shape: the suffix array of the paper is a single-machine
-    * construction; the distributed equivalent is hash-grouping the n
-    * overlapping windows (n = corpus tokens, shuffled as 32-char md5 keys —
-    * constant width regardless of k). First-occurrence election is a
-    * map-side-combinable MIN over the packed (doc_id, pos) key; only
-    * hashes seen more than once survive to the join-back (a left join
-    * against the small duplicated-hash table — broadcastable, so the
-    * window table shuffles once, for the election, not twice), and the
-    * span merge is a
-    * per-document streaming interval union: ONE window over doc_id whose
-    * running max of preceding dup-window ends turns each dup row into a
-    * new-span flag plus an uncovered-length contribution (equal-length
-    * intervals sorted by pos can never be fully covered by their
-    * predecessors, so the contribution is exact without clipping). The
-    * final per-doc rollup groups on doc_id and reuses the window's
-    * exchange — three linear shuffles total, no all-pairs stage, no
-    * driver state. */
-  def substringDedup(docs: DataFrame, k: Int = 12,
-                     winsPre: Option[DataFrame] = None): DataFrame = {
+  /** Shared spine of substringDedup / substringSpans: windows flagged as
+    * duplicates (first-occurrence election over the ≥2× hash table), with
+    * the streaming-interval-union helper columns (__prev_end, __new_span,
+    * __contrib, __end). See substringDedup's scaladoc for the scale
+    * argument. */
+  private def substringFlagged(docs: DataFrame, k: Int,
+                               winsPre: Option[DataFrame]): DataFrame = {
     require(k >= 2, s"window must span at least 2 tokens, got $k")
     val wins = winsPre.getOrElse(substringWindows(docs, k))
     // packed key: same (doc_id, pos) total order as spanDedup's — pos is
@@ -630,6 +604,93 @@ object Dedup {
       .withColumn("__contrib", when(col("__dup"),
         col("__end") - greatest(coalesce(col("__prev_end"), col("pos")), col("pos")))
         .otherwise(0L))
+  }
+
+  /** The merged maximal removable spans themselves — (doc_id, span_start,
+    * span_end), token positions, end exclusive. Same spine as
+    * substringDedup; the group id is the running count of span starts, so
+    * the (doc_id, grp) rollup reuses the doc_id window exchange. */
+  def substringSpans(docs: DataFrame, k: Int = 12,
+                     winsPre: Option[DataFrame] = None): DataFrame = {
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    substringFlagged(docs, k, winsPre)
+      .withColumn("__grp",
+        sum(when(col("__new_span"), 1L).otherwise(0L)).over(wCum))
+      .filter(col("__dup"))
+      .groupBy("doc_id", "__grp")
+      .agg(min(col("pos")).as("span_start"), max(col("__end")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** The cleaning pass the substringDedup accounting exists for: cut every
+    * removable span out of every document and emit the retained text —
+    * ExactSubstr applied, not just reported. Every doc comes back (a doc
+    * with no dup spans keeps its text verbatim; a whole-doc duplicate of
+    * an earlier doc comes back EMPTY — the first occurrence elsewhere
+    * keeps the content, the paper's remove-all-but-one semantics).
+    *
+    * Scale shape: spans aggregate to one array per affected doc (merged
+    * spans are disjoint, few per doc); the corpus joins them on doc_id
+    * (one linear shuffle) and the cut itself is a pure codegen'd
+    * higher-order filter over the token array — no explode of corpus
+    * tokens, no re-tokenize, no driver state. */
+  def substringClean(docs: DataFrame, k: Int = 12,
+                     winsPre: Option[DataFrame] = None): DataFrame = {
+    val spans = substringSpans(docs, k, winsPre)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e")))).as("__spans"))
+    docs
+      .withColumn("__toks", split(col("text"), " "))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("__kept", when(col("__spans").isNull, col("__toks"))
+        .otherwise(filter(col("__toks"), (t, i) =>
+          !exists(col("__spans"), sp =>
+            i >= sp.getField("s") && i < sp.getField("e")))))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__kept")).cast("long").as("kept_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("removed_tokens"),
+        concat_ws(" ", col("__kept")).as("clean_text"))
+  }
+
+  /** Cross-document exact-substring dedup — the ExactSubstr rule of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better") re-expressed for a distributed engine: any `k`-token span
+    * that occurs more than once ANYWHERE in the corpus (within or across
+    * documents) is a duplicate, the first occurrence (min (doc_id, pos))
+    * is kept, and every later occurrence is removable. Unlike `spanDedup`
+    * (the C4 fixed-grid rule), windows here OVERLAP at stride 1 — a
+    * repeated passage is caught at every alignment, so runs of duplicate
+    * windows merge into maximal removable spans exactly like the paper's
+    * suffix-array intervals. Emits per-doc accounting a cleaning pass cuts
+    * on: window/dup counts, merged-span count, removable token count and
+    * fraction. Documents shorter than `k` tokens have no window and are
+    * omitted (trivially nothing to remove).
+    *
+    * Scale shape: the suffix array of the paper is a single-machine
+    * construction; the distributed equivalent is hash-grouping the n
+    * overlapping windows (n = corpus tokens, shuffled as 32-char md5 keys —
+    * constant width regardless of k). First-occurrence election is a
+    * map-side-combinable MIN over the packed (doc_id, pos) key; only
+    * hashes seen more than once survive to the join-back (a left join
+    * against the small duplicated-hash table — broadcastable, so the
+    * window table shuffles once, for the election, not twice), and the
+    * span merge is a
+    * per-document streaming interval union: ONE window over doc_id whose
+    * running max of preceding dup-window ends turns each dup row into a
+    * new-span flag plus an uncovered-length contribution (equal-length
+    * intervals sorted by pos can never be fully covered by their
+    * predecessors, so the contribution is exact without clipping). The
+    * final per-doc rollup groups on doc_id and reuses the window's
+    * exchange — three linear shuffles total, no all-pairs stage, no
+    * driver state. */
+
+  def substringDedup(docs: DataFrame, k: Int = 12,
+                     winsPre: Option[DataFrame] = None): DataFrame =
+    substringFlagged(docs, k, winsPre)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("__dup"), 1L).otherwise(0L)).as("dup_windows"),
@@ -641,7 +702,6 @@ object Dedup {
         // so the fraction needs no second corpus scan
         graft.ops.Ops.rnd(col("removable_tokens").cast("double") /
           (col("n_windows") + (k - 1)).cast("double"), 4).as("removable_frac"))
-  }
 
   /** 32-bit SimHash: bit j votes with the high bit of nibble j of each
     * token's md5; majority sign wins. Emitted as a 32-char bit string (no

@@ -1259,12 +1259,11 @@ object OracleSql {
        |  ${rnd("CAST(SUM(dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 4)} AS dup_frac
        |FROM j GROUP BY doc_id""".stripMargin
 
-  /** Cross-document exact-substring dedup — mirrors ext/Dedup.substringDedup
-    * (overlapping stride-1 windows, first occurrence by packed (doc_id, pos)
-    * key, per-doc streaming interval union via the preceding-dup-ends
-    * running max). SUMs cast to BIGINT (DuckDB widens to HUGEINT). */
-  def substringDedup(k: Int): String =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  /** Shared CTE spine of the substring_dedup / substring_clean oracles:
+    * stride-1 windows, ≥2× first-occurrence election, LEFT-join dup flags,
+    * and the preceding-dup-ends running max (mirrors Dedup.substringFlagged). */
+  private def substrCtes(k: Int): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |e AS (SELECT doc_id, i AS pos, md5(array_to_string(toks[i+1 : i+$k], ' ')) AS h
        |  FROM t, unnest(generate_series(0, len(toks) - $k)) AS u(i)
        |  WHERE len(toks) >= $k),
@@ -1277,7 +1276,14 @@ object OracleSql {
        |x AS (SELECT doc_id, pos, e_end, dup,
        |    MAX(CASE WHEN dup = 1 THEN e_end END) OVER (PARTITION BY doc_id
        |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-       |  FROM j)
+       |  FROM j)""".stripMargin
+
+  /** Cross-document exact-substring dedup — mirrors ext/Dedup.substringDedup
+    * (overlapping stride-1 windows, first occurrence by packed (doc_id, pos)
+    * key, per-doc streaming interval union via the preceding-dup-ends
+    * running max). SUMs cast to BIGINT (DuckDB widens to HUGEINT). */
+  def substringDedup(k: Int): String =
+    s"""WITH ${substrCtes(k)}
        |SELECT doc_id, COUNT(*) AS n_windows,
        |  CAST(SUM(dup) AS BIGINT) AS dup_windows,
        |  CAST(SUM(CASE WHEN dup = 1 AND (prev_end IS NULL OR pos > prev_end)
@@ -1288,6 +1294,35 @@ object OracleSql {
        |  ${rnd(s"CAST(SUM(CASE WHEN dup = 1 THEN e_end - GREATEST(COALESCE(prev_end, pos), pos) ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) + $k - 1 AS DOUBLE)", 4)}
        |    AS removable_frac
        |FROM x GROUP BY doc_id""".stripMargin
+
+  /** ExactSubstr applied — mirrors ext/Dedup.substringClean: merged spans
+    * from the shared spine, then token-position anti-join and ordered
+    * re-assembly. Every doc returns (verbatim when untouched, empty when
+    * wholly duplicated elsewhere). */
+  def substringClean(k: Int): String =
+    s"""WITH ${substrCtes(k)},
+       |g AS (SELECT doc_id, pos, e_end, dup,
+       |    SUM(CASE WHEN dup = 1 AND (prev_end IS NULL OR pos > prev_end)
+       |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM x),
+       |sp AS (SELECT doc_id, grp, MIN(pos) AS s, MAX(e_end) AS e
+       |  FROM g WHERE dup = 1 GROUP BY doc_id, grp),
+       |tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+       |  FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+       |keep AS (SELECT tok.doc_id, tok.pos, tok.tok
+       |  FROM tok LEFT JOIN sp
+       |    ON tok.doc_id = sp.doc_id AND tok.pos >= sp.s AND tok.pos < sp.e
+       |  WHERE sp.doc_id IS NULL),
+       |ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept,
+       |    string_agg(tok, ' ' ORDER BY pos) AS txt FROM keep GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |  COALESCE(ka.kept, 0) AS kept_tokens,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) - COALESCE(ka.kept, 0)
+       |    AS removed_tokens,
+       |  COALESCE(ka.txt, '') AS clean_text
+       |FROM documents d LEFT JOIN ka ON d.doc_id = ka.doc_id""".stripMargin
 
   /** PII scan + redaction — mirrors ext/TextAnalysis.piiScan, including the
     * deterministic augmentation. Patterns live in the RE2∩Java subset so

@@ -56,6 +56,25 @@ class SinksAndExtSpec extends SparkSpec {
     assert(out(3L) == ((5L, 1L, 1L, 4L, 0.5)), s"doc3: ${out(3L)}")
   }
 
+  test("substring clean: removable spans are cut, verbatim docs pass through, clones empty") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y c d e f g z"),
+      (3L, "p q r s p q r s"),
+      (4L, "u v w"),               // sub-k: untouched, still present
+      (5L, "a b c d e f g h i j") // whole-doc clone of doc 1: comes back empty
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringClean(docs, 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out.size == 5, "every doc returns")
+    assert(out(1L) == ((10L, 10L, 0L, "a b c d e f g h i j")), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((8L, 3L, 5L, "x y z")), s"doc2: ${out(2L)}")
+    assert(out(3L) == ((8L, 4L, 4L, "p q r s")), s"doc3: ${out(3L)}")
+    assert(out(4L) == ((3L, 3L, 0L, "u v w")), s"doc4: ${out(4L)}")
+    assert(out(5L) == ((10L, 0L, 10L, "")), s"doc5 must be fully removed: ${out(5L)}")
+  }
+
   test("dsir weights match an independent reimplementation; target clones score target-like") {
     val corpus = Seq(
       (1L, "the cat sat on the mat", true),
