@@ -559,6 +559,10 @@ object Dedup {
         sequence(lit(0), size(col("__toks")) - k),
         i => md5(concat_ws(" ", slice(col("__toks"), i + 1, lit(k)))))))
       .toDF("doc_id", "pos", "h")
+      // k rides the hash column's metadata so a consumer can detect a
+      // window table built at a different k than its own argument
+      .withColumn("h", col("h").as("h",
+        new org.apache.spark.sql.types.MetadataBuilder().putLong("k", k).build()))
 
   /** Session-cached window table for the standard k (see substringWindows). */
   def substringWindowTable(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -574,10 +578,20 @@ object Dedup {
   private def substringFlagged(docs: DataFrame, k: Int,
                                winsPre: Option[DataFrame]): DataFrame = {
     require(k >= 2, s"window must span at least 2 tokens, got $k")
+    winsPre.foreach { w =>
+      // a supplied window table built at a different k would silently
+      // corrupt the span arithmetic (__end, removable_frac) — the table
+      // carries its k in the hash column's metadata (substringWindows)
+      val m = w.schema("h").metadata
+      require(!m.contains("k") || m.getLong("k") == k,
+        s"winsPre was built at k=${m.getLong("k")}, query asked for k=$k")
+    }
     val wins = winsPre.getOrElse(substringWindows(docs, k))
-    // packed key: same (doc_id, pos) total order as spanDedup's — pos is
-    // bounded by document length, far under the 10^6 packing stride
-    val packed = col("doc_id") * 1000000L + col("pos")
+    // first-occurrence key: the hazard-free struct order (no packing
+    // stride to outgrow — a 1M+-token document would silently corrupt a
+    // doc_id*10^6+pos packing; the oracle keeps the packed form with the
+    // same documented bound as spanDedup's)
+    val packed = struct(col("doc_id"), col("pos"))
     // only hashes seen ≥2× matter to the dup check: filtering the election
     // table before the join-back shrinks its build side from |distinct
     // windows| (≈ corpus tokens) to |duplicated windows| — typically a few

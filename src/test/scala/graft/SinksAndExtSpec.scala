@@ -56,6 +56,15 @@ class SinksAndExtSpec extends SparkSpec {
     assert(out(3L) == ((5L, 1L, 1L, 4L, 0.5)), s"doc3: ${out(3L)}")
   }
 
+  test("substring dedup rejects a window table built at a different k") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val wins = Dedup.substringWindows(docs, 3)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.substringDedup(docs, 4, winsPre = Some(wins))
+    }
+    assert(e.getMessage.contains("k=3"), e.getMessage)
+  }
+
   test("substring clean: removable spans are cut, verbatim docs pass through, clones empty") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),
