@@ -45,6 +45,9 @@ def main(sf_dir, out_dir):
     threads = os.environ.get("GRAFT_CHECK_THREADS")
     if threads:
         con.execute(f"SET threads TO {int(threads)}")
+    # Out-of-core spill goes OUTSIDE the repo: a 1.75GB spill file from an
+    # x30 run was once accidentally committed (r12 verdict). Never again.
+    con.execute("SET temp_directory='/tmp/graft_duckdb_tmp'")
     for t in TABLES:
         # driver testdata ships single-file tables; GenScaled rungs are
         # Spark-written DIRECTORIES of part files — glob those
