@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's BENCH artifact keeps the last ~2000 chars of stdout and
+// parses the contract JSON line out of it. sbt's default LoggedOutput
+// prefixes every forked-run line with "[info] ", which defeated the
+// driver's parser through r12 ("parsed": null) even once the line fit
+// the buffer. StdoutOutput passes the child's streams through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

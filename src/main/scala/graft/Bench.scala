@@ -38,45 +38,57 @@ object Bench {
     * (BenchOne deliberately stays cold — its point is iteration speed).
     */
   private[graft] def warmAll(spark: SparkSession, sfDir: String): Unit = {
+    import scala.util.control.NonFatal
     graft.core.Tables.all.foreach { t =>
-      try graft.core.Tables.load(spark, sfDir, t).count()
-      catch { case _: Throwable => () }
+      try { graft.core.Tables.load(spark, sfDir, t).count(): Unit }
+      catch { case NonFatal(e) =>
+        System.err.println(s"[bench] warm-up table $t failed: $e") }
     }
-    Seq[() => Unit](
-      () => { graft.jobs.TransactionFeaturesJob(spark, sfDir).count(): Unit },
-      () => { graft.jobs.UserFeaturesJob(spark, sfDir).count(): Unit },
-      () => { graft.jobs.RiskFeaturesJob(spark, sfDir).count(): Unit },
-      () => { graft.jobs.FeatureViewJob(spark, sfDir).count(): Unit },
-      () => { graft.jobs.IncrementalTransactionFeatures.ladder(spark, sfDir).count(): Unit },
-      () => { graft.jobs.IncrementalUserFeatures.ladder(spark, sfDir).count(): Unit },
-      () => { graft.jobs.IncrementalRiskFeatures.ladder(spark, sfDir).count(): Unit },
-      () => { graft.ext.Dedup.shingleTable(spark, sfDir).count(): Unit },
-      () => { graft.ext.Dedup.signatureTable(spark, sfDir).count(): Unit },
-      () => { graft.ext.Dedup.candidatePairTable(spark, sfDir).count(): Unit },
-      () => { graft.ext.Dedup.verifiedPairTable(spark, sfDir, 0.5).count(): Unit },
-      () => { graft.ext.Dedup.clusterTable(spark, sfDir, 0.5).count(): Unit },
-      () => { graft.ext.Dedup.incrementalPairTable(spark, sfDir, 0.1).count(): Unit },
-      () => { graft.ext.Dedup.simhash64Table(spark, sfDir).count(): Unit },
-      () => { graft.ext.Dedup.simhashPairTable(spark, sfDir, 3).count(): Unit },
-      () => { graft.ext.TextAnalysis.textStatsTable(spark, sfDir).count(): Unit },
-      () => { graft.ext.TextAnalysis.scoreTable(spark, sfDir).count(): Unit },
-      () => { graft.ext.TextAnalysis.repetitionTable(spark, sfDir).count(): Unit },
-      () => { graft.ext.TextAnalysis.oovTable(spark, sfDir, 1000).count(): Unit },
-      () => { graft.ext.TextAnalysis.oovTable(spark, sfDir, 20).count(): Unit },
-      () => { graft.ext.TextAnalysis.docBigramTable(spark, sfDir).count(): Unit },
-      () => { graft.ext.TextAnalysis.bigramDfTable(spark, sfDir).count(): Unit },
-      () => { graft.ext.Similarity.lshBucketsCached(spark, sfDir).count(): Unit },
-      () => { graft.ext.Similarity.cosineNearDupsCached(spark, sfDir, 20).count(): Unit },
-      () => { graft.ext.Similarity.semanticClusterTable(spark, sfDir, 0.2).count(): Unit },
-      () => { graft.ext.Dedup.substringWindowTable(spark, sfDir, 12).count(): Unit },
-      () => { graft.ext.Corpus.dsirWeightsCached(spark, sfDir).count(): Unit }
-    ).foreach(f => try f() catch { case _: Throwable => () })
+    // named warmers + NonFatal-only catch (r12 ADVICE): a broken warmer
+    // must not silently skew per-query numbers toward cold-cache timings,
+    // and an OOM/fatal error must propagate, not be swallowed
+    Seq[(String, () => Unit)](
+      "txn_features" -> (() => { graft.jobs.TransactionFeaturesJob(spark, sfDir).count(): Unit }),
+      "user_features" -> (() => { graft.jobs.UserFeaturesJob(spark, sfDir).count(): Unit }),
+      "risk_features" -> (() => { graft.jobs.RiskFeaturesJob(spark, sfDir).count(): Unit }),
+      "feature_view" -> (() => { graft.jobs.FeatureViewJob(spark, sfDir).count(): Unit }),
+      "incr_txn_ladder" -> (() => { graft.jobs.IncrementalTransactionFeatures.ladder(spark, sfDir).count(): Unit }),
+      "incr_user_ladder" -> (() => { graft.jobs.IncrementalUserFeatures.ladder(spark, sfDir).count(): Unit }),
+      "incr_risk_ladder" -> (() => { graft.jobs.IncrementalRiskFeatures.ladder(spark, sfDir).count(): Unit }),
+      "shingles" -> (() => { graft.ext.Dedup.shingleTable(spark, sfDir).count(): Unit }),
+      "signatures" -> (() => { graft.ext.Dedup.signatureTable(spark, sfDir).count(): Unit }),
+      "candidate_pairs" -> (() => { graft.ext.Dedup.candidatePairTable(spark, sfDir).count(): Unit }),
+      "verified_pairs" -> (() => { graft.ext.Dedup.verifiedPairTable(spark, sfDir, 0.5).count(): Unit }),
+      "clusters" -> (() => { graft.ext.Dedup.clusterTable(spark, sfDir, 0.5).count(): Unit }),
+      "incremental_pairs" -> (() => { graft.ext.Dedup.incrementalPairTable(spark, sfDir, 0.1).count(): Unit }),
+      "simhash64" -> (() => { graft.ext.Dedup.simhash64Table(spark, sfDir).count(): Unit }),
+      "simhash_pairs" -> (() => { graft.ext.Dedup.simhashPairTable(spark, sfDir, 3).count(): Unit }),
+      "text_stats" -> (() => { graft.ext.TextAnalysis.textStatsTable(spark, sfDir).count(): Unit }),
+      "scores" -> (() => { graft.ext.TextAnalysis.scoreTable(spark, sfDir).count(): Unit }),
+      "repetition" -> (() => { graft.ext.TextAnalysis.repetitionTable(spark, sfDir).count(): Unit }),
+      "oov_1000" -> (() => { graft.ext.TextAnalysis.oovTable(spark, sfDir, 1000).count(): Unit }),
+      "oov_20" -> (() => { graft.ext.TextAnalysis.oovTable(spark, sfDir, 20).count(): Unit }),
+      "doc_bigrams" -> (() => { graft.ext.TextAnalysis.docBigramTable(spark, sfDir).count(): Unit }),
+      "bigram_df" -> (() => { graft.ext.TextAnalysis.bigramDfTable(spark, sfDir).count(): Unit }),
+      "lsh_buckets" -> (() => { graft.ext.Similarity.lshBucketsCached(spark, sfDir).count(): Unit }),
+      "cosine_near_dups" -> (() => { graft.ext.Similarity.cosineNearDupsCached(spark, sfDir, 20).count(): Unit }),
+      "semantic_clusters" -> (() => { graft.ext.Similarity.semanticClusterTable(spark, sfDir, 0.2).count(): Unit }),
+      "substring_windows" -> (() => { graft.ext.Dedup.substringWindowTable(spark, sfDir, 12).count(): Unit }),
+      "dsir_weights" -> (() => { graft.ext.Corpus.dsirWeightsCached(spark, sfDir).count(): Unit })
+    ).foreach { case (name, f) =>
+      try f() catch { case NonFatal(e) =>
+        System.err.println(s"[bench] warm-up $name failed (cache COLD): $e") }
+    }
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.Sessions.local(cpus)
+    // keep the driver's stdout tail-capture clean: the bounded-window
+    // WindowExec WARNs (every one audited — see VERDICT r12 §wrong.4) were
+    // flooding the ~2000-char tail and crowding out the contract line
+    spark.sparkContext.setLogLevel("ERROR")
     warmAll(spark, sfDir)
 
     def gcMillis(): Long = {
@@ -207,7 +219,12 @@ object Bench {
     if (line.length > 1500)
       System.err.println(s"[bench] WARNING contract line ${line.length} chars " +
         "— approaching the driver's ~2000-char tail-capture buffer")
-    println(line)
+    // print AFTER spark.stop(): the contract line must be the child's
+    // LAST stdout line (shutdown logging rides stderr, but belt and
+    // braces) — combined with build.sbt's StdoutOutput (no "[info] "
+    // prefix on forked-run output) this is what the driver's parser sees
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }
