@@ -581,22 +581,35 @@ object Dedup {
     winsPre.foreach { w =>
       // a supplied window table built at a different k would silently
       // corrupt the span arithmetic (__end, removable_frac) — the table
-      // carries its k in the hash column's metadata (substringWindows)
+      // carries its k in the hash column's metadata (substringWindows).
+      // ABSENT metadata is also a failure (r12 ADVICE): Spark drops
+      // column metadata through some transformations and non-Parquet
+      // round-trips, and a k-mismatched table arriving via such a path
+      // would otherwise pass the guard silently.
       val m = w.schema("h").metadata
-      require(!m.contains("k") || m.getLong("k") == k,
+      require(m.contains("k"),
+        "winsPre lost its k metadata (schema(\"h\").metadata) — rebuild it " +
+          "via substringWindows/substringWindowTable rather than a " +
+          "metadata-stripping round-trip, so the k guard can check it")
+      require(m.getLong("k") == k,
         s"winsPre was built at k=${m.getLong("k")}, query asked for k=$k")
     }
     val wins = winsPre.getOrElse(substringWindows(docs, k))
     // first-occurrence key: the hazard-free struct order (no packing
     // stride to outgrow — a 1M+-token document would silently corrupt a
-    // doc_id*10^6+pos packing; the oracle keeps the packed form with the
-    // same documented bound as spanDedup's)
+    // doc_id*10^6+pos packing; the oracle elects over ROW(doc_id, pos),
+    // the same lexicographic order, since r13)
     val packed = struct(col("doc_id"), col("pos"))
     // only hashes seen ≥2× matter to the dup check: filtering the election
     // table before the join-back shrinks its build side from |distinct
-    // windows| (≈ corpus tokens) to |duplicated windows| — typically a few
-    // percent, so the probe side streams through a broadcast instead of
-    // shuffling the whole window table a second time
+    // windows| (≈ corpus tokens) to |duplicated windows| — a few percent
+    // on CLEAN corpora, where the probe side streams through a broadcast
+    // instead of shuffling the whole window table a second time. On dirty
+    // web crawls (10-30% duplicated-window mass is typical pre-dedup) the
+    // ≥2× table outgrows the broadcast threshold and the join degrades
+    // GRACEFULLY to a hash-shuffle join — still one corpus scan plus one
+    // window-table shuffle, never all-pairs; the broadcast is an
+    // optimization for the common case, not a correctness assumption
     val first = wins.groupBy("h")
       .agg(min(packed).as("first_key"), count(lit(1)).as("__c"))
       .filter(col("__c") > 1)

@@ -1241,18 +1241,19 @@ object OracleSql {
   }
 
   /** Span-level exact dedup — mirrors ext/Dedup.spanDedup. First occurrence
-    * = MIN over the packed (doc_id, span_idx) key; equivalent to the
-    * engine's MIN(STRUCT(doc_id, span_idx)) while span_idx < 10^6 (a doc
-    * would need 16M+ tokens to break that). */
+    * = MIN over ROW(doc_id, span_idx), the exact lexicographic order the
+    * engine's MIN(STRUCT(doc_id, span_idx)) uses — no packing stride to
+    * outgrow at any document length (the old doc_id*10^6+span_idx packing
+    * would elect a different first occurrence past 1M spans; r12 ADVICE). */
   def spanDedup(spanTokens: Int): String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |e AS (SELECT doc_id, i AS span_idx,
        |    md5(array_to_string(toks[i*$spanTokens+1 : i*$spanTokens+$spanTokens], ' ')) AS h
        |  FROM t, unnest(generate_series(0,
        |    CAST(ceil(CAST(len(toks) AS DOUBLE) / $spanTokens) AS BIGINT) - 1)) AS u(i)),
-       |f AS (SELECT h, MIN(doc_id * 1000000 + span_idx) AS first_key FROM e GROUP BY h),
+       |f AS (SELECT h, MIN(ROW(doc_id, span_idx)) AS first_key FROM e GROUP BY h),
        |j AS (SELECT e.doc_id,
-       |    CASE WHEN e.doc_id * 1000000 + e.span_idx > f.first_key THEN 1 ELSE 0 END AS dup
+       |    CASE WHEN ROW(e.doc_id, e.span_idx) > f.first_key THEN 1 ELSE 0 END AS dup
        |  FROM e JOIN f ON e.h = f.h)
        |SELECT doc_id, COUNT(*) AS n_spans,
        |  CAST(SUM(dup) AS BIGINT) AS dup_spans,
@@ -1267,11 +1268,11 @@ object OracleSql {
        |e AS (SELECT doc_id, i AS pos, md5(array_to_string(toks[i+1 : i+$k], ' ')) AS h
        |  FROM t, unnest(generate_series(0, len(toks) - $k)) AS u(i)
        |  WHERE len(toks) >= $k),
-       |f AS (SELECT h, MIN(doc_id * 1000000 + pos) AS first_key FROM e
+       |f AS (SELECT h, MIN(ROW(doc_id, pos)) AS first_key FROM e
        |  GROUP BY h HAVING COUNT(*) > 1),
        |j AS (SELECT e.doc_id, e.pos, e.pos + $k AS e_end,
        |    CASE WHEN f.first_key IS NOT NULL
-       |      AND e.doc_id * 1000000 + e.pos > f.first_key THEN 1 ELSE 0 END AS dup
+       |      AND ROW(e.doc_id, e.pos) > f.first_key THEN 1 ELSE 0 END AS dup
        |  FROM e LEFT JOIN f ON e.h = f.h),
        |x AS (SELECT doc_id, pos, e_end, dup,
        |    MAX(CASE WHEN dup = 1 THEN e_end END) OVER (PARTITION BY doc_id

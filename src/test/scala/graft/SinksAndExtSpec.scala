@@ -65,6 +65,22 @@ class SinksAndExtSpec extends SparkSpec {
     assert(e.getMessage.contains("k=3"), e.getMessage)
   }
 
+  test("substring dedup rejects a window table whose k metadata was stripped") {
+    // Spark drops column metadata through some transformations and
+    // non-Parquet round-trips; a k-mismatched table arriving via such a
+    // path must FAIL the guard, not silently pass it (r12 ADVICE)
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val stripped = Dedup.substringWindows(docs, 4)
+      // Alias over a bare attribute PROPAGATES metadata; an Alias over any
+      // non-attribute expression (here a value-preserving coalesce) does not
+      .select(col("doc_id"), col("pos"),
+        org.apache.spark.sql.functions.coalesce(col("h"), col("h")).as("h"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.substringDedup(docs, 4, winsPre = Some(stripped))
+    }
+    assert(e.getMessage.contains("lost its k metadata"), e.getMessage)
+  }
+
   test("substring clean: removable spans are cut, verbatim docs pass through, clones empty") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),
