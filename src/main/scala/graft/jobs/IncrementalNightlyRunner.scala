@@ -1,0 +1,232 @@
+package graft.jobs
+
+import java.time.{Instant, LocalDate}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{AsOf, Roles}
+import graft.sinks.MergeByKey
+
+/** The incremental feature families as the PRODUCT nightly path (VERDICT
+  * r12 next #3). The three families exist as oracle-adjudicated ladder
+  * queries (jobs/Incremental{Transaction,User,Risk}Features, each pinned
+  * ladder ≡ full recompute); this runner turns them into what a deployment
+  * actually runs each night, with the states PERSISTED between nights
+  * instead of riding the in-session FeatureCache:
+  *
+  *   - the six day-grain states (transaction summary + the five risk CTE
+  *     states) live as DAY-PARTITIONED parquet: the nightly write is ONE
+  *     day partition via dynamic partition overwrite — delta-sized, and a
+  *     replayed night overwrites its own partition (idempotent by layout,
+  *     the same discipline the oracle ladder pins semantically);
+  *   - the user-family state (additive running totals, NON-idempotent
+  *     fold) is a pointer-swapped versioned store (MigrationRunner) whose
+  *     version NAME is the last folded day: the atomic pointer swap
+  *     commits the applied-day marker WITH the data, so a replayed night
+  *     observes its own day live and SKIPS — at-least-once retries become
+  *     the exactly-once application that family's contract requires,
+  *     with no separate ledger file to crash out of sync;
+  *   - reading features re-aggregates day-pruned SUMMARY rows (bounded by
+  *     active users × their in-grain distinct values per day), never the
+  *     raw 31/91-day windows — the read-economy that makes a 100 TB
+  *     nightly feasible (measured by IncrementalNightBench; PERF.md row).
+  *
+  * The whole flow is driven by injected `Sources` rather than raw paths so
+  * the measurement harness can hand it date-partitioned landings (the
+  * reference's layout — its transaction log is date-partitioned, so the
+  * nightly delta scan prunes to one day physically, not just logically).
+  *
+  * Night indexing mirrors the oracle ladders exactly: `bootstrap` folds
+  * everything before anchor−days, night k (0-based) folds day cut+k on
+  * each family's own clock, and the LAST night also folds the anchor-day
+  * tail (the batch jobs' scans have no upper bound), so after `days`
+  * nights the persisted states reproduce the full recompute bit-exactly
+  * (IncrementalNightlyRunnerSpec pins all three frames cell-equal).
+  */
+object IncrementalNightlyRunner {
+
+  /** The raw inputs, injectable so tests/benches can swap layouts. */
+  final case class Sources(
+    transactions: DataFrame, payments: DataFrame, logins: DataFrame,
+    alerts: DataFrame, credit: DataFrame, scores: DataFrame, users: DataFrame)
+
+  object Sources {
+    def fromDir(spark: SparkSession, dir: String): Sources = Sources(
+      transactions = Roles.transactions(spark, dir),
+      payments = Roles.payments(spark, dir),
+      logins = Roles.userLogins(spark, dir),
+      alerts = Roles.velocityAlerts(spark, dir),
+      credit = Roles.creditReports(spark, dir),
+      scores = Roles.riskScores(spark, dir),
+      users = Roles.users(spark, dir))
+  }
+
+  /** One day-grain state family: where it lives, which source column
+    * carries its clock, how a slice summarizes, and its partition column. */
+  private final case class DayFamily(
+    name: String, tsCol: String, partCol: String,
+    src: Sources => DataFrame, summarize: DataFrame => DataFrame,
+    anchor: Instant)
+
+  private def dayLit(d: LocalDate) = lit(java.sql.Date.valueOf(d))
+
+  private def families: Seq[DayFamily] = Seq(
+    DayFamily("tx_state", "created_at", "day",
+      _.transactions, IncrementalTransactionFeatures.summarize, AsOf.orders),
+    DayFamily("rf_pay_state", "created_at", "created_day",
+      _.payments, IncrementalRiskFeatures.summarizePayments, AsOf.lineitem),
+    DayFamily("rf_login_state", "created_at", "day",
+      _.logins, IncrementalRiskFeatures.summarizeLogins, AsOf.events),
+    DayFamily("rf_alert_state", "created_at", "day",
+      _.alerts, IncrementalRiskFeatures.summarizeAlerts, AsOf.events),
+    DayFamily("rf_credit_state", "report_date", "day",
+      _.credit, IncrementalRiskFeatures.summarizeCredit, AsOf.events),
+    DayFamily("rf_score_state", "computed_at", "day",
+      _.scores, IncrementalRiskFeatures.summarizeScores, AsOf.events))
+
+  private def userStateRoot(stateRoot: String) = s"$stateRoot/user_state"
+
+  /** Date-partitioned landings carry this partition column (the bench and
+    * any production ingest write it as to_date(tsCol)). */
+  val LandingPartCol = "p_day"
+
+  /** Slice predicate on the event-time column, with the SAME bounds
+    * repeated on the landing's partition column when present — the
+    * standard warehouse idiom: the event-time predicate is the semantic
+    * truth, the redundant partition-column predicate is what physically
+    * prunes directories (timestamp row-group stats don't always support
+    * pushdown — e.g. INT96 — and partition pruning is type-independent
+    * and happens before any I/O). p_day = to_date(tsCol) by construction,
+    * so the added conjunct never changes results. */
+  private def daySlice(df: DataFrame, tsCol: String, from: LocalDate,
+                       until: Option[LocalDate],
+                       orFrom: Option[LocalDate]): DataFrame = {
+    def pred(c: org.apache.spark.sql.Column) = {
+      val base = until.fold(c >= dayLit(from))(u =>
+        c >= dayLit(from) && c < dayLit(u))
+      orFrom.fold(base)(t => base || c >= dayLit(t))
+    }
+    val byTs = pred(col(tsCol))
+    if (df.columns.contains(LandingPartCol))
+      df.filter(pred(col(LandingPartCol)) && byTs)
+    else df.filter(byTs)
+  }
+
+  /** Everything strictly BEFORE `cut` (bootstrap slices). */
+  private def beforeSlice(df: DataFrame, tsCol: String,
+                          cut: LocalDate): DataFrame =
+    if (df.columns.contains(LandingPartCol))
+      df.filter(col(LandingPartCol) < dayLit(cut) && col(tsCol) < dayLit(cut))
+    else df.filter(col(tsCol) < dayLit(cut))
+
+  /** Initial backfill: every day-grain family summarized over rows strictly
+    * before (its anchor − days); the user family's running totals likewise,
+    * committed as version "pre" (no day folded yet). Idempotent — dynamic
+    * overwrite replaces the same partitions, and a live "pre" pointer is
+    * left alone on re-run. */
+  def bootstrap(spark: SparkSession, src: Sources, stateRoot: String,
+                days: Int): Unit = {
+    families.foreach { f =>
+      val cut = AsOf.date(f.anchor).minusDays(days.toLong)
+      // file hygiene for the one-off backfill: it spans EVERY history day,
+      // and a grain-hashed summary would write (tasks × days) slivers; a
+      // range partitioning on (day, user) keeps files ≈ max(days, tasks)
+      // while still letting a heavy day span several tasks (a single-task-
+      // per-day repartition would serialize the biggest day at 100 TB).
+      // The nightly writes stay grain-hashed — one day, bounded files,
+      // and sinks/Compaction owns long-horizon accumulation.
+      MergeByKey.overwritePartitions(
+        f.summarize(beforeSlice(f.src(src), f.tsCol, cut))
+          .repartitionByRange(col(f.partCol), col("user_id")),
+        s"$stateRoot/${f.name}", f.partCol)
+    }
+    val uRoot = userStateRoot(stateRoot)
+    if (!MigrationRunner.currentVersion(spark, uRoot).contains("pre")) {
+      val cut = AsOf.date(AsOf.orders).minusDays(days.toLong)
+      val base = IncrementalUserFeatures.summarize(
+        beforeSlice(src.transactions, "created_at", cut))
+      val report = MigrationRunner.migrate(spark, base, uRoot, "pre",
+        IncrementalUserFeatures.grain)
+      require(report.switched, s"user-state bootstrap failed: $report")
+    }
+  }
+
+  /** Night k (0-based): fold day cut+k on each family's clock. The last
+    * night (k == days−1) additionally folds the anchor-day-and-later tail,
+    * closing the ladder. Day families: one dynamic partition overwrite
+    * each (replay-idempotent). User family: exactly-once via the version
+    * name (see object scaladoc); a replayed night logs and skips. */
+  def night(spark: SparkSession, src: Sources, stateRoot: String,
+            days: Int, k: Int): Unit = {
+    require(k >= 0 && k < days, s"night $k outside ladder of $days")
+    val isLast = k == days - 1
+
+    families.foreach { f =>
+      val day = AsOf.date(f.anchor).minusDays(days.toLong).plusDays(k.toLong)
+      // day k — the last night also folds the anchor-day-and-later tail
+      // (the batch jobs' scans have no upper bound), as one pushable range
+      val slice = daySlice(f.src(src), f.tsCol, day, Some(day.plusDays(1)),
+        if (isLast) Some(AsOf.date(f.anchor)) else None)
+      MergeByKey.overwritePartitions(
+        f.summarize(slice), s"$stateRoot/${f.name}", f.partCol)
+    }
+
+    val uRoot = userStateRoot(stateRoot)
+    val day = AsOf.date(AsOf.orders).minusDays(days.toLong).plusDays(k.toLong)
+    val marker = s"v$day${if (isLast) "-final" else ""}"
+    if (MigrationRunner.currentVersion(spark, uRoot).contains(marker)) {
+      System.err.println(s"[nightly] user-state day $day already applied — skipping (exactly-once)")
+    } else {
+      val slice = daySlice(src.transactions, "created_at", day,
+        Some(day.plusDays(1)),
+        if (isLast) Some(AsOf.date(AsOf.orders)) else None)
+      val folded = IncrementalUserFeatures.applyDelta(
+        MigrationRunner.current(spark, uRoot),
+        IncrementalUserFeatures.summarize(slice))
+      val report = MigrationRunner.migrate(spark, folded, uRoot, marker,
+        IncrementalUserFeatures.grain)
+      require(report.switched, s"user-state night $day failed: $report")
+    }
+  }
+
+  private def readState(spark: SparkSession, stateRoot: String,
+                        name: String): DataFrame =
+    spark.read.parquet(s"$stateRoot/$name")
+
+  /** The three feature frames off the PERSISTED states — what the nightly
+    * publish step hands to the gates/store/export (output-identical to the
+    * full jobs once `days` nights have run; spec-pinned). */
+  def features(spark: SparkSession, src: Sources, stateRoot: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val uf = IncrementalUserFeatures.featuresFromState(
+      MigrationRunner.current(spark, userStateRoot(stateRoot)),
+      src.users, AsOf.orders)
+    val tf = IncrementalTransactionFeatures.featuresFromState(
+      readState(spark, stateRoot, "tx_state"), src.users, AsOf.orders)
+    val rf = IncrementalRiskFeatures.featuresFromState(
+      IncrementalRiskFeatures.States(
+        payments = readState(spark, stateRoot, "rf_pay_state"),
+        logins = readState(spark, stateRoot, "rf_login_state"),
+        alerts = readState(spark, stateRoot, "rf_alert_state"),
+        credit = readState(spark, stateRoot, "rf_credit_state"),
+        scores = readState(spark, stateRoot, "rf_score_state")),
+      src.users, AsOf.lineitem, AsOf.events)
+    (uf, tf, rf)
+  }
+
+  /** End-to-end incremental run for a fresh state root: bootstrap, the
+    * `days` nights, then the same gate → store-swap → export tail as the
+    * full-recompute DailyBatchRunner.run (shared publish). This is what
+    * DailyBatchRunner.run(incremental = true) delegates to. */
+  def runIncremental(spark: SparkSession, src: Sources, stateRoot: String,
+                     outputPath: String, floors: DailyBatchRunner.Thresholds,
+                     days: Int = 3,
+                     runDate: LocalDate = AsOf.date(AsOf.orders))
+      : DailyBatchRunner.RunResult = {
+    bootstrap(spark, src, stateRoot, days)
+    (0 until days).foreach(k => night(spark, src, stateRoot, days, k))
+    val (uf, tf, rf) = features(spark, src, stateRoot)
+    DailyBatchRunner.publish(spark, uf, tf, rf, outputPath, floors, runDate)
+  }
+}

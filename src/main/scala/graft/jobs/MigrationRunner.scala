@@ -103,23 +103,30 @@ object MigrationRunner {
     * (a `key % 37` predicate silently yields an empty sample for strings).
     * pmod alone: it is already non-negative for negative hashes, and an
     * abs() on Int.MinValue would throw under ANSI overflow checking. */
-  private def sampled(df: DataFrame, key: String): DataFrame =
-    df.filter(pmod(hash(col(key)), lit(37)) === 0)
+  private def sampled(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.filter(pmod(hash(keys.map(col): _*), lit(37)) === 0)
 
   def migrate(spark: SparkSession, sourceDf: DataFrame, storeRoot: String,
-              targetName: String, key: String): MigrationReport = {
+              targetName: String, key: String): MigrationReport =
+    migrate(spark, sourceDf, storeRoot, targetName, Seq(key))
+
+  /** Composite-key form: the unique key may be a grain of several columns
+    * (e.g. an incremental state table at (user_id, payment_method)). */
+  def migrate(spark: SparkSession, sourceDf: DataFrame, storeRoot: String,
+              targetName: String, keys: Seq[String]): MigrationReport = {
+    require(keys.nonEmpty, "migrate needs at least one key column")
     readPointer(spark, storeRoot).foreach(live =>
       require(live != targetName,
         s"'$targetName' is the live store — refusing to overwrite it"))
 
     // 1. one pass: row count + duplicate-key count together
-    val pre = sourceDf.groupBy(col(key)).count()
+    val pre = sourceDf.groupBy(keys.map(col): _*).count()
       .agg(sum(col("count")).as("rows"),
         count(when(col("count") > 1, 1)).as("dups"))
       .collect()(0)
     val ns = pre.getAs[Long]("rows")
     require(pre.getAs[Long]("dups") == 0,
-      s"source has ${pre.getAs[Long]("dups")} duplicate '$key' values — aborting migration")
+      s"source has ${pre.getAs[Long]("dups")} duplicate '${keys.mkString(",")}' values — aborting migration")
 
     // 2. distributed copy
     val targetPath = s"$storeRoot/$targetName"
@@ -128,7 +135,7 @@ object MigrationRunner {
     // 3. symmetric reconciliation
     val target = spark.read.parquet(targetPath)
     val nt = target.count()
-    val (ss, ts) = (sampled(sourceDf, key), sampled(target, key))
+    val (ss, ts) = (sampled(sourceDf, keys), sampled(target, keys))
     val mismatches = ss.exceptAll(ts).count() + ts.exceptAll(ss).count()
 
     // 4. switchover only on full reconciliation; a FAILED copy is deleted
@@ -198,6 +205,15 @@ object MigrationRunner {
     writePointerAtomic(spark, storeRoot, target)
     target
   }
+
+  /** The live version NAME per the CURRENT pointer, if any — the
+    * switchover commits it atomically WITH the data, so a caller can use
+    * the name itself as an applied-work marker (IncrementalNightlyRunner
+    * names the user-family state after the last folded day: a replayed
+    * night sees its own day live and skips, turning at-least-once retries
+    * into the family's exactly-once contract). */
+  def currentVersion(spark: SparkSession, storeRoot: String): Option[String] =
+    readPointer(spark, storeRoot)
 
   /** The live store per the CURRENT pointer (what readers resolve). */
   def current(spark: SparkSession, storeRoot: String): DataFrame = {

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{AsOf, Roles}
+import graft.jobs.{DailyBatchRunner, IncrementalNightlyRunner => Nightly,
+  MigrationRunner, RiskFeaturesJob, TransactionFeaturesJob, UserFeaturesJob}
+
+/** The incremental families as the persisted nightly path: states
+  * round-trip through parquet between nights (not FeatureCache), and the
+  * runner's features must STILL be cell-exact against the full recompute —
+  * the strongest equivalence oracle, now through the storage layer too.
+  * Plus the two per-family delivery contracts at the RUNNER level: day
+  * families replay idempotently (dynamic partition overwrite), the user
+  * family applies exactly once (version-name marker skip). */
+class IncrementalNightlyRunnerSpec extends SparkSpec {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+    val cols = df.columns.sorted
+    df.select(cols.map(col): _*).collect()
+      .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))))
+      .toSeq.sortBy(_.mkString("|"))
+  }
+
+  private def freshDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("persisted 3-night ladder == full recompute for ALL THREE families; publish gates+exports") {
+    val stateRoot = freshDir("nightly-state")
+    val out = freshDir("nightly-out")
+    val src = Nightly.Sources.fromDir(spark, sf0001)
+
+    val res = DailyBatchRunner.run(spark, sf0001, out,
+      DailyBatchRunner.Thresholds(1, 1, 1),
+      incremental = true, stateRoot = stateRoot)
+    assert(res.userRows > 0 && res.transactionRows > 0 && res.riskRows > 0)
+
+    val (uf, tf, rf) = Nightly.features(spark, src, stateRoot)
+    assert(rows(tf) == rows(TransactionFeaturesJob.compute(
+      Roles.transactions(spark, sf0001), Roles.users(spark, sf0001), AsOf.orders)),
+      "transaction features off persisted state diverge from full recompute")
+    assert(rows(uf) == rows(UserFeaturesJob.compute(
+      Roles.transactions(spark, sf0001), Roles.users(spark, sf0001), AsOf.orders)),
+      "user features off persisted state diverge from full recompute")
+    assert(rows(rf) == rows(RiskFeaturesJob(spark, sf0001)),
+      "risk features off persisted state diverge from full recompute")
+
+    // publish really wrote the per-group stores + the partitioned view
+    val fv = spark.read.parquet(s"$out/feature_view")
+    assert(fv.count() > 0 && fv.columns.contains("partition_date"))
+    assert(MigrationRunner.current(spark, s"$out/user_features").count() == res.userRows)
+  }
+
+  test("replaying a night is a no-op: day partitions overwrite themselves, user fold skips") {
+    val stateRoot = freshDir("nightly-replay")
+    val src = Nightly.Sources.fromDir(spark, sf0001)
+    val days = 3
+    Nightly.bootstrap(spark, src, stateRoot, days)
+    (0 until days).foreach(k => Nightly.night(spark, src, stateRoot, days, k))
+    val before = Nightly.features(spark, src, stateRoot)
+    val snap = (rows(before._1), rows(before._2), rows(before._3))
+    val marker = MigrationRunner.currentVersion(spark, s"$stateRoot/user_state")
+
+    // the crashed-scheduler retry: the final night runs AGAIN
+    Nightly.night(spark, src, stateRoot, days, days - 1)
+
+    val after = Nightly.features(spark, src, stateRoot)
+    assert(rows(after._2) == snap._2, "tx day-state must be replay-idempotent")
+    assert(rows(after._3) == snap._3, "risk day-states must be replay-idempotent")
+    // the additive fold would DOUBLE-count on re-apply; the version-name
+    // marker must have skipped it — same pointer, same rows
+    assert(MigrationRunner.currentVersion(spark, s"$stateRoot/user_state") == marker,
+      "user-state pointer moved on replay — exactly-once marker failed")
+    assert(rows(after._1) == snap._1, "user features changed on replay")
+  }
+
+  test("a fresh JVM-equivalent reader (pure parquet, no session cache) sees the same states") {
+    // features() reads ONLY from stateRoot paths + the CURRENT pointer —
+    // prove it by reading the state files directly and recomputing one
+    // family without any runner involvement
+    val stateRoot = freshDir("nightly-cold")
+    val src = Nightly.Sources.fromDir(spark, sf0001)
+    Nightly.bootstrap(spark, src, stateRoot, 2)
+    (0 until 2).foreach(k => Nightly.night(spark, src, stateRoot, 2, k))
+    val viaRunner = Nightly.features(spark, src, stateRoot)._2
+    val coldState = spark.read.parquet(s"$stateRoot/tx_state")
+    val viaCold = graft.jobs.IncrementalTransactionFeatures.featuresFromState(
+      coldState, src.users, AsOf.orders)
+    assert(rows(viaRunner) == rows(viaCold))
+  }
+}
