@@ -150,10 +150,12 @@ object TrainingSetJob {
     * what a user with genuinely separate feature-group tables writes).
     * Byte-identical to pitTrainingMatrixWide (Round11InvariantSpec), and
     * the `salts` passthrough exposes the hot-key variant on the same
-    * shape. */
+    * shape. `rangeSecs` defaults to PitJoin.AutoRange: the hot-key
+    * strategy is CONSULTED by default (recommendStrategy off the frames'
+    * own key histogram, cached per frame identity) — pass 0 to opt out. */
   def pitTrainingMatrixWideGeneric(spark: SparkSession, dir: String,
                                    salts: Int = 1,
-                                   rangeSecs: Long = 0): DataFrame = {
+                                   rangeSecs: Long = PitJoin.AutoRange): DataFrame = {
     import graft.core.Roles
     def band(d: Int) = expr(s"INTERVAL $d DAYS")
     val probes = Tables.events(spark, dir)

@@ -285,16 +285,59 @@ object PitJoin {
     * prefer it; salting survives as the simpler strategy for purely
     * probe-dominated skew. Both are opt-in: on uniform data each costs
     * its machinery (PERF.md round-11 table). */
-  /** @param rangeSecs > 0 switches the fill to the segmented-scan form
+  /** Sentinel for `rangeSecs`: consult `recommendStrategy` automatically
+    * (the default since r13 — VERDICT r12 next #4: the strategy was built
+    * and pinned but nothing called it). Pass 0 to opt OUT (force the
+    * plain single-window fill), or an explicit positive width to force
+    * the segmented scan. */
+  val AutoRange: Long = -1L
+
+  // one keys-sized aggregate per DISTINCT (probes, facts, key, ts, target)
+  // plan identity per JVM — the auto consult must not re-run its histogram
+  // job on every matrix build over the same frames (same lifetime
+  // discipline as FeatureCache: dies with the session, never stale across
+  // code changes)
+  private val strategyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Strategy]
+
+  private def recommendCached(probes: DataFrame, key: String, probeTs: String,
+                              facts: Seq[WideFact],
+                              targetRowsPerTask: Long): Strategy = {
+    val k = (probes.queryExecution.analyzed.semanticHash() +:
+      facts.map(_.df.queryExecution.analyzed.semanticHash()))
+      .mkString(s"$key|$probeTs|$targetRowsPerTask|", ",", "")
+    strategyCache.computeIfAbsent(k,
+      _ => recommendStrategy(probes, key, probeTs, facts, targetRowsPerTask))
+  }
+
+  /** @param rangeSecs AutoRange (default) consults `recommendStrategy`
+    *                   (cached per frame identity) and plans the
+    *                   segmented scan exactly when the timeline's own key
+    *                   histogram says a hot key would bottleneck the
+    *                   single-window fill; 0 opts out (plain fill);
+    *                   > 0 forces the segmented-scan form
     *                   (fillBandedRanged) — the hot-key strategy that
     *                   needs no row replication and works for fact-heavy
     *                   keys; prefer it over `salts` unless probes
-    *                   massively dominate */
+    *                   massively dominate
+    * @param autoTargetRowsPerTask threshold handed to recommendStrategy
+    *                   in auto mode (ignored otherwise) */
   def trainingMatrixWide(probes: DataFrame, key: String, probeTs: String,
                          probeTb: String, facts: Seq[WideFact],
-                         salts: Int = 1, rangeSecs: Long = 0): DataFrame = {
+                         salts: Int = 1, rangeSecs: Long = AutoRange,
+                         autoTargetRowsPerTask: Long = 500000L): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType}
     require(salts >= 1, s"salts must be >= 1: $salts")
+    require(rangeSecs >= AutoRange,
+      s"rangeSecs must be AutoRange (-1), 0 (plain) or positive: $rangeSecs")
+    // auto-consult only when the caller hasn't chosen a strategy at all —
+    // an explicit salts choice is a strategy
+    val resolvedRange =
+      if (rangeSecs == AutoRange)
+        if (salts > 1) 0L
+        else recommendCached(probes, key, probeTs, facts,
+          autoTargetRowsPerTask).rangeSecs
+      else rangeSecs
     val allValues = facts.flatMap(_.values)
     require(allValues.distinct.size == allValues.size,
       s"fact value columns must be globally distinct: $allValues")
@@ -334,9 +377,9 @@ object PitJoin {
     val timeline = factSides.foldLeft(probeSide)(_.unionByName(_))
     val bands = structCols.zip(facts.map(_.lookback))
     val filled =
-      if (rangeSecs > 0)
+      if (resolvedRange > 0)
         fillBandedRanged(timeline, Seq("__key", "__salt"), "__ts", "__prio",
-          "__tb", bands, rangeSecs)
+          "__tb", bands, resolvedRange)
       else fillBanded(timeline, Seq("__key", "__salt"), "__ts", "__prio",
         "__tb", bands)
     filled

@@ -93,4 +93,55 @@ class PitStrategySpec extends SparkSpec {
     assert(checksum(s.rangeSecs) == checksum(0L),
       "recommended ranged fill diverged from the plain fill")
   }
+
+  // ---- auto-consult (r13: recommendStrategy is the DEFAULT, not a knob) ----
+
+  private def autoMatrix(p: DataFrame, f: DataFrame, target: Long) =
+    PitJoin.trainingMatrixWide(p, "user_id", "probe_ts", "probe_id",
+      Seq(PitJoin.WideFact(f, "user_id", "fact_ts", "fact_id",
+        Seq("score"), expr("INTERVAL 90 DAYS"))),
+      autoTargetRowsPerTask = target) // note: NO rangeSecs passed
+
+  test("hot frame plans the ranged fill with NO caller rangeSecs; output equals plain") {
+    val m = autoMatrix(probes(20000L, hot = true), facts(2000L, hot = true), 1000L)
+    def cs(df: DataFrame): java.math.BigDecimal =
+      df.select(sum(xxhash64(col("probe_id"), col("user_id"),
+        col("probe_ts"), col("score")).cast("decimal(38,0)")).as("c"))
+        .head.getDecimal(0)
+    val auto = cs(m)
+    // the segmented-scan form is identifiable by its range column
+    assert(m.queryExecution.executedPlan.toString.contains("__rng"),
+      "auto mode on a hot frame must plan fillBandedRanged")
+    val plain = cs(PitJoin.trainingMatrixWide(probes(20000L, hot = true),
+      "user_id", "probe_ts", "probe_id",
+      Seq(PitJoin.WideFact(facts(2000L, hot = true), "user_id", "fact_ts",
+        "fact_id", Seq("score"), expr("INTERVAL 90 DAYS"))),
+      rangeSecs = 0L)) // explicit opt-out
+    assert(auto == plain, "auto-ranged output diverged from the plain fill")
+  }
+
+  test("uniform frame auto-plans the plain fill; explicit 0 opts out on a hot frame") {
+    val u = autoMatrix(probes(20000L, hot = false), facts(2000L, hot = false), 1000L)
+    assert(!u.queryExecution.executedPlan.toString.contains("__rng"),
+      "uniform data must not pay the segmented-scan machinery")
+    val optOut = PitJoin.trainingMatrixWide(probes(20000L, hot = true),
+      "user_id", "probe_ts", "probe_id",
+      Seq(PitJoin.WideFact(facts(2000L, hot = true), "user_id", "fact_ts",
+        "fact_id", Seq("score"), expr("INTERVAL 90 DAYS"))),
+      rangeSecs = 0L, autoTargetRowsPerTask = 1000L)
+    assert(!optOut.queryExecution.executedPlan.toString.contains("__rng"),
+      "rangeSecs = 0 must force the plain fill even on a hot frame")
+  }
+
+  test("the auto consult's histogram aggregate runs ONCE per frame identity (cached)") {
+    val p = probes(20000L, hot = true)
+    val f = facts(2000L, hot = true)
+    autoMatrix(p, f, 777L).count() // prime the cache for this identity
+    val n = sqlExecutionsDuring {
+      autoMatrix(p, f, 777L).count(): Unit
+    }
+    assert(n <= 2, // the matrix job itself (+1 AQE re-run at most)
+      s"re-building the same matrix ran $n executions — the strategy " +
+        "histogram must be cached per (frames, key, ts, target) identity")
+  }
 }
