@@ -71,9 +71,27 @@ object Compaction {
   }
 
   /** Rewrite each planned partition to its target file count. Returns the
-    * rewrites performed (empty = layout already compact). */
+    * rewrites performed (empty = layout already compact).
+    *
+    * `layoutSort` (r13, VERDICT r12 next #6): a bare `coalesce(k)`
+    * CONCATENATES input files, so compacting a partition whose files were
+    * key-clustered (a CLUSTER BY user_id analog, or any sorted landing)
+    * yields full-range files and silently undoes the min/max pruning the
+    * layout paid for — and at production row-group sizes (~one group per
+    * 128 MB file) sorting WITHIN concatenated files restores nothing,
+    * because the pruning unit is effectively the file. Passing the layout
+    * keys switches the rewrite to `repartitionByRange(k, keys) +
+    * sortWithinPartitions(keys)`: each output file covers a TIGHT key
+    * range, so file-level stats prune again (and row-group stats within).
+    * The price is one PARTITION-LOCAL range exchange of the partition's
+    * bytes (plus the range sampler's extra read of them) — compaction of
+    * a clustered layout inherently moves rows between files; concatenation
+    * preserving no layout is the only exchange-free option, and stays the
+    * default for unclustered warehouses. CompactionSpec pins the pruning
+    * parity contrast at the records level. */
   def compact(spark: SparkSession, path: String, partitionCol: String,
-              targetBytes: Long): Seq[Rewrite] = {
+              targetBytes: Long,
+              layoutSort: Seq[org.apache.spark.sql.Column] = Nil): Seq[Rewrite] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val before = stats(spark, path, partitionCol)
@@ -83,9 +101,12 @@ object Compaction {
       // the frame carries exactly the data columns and writes back flat
       val tmp = new Path(root, s".compact-tmp-$partitionCol=$value")
       if (fs.exists(tmp)) fs.delete(tmp, true) // stale crash leftover
-      spark.read.parquet(dir.toString)
-        .coalesce(k)
-        .write.parquet(tmp.toString)
+      val frame = spark.read.parquet(dir.toString)
+      val rewritten =
+        if (layoutSort.isEmpty) frame.coalesce(k)
+        else frame.repartitionByRange(k, layoutSort: _*)
+          .sortWithinPartitions(layoutSort: _*)
+      rewritten.write.parquet(tmp.toString)
       // two-rename swap: a racing reader sees the old files or the new,
       // never a mix — though between the renames the partition is briefly
       // ABSENT (dir renames aren't jointly atomic; closing that window

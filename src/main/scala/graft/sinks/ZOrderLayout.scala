@@ -66,6 +66,36 @@ object ZOrderLayout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Re-interleave a z-ordered path in place (r13 — the z-layout's
+    * compaction): incremental appends land as stragglers OUTSIDE the
+    * curve order, and any file-count compaction that merely concatenates
+    * would blend full-range straggler rows into every output file,
+    * destroying the bounded-both-dimensions property the layout exists
+    * for. The only correct rewrite is the layout's own: re-run the
+    * z-ordered write over the whole path (one range exchange — the same
+    * cost class as the original layout job) into a sibling temp dir,
+    * then swap with two renames (the Compaction swap discipline: readers
+    * see old files or new, never a mix; the old dir survives until the
+    * new one is in place; brief-absence window documented there).
+    * ZOrderLayoutSpec pins that both single-dimension probes prune at
+    * least as well after compaction as on the fresh layout. */
+  def compactZOrdered(spark: org.apache.spark.sql.SparkSession, path: String,
+                      ca: String, cb: String, files: Int = 16,
+                      bits: Int = 21): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(dir), s"no z-layout at $path")
+    val tmp = new Path(dir.getParent, "." + dir.getName + ".z-compact-tmp")
+    val old = new Path(dir.getParent, "." + dir.getName + ".z-compact-old")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // stale crash leftover
+    if (fs.exists(old)) fs.delete(old, true)
+    writeZOrdered(spark.read.parquet(path), tmp.toString, ca, cb, files, bits)
+    require(fs.rename(dir, old), s"z-compaction swap failed: $dir -> $old")
+    require(fs.rename(tmp, dir), s"z-compaction swap failed: $tmp -> $dir")
+    fs.delete(old, true): Unit
+  }
+
   /** The AUTO path: rank-quantize both dimensions to `k` equi-depth
     * buckets first (one approxQuantile pass per column — sampled, cheap),
     * then interleave the bucket ids. This is how the curve stays BALANCED

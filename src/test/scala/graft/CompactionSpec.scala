@@ -78,4 +78,55 @@ class CompactionSpec extends SparkSpec {
     // leaves may carry .crc siblings locally — stats must count data files
     assert(st.forall(p => p.files == 8 && p.bytes > 0), s"$st")
   }
+
+  test("layout-aware compaction restores key pruning that coalesce-only destroys (r13)") {
+    // a key-clustered partition fragmented by 6 full-range appends: every
+    // file spans the whole id range, so a point probe decodes everything
+    import spark.implicits._
+    def mkClusteredFragmented(): (String, Long) = {
+      val base = Files.createTempDirectory("graft-compact-layout").toString
+      val leaf = s"$base/partition_date=2024-01-01"
+      (0 until 6).foreach { j =>
+        (0 until 4000 by 6).map(i => ((i + j).toLong, s"v${i + j}"))
+          .toDF("id", "payload")
+          .coalesce(1).write.mode("append").parquet(leaf)
+      }
+      (base, spark.read.parquet(base).count())
+    }
+    val sm = core.StageMetrics.attach(spark)
+    def probeRecs(base: String): Long = {
+      spark.read.parquet(base).filter(col("id") === 2022L).count() // warm
+      sm.measure {
+        spark.read.parquet(base).filter(col("id") === 2022L).count(): Unit
+      }.inputRecords
+    }
+
+    val (base, n) = mkClusteredFragmented()
+    val target = Compaction.stats(spark, base, "partition_date").head.bytes / 3
+    assert(probeRecs(base) >= n * 9 / 10,
+      "fixture must be fragmented full-range (probe decodes ~everything) " +
+        "or the contrast claim is void")
+
+    // the motivating defect: coalesce-only compaction CONCATENATES the
+    // full-range files — fewer files, same zero pruning
+    val (base2, _) = mkClusteredFragmented()
+    Compaction.compact(spark, base2, "partition_date", target)
+    assert(probeRecs(base2) >= n * 9 / 10,
+      "coalesce-only compaction of full-range files cannot prune — if it " +
+        "does, this pin's premise changed")
+
+    // the fix: range-repartitioned sorted rewrite — each output file a
+    // tight id range, point probe decodes ~1/k of the partition
+    val rewrites = Compaction.compact(spark, base, "partition_date", target,
+      layoutSort = Seq(col("id")))
+    assert(rewrites.nonEmpty && rewrites.head.filesAfter >= 2, s"$rewrites")
+    val after = probeRecs(base)
+    assert(after <= n / 2,
+      s"layout-compacted probe decoded $after of $n — pruning not restored")
+    // content untouched
+    assert(spark.read.parquet(base).select("id", "payload").collect()
+      .map(_.toString).sorted.toSeq ==
+      spark.read.parquet(base2).select("id", "payload").collect()
+        .map(_.toString).sorted.toSeq)
+  }
 }
