@@ -595,10 +595,11 @@ object Dedup {
         s"winsPre was built at k=${m.getLong("k")}, query asked for k=$k")
     }
     val wins = winsPre.getOrElse(substringWindows(docs, k))
-    // first-occurrence key: the hazard-free struct order (no packing
-    // stride to outgrow — a 1M+-token document would silently corrupt a
-    // doc_id*10^6+pos packing; the oracle elects over ROW(doc_id, pos),
-    // the same lexicographic order, since r13)
+    // first-occurrence key: the hazard-free struct order. The oracle
+    // packs doc_id*10^9+pos instead (identical order below a billion
+    // tokens/doc, GUARDED with error() past it — a struct MIN there
+    // OOM-kills DuckDB at the x30 rung, measured r13); the engine keeps
+    // the struct form, which Spark's agg handles fine distributed
     val packed = struct(col("doc_id"), col("pos"))
     // only hashes seen ≥2× matter to the dup check: filtering the election
     // table before the join-back shrinks its build side from |distinct

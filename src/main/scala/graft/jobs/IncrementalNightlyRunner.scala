@@ -144,11 +144,15 @@ object IncrementalNightlyRunner {
     val uRoot = userStateRoot(stateRoot)
     if (!MigrationRunner.currentVersion(spark, uRoot).contains("pre")) {
       val cut = AsOf.date(AsOf.orders).minusDays(days.toLong)
+      // persist for migrate's ~4 evaluations — the backfill summarize
+      // scans ALL history, the one slice that must not run four times
       val base = IncrementalUserFeatures.summarize(
-        beforeSlice(src.transactions, "created_at", cut))
-      val report = MigrationRunner.migrate(spark, base, uRoot, "pre",
-        IncrementalUserFeatures.grain)
-      require(report.switched, s"user-state bootstrap failed: $report")
+        beforeSlice(src.transactions, "created_at", cut)).persist()
+      try {
+        val report = MigrationRunner.migrate(spark, base, uRoot, "pre",
+          IncrementalUserFeatures.grain)
+        require(report.switched, s"user-state bootstrap failed: $report")
+      } finally base.unpersist()
     }
   }
 
@@ -181,12 +185,18 @@ object IncrementalNightlyRunner {
       val slice = daySlice(src.transactions, "created_at", day,
         Some(day.plusDays(1)),
         if (isLast) Some(AsOf.date(AsOf.orders)) else None)
+      // persist the fold for migrate's lifetime: its validation pass,
+      // copy, and symmetric reconciliation evaluate the source ~4× —
+      // without this each evaluation re-scans the previous state AND the
+      // day's delta (state-sized × 4 instead of × 1 + cached reads)
       val folded = IncrementalUserFeatures.applyDelta(
         MigrationRunner.current(spark, uRoot),
-        IncrementalUserFeatures.summarize(slice))
-      val report = MigrationRunner.migrate(spark, folded, uRoot, marker,
-        IncrementalUserFeatures.grain)
-      require(report.switched, s"user-state night $day failed: $report")
+        IncrementalUserFeatures.summarize(slice)).persist()
+      try {
+        val report = MigrationRunner.migrate(spark, folded, uRoot, marker,
+          IncrementalUserFeatures.grain)
+        require(report.switched, s"user-state night $day failed: $report")
+      } finally folded.unpersist()
     }
   }
 

@@ -1240,20 +1240,31 @@ object OracleSql {
        |WHERE prior_tokens < (CASE source $cases ELSE $defaultBudget END)""".stripMargin
   }
 
+  /** Shared first-occurrence packing for the span/substring elections:
+    * doc_id·10⁹ + pos orders identically to the engine's lexicographic
+    * MIN(STRUCT(doc_id, pos)) while pos < 10⁹ — a BILLION-token document —
+    * and the CASE raises (DuckDB error()) instead of silently electing
+    * wrong past that bound (r12 ADVICE). Why packed and not MIN(ROW(...)):
+    * a struct MIN over the ~90M-group election at the ×30 rung allocates
+    * far past DuckDB's memory limit (untracked, OOM-killed, measured r13);
+    * the BIGINT form is what the ×30 focused runs passed with. */
+  private val PackStride = 1000000000L
+  private def packedKey(doc: String, pos: String): String =
+    s"CASE WHEN $pos >= $PackStride THEN error('$pos overflows the " +
+      s"(doc_id, pos) packing stride $PackStride — widen it') " +
+      s"ELSE $doc * $PackStride + $pos END"
+
   /** Span-level exact dedup — mirrors ext/Dedup.spanDedup. First occurrence
-    * = MIN over ROW(doc_id, span_idx), the exact lexicographic order the
-    * engine's MIN(STRUCT(doc_id, span_idx)) uses — no packing stride to
-    * outgrow at any document length (the old doc_id*10^6+span_idx packing
-    * would elect a different first occurrence past 1M spans; r12 ADVICE). */
+    * = MIN over the guarded packed (doc_id, span_idx) key (see packedKey). */
   def spanDedup(spanTokens: Int): String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |e AS (SELECT doc_id, i AS span_idx,
        |    md5(array_to_string(toks[i*$spanTokens+1 : i*$spanTokens+$spanTokens], ' ')) AS h
        |  FROM t, unnest(generate_series(0,
        |    CAST(ceil(CAST(len(toks) AS DOUBLE) / $spanTokens) AS BIGINT) - 1)) AS u(i)),
-       |f AS (SELECT h, MIN(ROW(doc_id, span_idx)) AS first_key FROM e GROUP BY h),
+       |f AS (SELECT h, MIN(${packedKey("doc_id", "span_idx")}) AS first_key FROM e GROUP BY h),
        |j AS (SELECT e.doc_id,
-       |    CASE WHEN ROW(e.doc_id, e.span_idx) > f.first_key THEN 1 ELSE 0 END AS dup
+       |    CASE WHEN e.doc_id * $PackStride + e.span_idx > f.first_key THEN 1 ELSE 0 END AS dup
        |  FROM e JOIN f ON e.h = f.h)
        |SELECT doc_id, COUNT(*) AS n_spans,
        |  CAST(SUM(dup) AS BIGINT) AS dup_spans,
@@ -1268,11 +1279,11 @@ object OracleSql {
        |e AS (SELECT doc_id, i AS pos, md5(array_to_string(toks[i+1 : i+$k], ' ')) AS h
        |  FROM t, unnest(generate_series(0, len(toks) - $k)) AS u(i)
        |  WHERE len(toks) >= $k),
-       |f AS (SELECT h, MIN(ROW(doc_id, pos)) AS first_key FROM e
+       |f AS (SELECT h, MIN(${packedKey("doc_id", "pos")}) AS first_key FROM e
        |  GROUP BY h HAVING COUNT(*) > 1),
        |j AS (SELECT e.doc_id, e.pos, e.pos + $k AS e_end,
        |    CASE WHEN f.first_key IS NOT NULL
-       |      AND ROW(e.doc_id, e.pos) > f.first_key THEN 1 ELSE 0 END AS dup
+       |      AND e.doc_id * $PackStride + e.pos > f.first_key THEN 1 ELSE 0 END AS dup
        |  FROM e LEFT JOIN f ON e.h = f.h),
        |x AS (SELECT doc_id, pos, e_end, dup,
        |    MAX(CASE WHEN dup = 1 THEN e_end END) OVER (PARTITION BY doc_id

@@ -56,6 +56,10 @@ def main(sf_dir, out_dir):
     memlimit = os.environ.get("GRAFT_CHECK_MEMLIMIT")
     if memlimit:
         con.execute(f"SET memory_limit='{memlimit}'")
+        # row order is irrelevant (canon_rows sorts) and preserving it
+        # pins whole pipelines in memory — dropping it is what lets the
+        # big-rung window/join oracles actually spill
+        con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         # driver testdata ships single-file tables; GenScaled rungs are
         # Spark-written DIRECTORIES of part files — glob those
