@@ -45,6 +45,14 @@ object IncrementalNightBench {
     val spark = graft.core.Sessions.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    // a leftover workDir would skip the user-family fold on the measured
+    // night (its applied-day marker survives in the version history —
+    // exactly-once doing its job) and under-bill the incremental side;
+    // this bench always measures from a clean slate
+    val workPath = new org.apache.hadoop.fs.Path(work)
+    val workFs = workPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (workFs.exists(workPath)) workFs.delete(workPath, true)
+
     // ---- the production landing: every raw source date-partitioned ----
     def land(name: String, df: DataFrame, tsCol: String): DataFrame = {
       val path = s"$work/landing/$name"

@@ -179,7 +179,13 @@ object IncrementalNightlyRunner {
     val uRoot = userStateRoot(stateRoot)
     val day = AsOf.date(AsOf.orders).minusDays(days.toLong).plusDays(k.toLong)
     val marker = s"v$day${if (isLast) "-final" else ""}"
-    if (MigrationRunner.currentVersion(spark, uRoot).contains(marker)) {
+    // applied-day check against the full switchover HISTORY, not just the
+    // live pointer: a retry of an EARLIER night after later nights ran
+    // would see a newer pointer and re-apply (double-count) if only the
+    // current name were checked (r13 self-review finding)
+    val applied = MigrationRunner.currentVersion(spark, uRoot).contains(marker) ||
+      MigrationRunner.versionHistory(spark, uRoot).contains(marker)
+    if (applied) {
       System.err.println(s"[nightly] user-state day $day already applied — skipping (exactly-once)")
     } else {
       val slice = daySlice(src.transactions, "created_at", day,

@@ -215,6 +215,13 @@ object MigrationRunner {
   def currentVersion(spark: SparkSession, storeRoot: String): Option[String] =
     readPointer(spark, storeRoot)
 
+  /** The switchover creation lineage (every version name that ever went
+    * live, in order). Complements currentVersion for applied-work checks:
+    * a marker for an EARLIER unit of work is in the history even after
+    * later units moved the pointer past it. */
+  def versionHistory(spark: SparkSession, storeRoot: String): Seq[String] =
+    readHistory(spark, storeRoot)
+
   /** The live store per the CURRENT pointer (what readers resolve). */
   def current(spark: SparkSession, storeRoot: String): DataFrame = {
     val name = readPointer(spark, storeRoot)

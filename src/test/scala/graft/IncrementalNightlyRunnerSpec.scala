@@ -74,6 +74,19 @@ class IncrementalNightlyRunnerSpec extends SparkSpec {
     assert(MigrationRunner.currentVersion(spark, s"$stateRoot/user_state") == marker,
       "user-state pointer moved on replay — exactly-once marker failed")
     assert(rows(after._1) == snap._1, "user features changed on replay")
+
+    // the harder retry: an EARLIER night replays after later nights ran —
+    // its marker is no longer the live pointer, only a HISTORY entry; a
+    // current-name-only check would re-apply the fold and double-count
+    // (r13 self-review finding)
+    Nightly.night(spark, src, stateRoot, days, 0)
+    val after2 = Nightly.features(spark, src, stateRoot)
+    assert(MigrationRunner.currentVersion(spark, s"$stateRoot/user_state") == marker,
+      "user-state pointer moved on an out-of-order replay")
+    assert(rows(after2._1) == snap._1,
+      "user features changed on an out-of-order replay — the fold re-applied")
+    assert(rows(after2._2) == snap._2 && rows(after2._3) == snap._3,
+      "day-states must also be invariant under out-of-order replay")
   }
 
   test("a fresh JVM-equivalent reader (pure parquet, no session cache) sees the same states") {
