@@ -222,9 +222,16 @@ object Bench {
     // print AFTER spark.stop(): the contract line must be the child's
     // LAST stdout line (shutdown logging rides stderr, but belt and
     // braces) — combined with build.sbt's StdoutOutput (no "[info] "
-    // prefix on forked-run output) this is what the driver's parser sees
-    spark.stop()
-    println(line)
-    System.out.flush()
+    // prefix on forked-run output) this is what the driver's parser sees.
+    // try/finally: a throwing stop() (Spark shutdown is not above that)
+    // must not discard a completed 35-second run's only output (r13
+    // review) — losing the line IS the parsed:null failure mode again
+    try spark.stop()
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] spark.stop() failed (line still printed): $e") }
+    finally {
+      println(line)
+      System.out.flush()
+    }
   }
 }

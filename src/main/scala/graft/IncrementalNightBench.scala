@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 import graft.core.{AsOf, Roles, StageMetrics}
 import graft.jobs.{IncrementalNightlyRunner => Nightly, RiskFeaturesJob,
   TransactionFeaturesJob, UserFeaturesJob}
-import graft.sinks.MergeByKey
 
 /** Measures THE claim behind the incremental families (PERF.md row): what
   * one nightly run costs incrementally vs as a full recompute, at a scale
@@ -53,15 +52,10 @@ object IncrementalNightBench {
     val workFs = workPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (workFs.exists(workPath)) workFs.delete(workPath, true)
 
-    // ---- the production landing: every raw source date-partitioned ----
-    def land(name: String, df: DataFrame, tsCol: String): DataFrame = {
-      val path = s"$work/landing/$name"
-      MergeByKey.overwritePartitions(
-        df.withColumn("p_day", to_date(col(tsCol)))
-          .repartitionByRange(col("p_day"), col("user_id")),
-        path, "p_day")
-      spark.read.parquet(path)
-    }
+    // ---- the production landing: every raw source date-partitioned,
+    // via the runner's own shared builder (one landing idiom, one place) ----
+    def land(name: String, df: DataFrame, tsCol: String): DataFrame =
+      Nightly.landEventDay(df, tsCol, s"$work/landing/$name")
     val src = Nightly.Sources(
       transactions = land("transactions", Roles.transactions(spark, sfDir), "created_at"),
       payments = land("payments", Roles.payments(spark, sfDir), "created_at"),
@@ -116,11 +110,11 @@ object IncrementalNightBench {
     //     own slices) — the term that replaces the window rescans
     def taggedSlice(tsCol: String, anchor: java.time.Instant,
                     df: DataFrame): DataFrame = {
-      def dl(d: java.time.LocalDate) = lit(java.sql.Date.valueOf(d))
       val day = AsOf.date(anchor).minusDays(1L) // days-1 = last night's day
-      def pred(c: org.apache.spark.sql.Column) =
-        (c >= dl(day) && c < dl(day.plusDays(1))) || c >= dl(AsOf.date(anchor))
-      df.filter(pred(col("p_day")) && pred(col(tsCol)))
+      // the runner's OWN slice helper — the probe measures exactly what
+      // night() scans, not a re-implementation of it
+      Nightly.daySlice(df, tsCol, day, Some(day.plusDays(1)),
+        Some(AsOf.date(anchor)))
     }
     val (deltaRawRecs, _) = timed {
       taggedSlice("created_at", AsOf.orders, src.transactions).count()

@@ -43,7 +43,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // subset runs emit only the subset's oracles: a full oracle_sql.json
+    // next to a partial dump would make a later check.py (without an
+    // exactly-matching GRAFT_CHECK_ONLY) spurious-fail every omitted
+    // query on its missing parquet (review finding, r13)
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => subset.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

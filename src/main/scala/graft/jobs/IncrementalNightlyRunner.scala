@@ -91,6 +91,20 @@ object IncrementalNightlyRunner {
     * any production ingest write it as to_date(tsCol)). */
   val LandingPartCol = "p_day"
 
+  /** THE landing builder — write `df` date-partitioned by the convention
+    * (p_day = to_date of its event-time column), range-partitioned on
+    * (p_day, user_id) for file hygiene, and read it back. The bench and
+    * the specs share this so the landing construction and daySlice's
+    * pruning idiom exist exactly once (review finding, r13: three
+    * hand-maintained copies had crept in). */
+  def landEventDay(df: DataFrame, tsCol: String, path: String): DataFrame = {
+    MergeByKey.overwritePartitions(
+      df.withColumn(LandingPartCol, to_date(col(tsCol)))
+        .repartitionByRange(col(LandingPartCol), col("user_id")),
+      path, LandingPartCol)
+    df.sparkSession.read.parquet(path)
+  }
+
   /** Slice predicate on the event-time column, with the SAME bounds
     * repeated on the landing's partition column when present — the
     * standard warehouse idiom: the event-time predicate is the semantic
@@ -99,9 +113,9 @@ object IncrementalNightlyRunner {
     * pushdown — e.g. INT96 — and partition pruning is type-independent
     * and happens before any I/O). p_day = to_date(tsCol) by construction,
     * so the added conjunct never changes results. */
-  private def daySlice(df: DataFrame, tsCol: String, from: LocalDate,
-                       until: Option[LocalDate],
-                       orFrom: Option[LocalDate]): DataFrame = {
+  private[graft] def daySlice(df: DataFrame, tsCol: String, from: LocalDate,
+                              until: Option[LocalDate],
+                              orFrom: Option[LocalDate]): DataFrame = {
     def pred(c: org.apache.spark.sql.Column) = {
       val base = until.fold(c >= dayLit(from))(u =>
         c >= dayLit(from) && c < dayLit(u))
@@ -120,6 +134,45 @@ object IncrementalNightlyRunner {
       df.filter(col(LandingPartCol) < dayLit(cut) && col(tsCol) < dayLit(cut))
     else df.filter(col(tsCol) < dayLit(cut))
 
+  /** The p_day convention is BY NAME, so a landing partitioned by some
+    * OTHER day (arrival day is the classic) would silently satisfy the
+    * column check while daySlice's partition predicates drop late rows
+    * forever (review finding, r13). Bootstrap — the one pass that scans
+    * all history anyway — piggybacks a violation counter on the backfill
+    * via observe() (zero extra scans) and `verify` fails the run loud if
+    * any scanned row has p_day ≠ to_date(tsCol). The CollectMetrics node
+    * sits BELOW the slice filter, so the check covers the whole landing
+    * (and, since filters don't push through it, bootstrap reads the full
+    * source — at scale that is ~what the < cut backfill reads anyway, and
+    * full coverage is exactly what a one-time validation wants). A
+    * day-partition-pruned nightly scan could never see the late rows
+    * whose loss this guards against. Residual honesty: a
+    * landing whose semantics change AFTER bootstrap is not re-checked
+    * nightly; re-run bootstrap (idempotent) to re-validate. */
+  private def pdayGuard(df: DataFrame, tsCol: String)
+      : (DataFrame, Option[org.apache.spark.sql.Observation]) =
+    if (!df.columns.contains(LandingPartCol)) (df, None)
+    else {
+      val obs = org.apache.spark.sql.Observation()
+      (df.observe(obs,
+        sum(when(col(LandingPartCol) =!= to_date(col(tsCol)), 1L)
+          .otherwise(0L)).as("pday_violations")), Some(obs))
+    }
+
+  private def verifyPdayGuard(name: String, tsCol: String,
+                              obs: Option[org.apache.spark.sql.Observation]): Unit =
+    obs.foreach { o =>
+      val bad = Option(o.get.getOrElse("pday_violations", 0L))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      require(bad == 0L,
+        s"$name landing violates the $LandingPartCol convention: $bad rows " +
+          s"have $LandingPartCol != to_date($tsCol). The runner's day " +
+          "slices prune on p_day assuming EVENT-day partitioning; an " +
+          "arrival-day (or other) layout would silently lose late rows. " +
+          "Re-land the source partitioned by to_date of its event-time " +
+          "column, or drop/rename the p_day column to opt out of pruning.")
+    }
+
   /** Initial backfill: every day-grain family summarized over rows strictly
     * before (its anchor − days); the user family's running totals likewise,
     * committed as version "pre" (no day folded yet). Idempotent — dynamic
@@ -129,6 +182,8 @@ object IncrementalNightlyRunner {
                 days: Int): Unit = {
     families.foreach { f =>
       val cut = AsOf.date(f.anchor).minusDays(days.toLong)
+      // the p_day-convention guard rides the backfill scan (see pdayGuard)
+      val (guarded, obs) = pdayGuard(f.src(src), f.tsCol)
       // file hygiene for the one-off backfill: it spans EVERY history day,
       // and a grain-hashed summary would write (tasks × days) slivers; a
       // range partitioning on (day, user) keeps files ≈ max(days, tasks)
@@ -137,12 +192,21 @@ object IncrementalNightlyRunner {
       // The nightly writes stay grain-hashed — one day, bounded files,
       // and sinks/Compaction owns long-horizon accumulation.
       MergeByKey.overwritePartitions(
-        f.summarize(beforeSlice(f.src(src), f.tsCol, cut))
+        f.summarize(beforeSlice(guarded, f.tsCol, cut))
           .repartitionByRange(col(f.partCol), col("user_id")),
         s"$stateRoot/${f.name}", f.partCol)
+      verifyPdayGuard(f.name, f.tsCol, obs)
     }
     val uRoot = userStateRoot(stateRoot)
-    if (!MigrationRunner.currentVersion(spark, uRoot).contains("pre")) {
+    // applied-work check against HISTORY, exactly like night(): after the
+    // nights run, CURRENT points at v<day>-final, and a current-only check
+    // would re-migrate "pre" — swinging the pointer BACK to the baseline
+    // while every night fold then skips on its own history marker, i.e.
+    // silently publishing pre-ladder user features (review finding, r13)
+    val preApplied =
+      MigrationRunner.currentVersion(spark, uRoot).contains("pre") ||
+        MigrationRunner.versionHistory(spark, uRoot).contains("pre")
+    if (!preApplied) {
       val cut = AsOf.date(AsOf.orders).minusDays(days.toLong)
       // persist for migrate's ~4 evaluations — the backfill summarize
       // scans ALL history, the one slice that must not run four times

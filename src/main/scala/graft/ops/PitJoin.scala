@@ -296,9 +296,19 @@ object PitJoin {
   // plan identity per JVM — the auto consult must not re-run its histogram
   // job on every matrix build over the same frames (same lifetime
   // discipline as FeatureCache: dies with the session, never stale across
-  // code changes)
+  // code changes). Two consequences callers should know (review, r13):
+  // (1) auto mode runs the histogram JOB at matrix-BUILD time, not first
+  // action — building a plan purely for inspection pays one keys-sized
+  // aggregate; pass rangeSecs explicitly to stay lazy; (2) the cache key
+  // is the ANALYZED-plan identity, which does not see new files appended
+  // under an already-read path — a long-lived session folding new data
+  // under the same frames should clearStrategyCache() (or pass rangeSecs)
+  // when the key distribution may have shifted.
   private val strategyCache =
     new java.util.concurrent.ConcurrentHashMap[String, Strategy]
+
+  /** Drop every memoized auto-strategy decision (see cache notes above). */
+  def clearStrategyCache(): Unit = strategyCache.clear()
 
   private def recommendCached(probes: DataFrame, key: String, probeTs: String,
                               facts: Seq[WideFact],

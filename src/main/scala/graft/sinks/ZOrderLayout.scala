@@ -85,10 +85,27 @@ object ZOrderLayout {
     import org.apache.hadoop.fs.Path
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(dir), s"no z-layout at $path")
     val tmp = new Path(dir.getParent, "." + dir.getName + ".z-compact-tmp")
     val old = new Path(dir.getParent, "." + dir.getName + ".z-compact-old")
-    if (fs.exists(tmp)) fs.delete(tmp, true) // stale crash leftover
+    // self-healing retry (review finding, r13): unlike Compaction's
+    // per-partition swap, this one moves the WHOLE table root — a crash
+    // between the two renames leaves the path absent until someone acts.
+    // A re-run must finish the interrupted swap, not abort on the missing
+    // dir: tmp was fully written before the first rename ever ran, so
+    // tmp-present → complete forward (rename tmp in, drop old); otherwise
+    // old-present → roll back (rename old in) and redo normally.
+    if (!fs.exists(dir)) {
+      if (fs.exists(tmp)) {
+        require(fs.rename(tmp, dir), s"z-compaction recovery failed: $tmp -> $dir")
+        if (fs.exists(old)) fs.delete(old, true)
+        return
+      }
+      if (fs.exists(old)) {
+        require(fs.rename(old, dir), s"z-compaction rollback failed: $old -> $dir")
+      }
+    }
+    require(fs.exists(dir), s"no z-layout at $path")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // stale partial write
     if (fs.exists(old)) fs.delete(old, true)
     writeZOrdered(spark.read.parquet(path), tmp.toString, ca, cb, files, bits)
     require(fs.rename(dir, old), s"z-compaction swap failed: $dir -> $old")

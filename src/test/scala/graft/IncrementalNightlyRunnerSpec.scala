@@ -87,6 +87,71 @@ class IncrementalNightlyRunnerSpec extends SparkSpec {
       "user features changed on an out-of-order replay — the fold re-applied")
     assert(rows(after2._2) == snap._2 && rows(after2._3) == snap._3,
       "day-states must also be invariant under out-of-order replay")
+
+    // the r13 review's critical find: re-running BOOTSTRAP on a laddered
+    // stateRoot must not re-migrate "pre" and swing the pointer back to
+    // the baseline (current-only check would: live is v<day>-final, not
+    // "pre") — the whole runIncremental retry rests on this
+    Nightly.bootstrap(spark, src, stateRoot, days)
+    assert(MigrationRunner.currentVersion(spark, s"$stateRoot/user_state") == marker,
+      "bootstrap re-run reset the user state to the pre-ladder baseline")
+    val after3 = Nightly.features(spark, src, stateRoot)
+    assert(rows(after3._1) == snap._1 && rows(after3._2) == snap._2 &&
+      rows(after3._3) == snap._3,
+      "features changed after a bootstrap re-run on a laddered state root")
+  }
+
+  test("bootstrap rejects a landing whose p_day is NOT the event day (arrival-day layout)") {
+    // p_day is a BY-NAME convention; an arrival-day-partitioned landing
+    // would silently lose late rows to daySlice's partition predicates —
+    // bootstrap's observe()-guard must fail it loud instead
+    import spark.implicits._
+    val stateRoot = freshDir("nightly-badpday")
+    val flat = Nightly.Sources.fromDir(spark, sf0001)
+    // shift every partition label one day forward: arrival-day semantics
+    val badPath = freshDir("nightly-badlanding") + "/tx"
+    graft.sinks.MergeByKey.overwritePartitions(
+      flat.transactions
+        .withColumn("p_day", date_add(to_date(col("created_at")), 1)),
+      badPath, "p_day")
+    val bad = flat.copy(transactions = spark.read.parquet(badPath))
+    val e = intercept[IllegalArgumentException] {
+      Nightly.bootstrap(spark, bad, stateRoot, 3)
+    }
+    assert(e.getMessage.contains("violates the p_day convention"), e.getMessage)
+  }
+
+  test("records pin: a night over a date-partitioned landing reads a fraction of a flat-source night") {
+    // the scan-budget discipline at the runner level: daySlice's redundant
+    // p_day predicates must make the delta scans PHYSICALLY day-pruned —
+    // measured as task-metric records, the level that cannot lie
+    def landed(name: String, df: org.apache.spark.sql.DataFrame,
+               tsCol: String, root: String): org.apache.spark.sql.DataFrame =
+      Nightly.landEventDay(df, tsCol, s"$root/$name")
+    val root = freshDir("nightly-landing")
+    val flat = Nightly.Sources.fromDir(spark, sf0001)
+    val land = Nightly.Sources(
+      transactions = landed("tx", flat.transactions, "created_at", root),
+      payments = landed("pay", flat.payments, "created_at", root),
+      logins = landed("log", flat.logins, "created_at", root),
+      alerts = landed("al", flat.alerts, "created_at", root),
+      credit = landed("cr", flat.credit, "report_date", root),
+      scores = landed("sc", flat.scores, "computed_at", root),
+      users = flat.users)
+
+    val sm = core.StageMetrics.attach(spark)
+    def nightRecords(src: Nightly.Sources, tag: String): Long = {
+      val stateRoot = freshDir(s"nightly-recs-$tag")
+      Nightly.bootstrap(spark, src, stateRoot, 3)
+      Nightly.night(spark, src, stateRoot, 3, 0)
+      // measure a MIDDLE night (pure one-day deltas, no tail)
+      sm.measure { Nightly.night(spark, src, stateRoot, 3, 1) }.inputRecords
+    }
+    val flatRecs = nightRecords(flat, "flat")
+    val landRecs = nightRecords(land, "land")
+    assert(landRecs < flatRecs / 2,
+      s"a landed night read $landRecs records vs $flatRecs flat — the " +
+        "p_day partition predicates are not pruning")
   }
 
   test("a fresh JVM-equivalent reader (pure parquet, no session cache) sees the same states") {

@@ -113,4 +113,30 @@ class ZOrderLayoutSpec extends SparkSpec {
     val evSum = ev.agg(sum(col("value").cast("decimal(18,6)"))).head.getDecimal(0)
     assert(zSum == evSum, "z-compaction rows diverge from the source")
   }
+
+  test("z-compaction retry self-heals a crash between the two renames (r13 review)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-zcrash").toString
+    val dir = s"$base/t"
+    val df = (0 until 500).map(i => (i.toLong % 32, i.toLong % 30, i * 1.0))
+      .toDF("user_id", "day", "value")
+    ZOrderLayout.writeZOrdered(df, dir, "user_id", "day", files = 4)
+    val n = spark.read.parquet(dir).count()
+
+    // simulate the crash window: tmp fully written, dir renamed away,
+    // second rename never ran — the table path is ABSENT
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, ".t.z-compact-tmp")
+    val old = new org.apache.hadoop.fs.Path(p.getParent, ".t.z-compact-old")
+    ZOrderLayout.writeZOrdered(spark.read.parquet(dir), tmp.toString,
+      "user_id", "day", files = 4)
+    assert(fs.rename(p, old))
+    assert(!fs.exists(p), "crash window: table path absent")
+
+    // the retry must complete the swap forward, not abort on the missing dir
+    ZOrderLayout.compactZOrdered(spark, dir, "user_id", "day", files = 4)
+    assert(spark.read.parquet(dir).count() == n, "recovered table lost rows")
+    assert(!fs.exists(tmp) && !fs.exists(old), "recovery left swap debris")
+  }
 }

@@ -150,6 +150,14 @@ def decomposed_cc(con, sql, name):
     allocation OOMs DuckDB at big rungs; nothing about the ORACLE's
     semantics needs it — CC labels with min-id keepers are exactly what
     union-find computes."""
+    # ONLY the two plain-cluster queries have the (id, keeper, size) shape
+    # this reimplements; dedup_cluster_keepers also matches the OOM
+    # heuristic ('reach(' in sql) but needs the documents quality join —
+    # routing it here would emit a wrong schema and report a misleading
+    # cell mismatch instead of the real problem (review finding, r13)
+    assert name in ("semantic_clusters", "dedup_clusters"), (
+        f"{name}: decomposed CC oracle supports only semantic_clusters / "
+        "dedup_clusters (keeper-quality elections need the recursive oracle)")
     marker = "edges AS ("
     i = sql.find(marker)
     assert i >= 0, f"{name}: no '{marker}' CTE to cut at — not a CC oracle"
