@@ -154,6 +154,32 @@ class IncrementalNightlyRunnerSpec extends SparkSpec {
         "p_day partition predicates are not pruning")
   }
 
+  test("records pin: reading features prunes the state to its day windows (not a full state scan)") {
+    // the OTHER half of the read economy: the nightly features read must
+    // re-aggregate only the 31-day window of SUMMARY rows — `day` IS the
+    // state table's partition column, so the in31 filter partition-prunes.
+    // ~2400 history days at this corpus: a full-state scan would read
+    // ~77x the window.
+    val stateRoot = freshDir("nightly-stateprune")
+    val src = Nightly.Sources.fromDir(spark, sf0001)
+    Nightly.bootstrap(spark, src, stateRoot, 3)
+    (0 until 3).foreach(k => Nightly.night(spark, src, stateRoot, 3, k))
+    val stateTotal = spark.read.parquet(s"$stateRoot/tx_state").count()
+    val usersTotal = src.users.count()
+    val sm = core.StageMetrics.attach(spark)
+    val tf = graft.jobs.IncrementalTransactionFeatures.featuresFromState(
+      spark.read.parquet(s"$stateRoot/tx_state"), src.users,
+      graft.core.AsOf.orders)
+    tf.count() // warm
+    val recs = sm.measure { tf.count(): Unit }.inputRecords
+    // budget: the 31d state window (a sliver of stateTotal) + two users
+    // reads (stats probe + active set) + slack; a full state scan would
+    // blow straight past this
+    assert(recs < stateTotal / 3 + 2 * usersTotal + 100,
+      s"tx features read $recs records against a $stateTotal-row state " +
+        s"($usersTotal users) — the day filter is not partition-pruning")
+  }
+
   test("a fresh JVM-equivalent reader (pure parquet, no session cache) sees the same states") {
     // features() reads ONLY from stateRoot paths + the CURRENT pointer —
     // prove it by reading the state files directly and recomputing one
