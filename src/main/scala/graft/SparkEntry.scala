@@ -24,7 +24,7 @@ object SparkEntry {
     * parquet NTZ inference, and an unmatched NTZ column would reach the
     * driver's compare as a raw microsecond timestamp while the DuckDB
     * oracle emits a formatted string — rows/schema green, hash red. */
-  private def canon(df: DataFrame): DataFrame =
+  private[graft] def canon(df: DataFrame): DataFrame =
     df.select(df.schema.fields.map { f =>
       f.dataType match {
         case TimestampType | TimestampNTZType =>

@@ -115,16 +115,59 @@ object IncrementalNightlyRunner {
     * so the added conjunct never changes results. */
   private[graft] def daySlice(df: DataFrame, tsCol: String, from: LocalDate,
                               until: Option[LocalDate],
-                              orFrom: Option[LocalDate]): DataFrame = {
+                              orFrom: Option[LocalDate]): DataFrame =
+    daySliceGuarded(df, tsCol, from, until, orFrom)._1
+
+  /** daySlice with the NIGHTLY p_day re-validation rider (VERDICT r13 next
+    * #5): bootstrap validates the whole landing once, but a landing whose
+    * semantics change AFTERWARDS (re-landed under arrival-day partitioning,
+    * say) was previously only caught by re-running bootstrap. The night
+    * scans its day's partitions anyway, so the check is free for exactly
+    * those rows: filter on the PARTITION column first (that alone prunes
+    * directories), observe p_day ≠ to_date(tsCol) violations on the pruned
+    * rows, then apply the event-time predicate ABOVE the observation —
+    * placing it below would hide precisely the mislabeled rows (p_day in
+    * range, ts outside) whose silent loss the rider exists to catch. The
+    * ts conjunct no longer reaches the parquet row groups, but within an
+    * event-day partition every row matches it anyway (p_day = to_date(ts)
+    * when the convention holds), so the records economy is unchanged —
+    * IncrementalNightlyRunnerSpec's landed-vs-flat records pin stays the
+    * proof. */
+  /** The rider's handle: the free observe() counter plus an explicit
+    * day-partition-bounded recount. The recount exists because observed
+    * metrics can be LOST to AQE's empty-relation propagation: when a
+    * night's summary aggregates to zero rows (e.g. every scanned row was
+    * mislabeled and the event-time conjunct dropped them all — exactly
+    * the corruption case), AQE replaces the executed subtree with an
+    * empty relation and the CollectMetrics node's result never reaches
+    * the Observation (verified empirically: Observation.get completes
+    * with an EMPTY map). verifyPdayGuard falls back to the recount only
+    * in that case — one scan bounded by the day's partitions, paid only
+    * on empty nights. */
+  private[graft] final case class PdayRider(
+    obs: org.apache.spark.sql.Observation, recount: () => Long)
+
+  private[graft] def daySliceGuarded(df: DataFrame, tsCol: String,
+                                     from: LocalDate, until: Option[LocalDate],
+                                     orFrom: Option[LocalDate])
+      : (DataFrame, Option[PdayRider]) = {
     def pred(c: org.apache.spark.sql.Column) = {
       val base = until.fold(c >= dayLit(from))(u =>
         c >= dayLit(from) && c < dayLit(u))
       orFrom.fold(base)(t => base || c >= dayLit(t))
     }
     val byTs = pred(col(tsCol))
-    if (df.columns.contains(LandingPartCol))
-      df.filter(pred(col(LandingPartCol)) && byTs)
-    else df.filter(byTs)
+    if (df.columns.contains(LandingPartCol)) {
+      val obs = org.apache.spark.sql.Observation()
+      val violations =
+        sum(when(col(LandingPartCol) =!= to_date(col(tsCol)), 1L)
+          .otherwise(0L)).as("pday_violations")
+      val pruned = df.filter(pred(col(LandingPartCol)))
+      val recount = () => Option(pruned.agg(violations).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      (pruned.observe(obs, violations).filter(byTs),
+        Some(PdayRider(obs, recount)))
+    } else (df.filter(byTs), None)
   }
 
   /** Everything strictly BEFORE `cut` (bootstrap slices). */
@@ -150,20 +193,29 @@ object IncrementalNightlyRunner {
     * landing whose semantics change AFTER bootstrap is not re-checked
     * nightly; re-run bootstrap (idempotent) to re-validate. */
   private def pdayGuard(df: DataFrame, tsCol: String)
-      : (DataFrame, Option[org.apache.spark.sql.Observation]) =
+      : (DataFrame, Option[PdayRider]) =
     if (!df.columns.contains(LandingPartCol)) (df, None)
     else {
       val obs = org.apache.spark.sql.Observation()
-      (df.observe(obs,
+      val violations =
         sum(when(col(LandingPartCol) =!= to_date(col(tsCol)), 1L)
-          .otherwise(0L)).as("pday_violations")), Some(obs))
+          .otherwise(0L)).as("pday_violations")
+      // fallback recount only fires when the backfill summary was EMPTY
+      // (see PdayRider) — the frame it re-scans is ~empty in that case
+      val recount = () => Option(df.agg(violations).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      (df.observe(obs, violations), Some(PdayRider(obs, recount)))
     }
 
   private def verifyPdayGuard(name: String, tsCol: String,
-                              obs: Option[org.apache.spark.sql.Observation]): Unit =
-    obs.foreach { o =>
-      val bad = Option(o.get.getOrElse("pday_violations", 0L))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
+                              rider: Option[PdayRider]): Unit =
+    rider.foreach { r =>
+      val metrics = r.obs.get
+      val bad =
+        if (metrics.contains("pday_violations"))
+          Option(metrics("pday_violations")).map(_.asInstanceOf[Long])
+            .getOrElse(0L)
+        else r.recount() // metrics lost to AQE empty-relation propagation
       require(bad == 0L,
         s"$name landing violates the $LandingPartCol convention: $bad rows " +
           s"have $LandingPartCol != to_date($tsCol). The runner's day " +
@@ -224,22 +276,49 @@ object IncrementalNightlyRunner {
     * night (k == days−1) additionally folds the anchor-day-and-later tail,
     * closing the ladder. Day families: one dynamic partition overwrite
     * each (replay-idempotent). User family: exactly-once via the version
-    * name (see object scaladoc); a replayed night logs and skips. */
+    * name (see object scaladoc); a replayed night logs and skips.
+    *
+    * Split into the two delivery-contract halves so the crash-soak specs
+    * can construct a night killed between them (VERDICT r13 next #3) —
+    * production calls this composed form. */
   def night(spark: SparkSession, src: Sources, stateRoot: String,
             days: Int, k: Int): Unit = {
+    nightDayFamilies(spark, src, stateRoot, days, k)
+    nightUserFold(spark, src, stateRoot, days, k)
+  }
+
+  /** The day-grain half of `night`: one dynamic partition overwrite per
+    * family. `limit` bounds how many families run — the crash-soak spec's
+    * "killed between partition writes" state; replay-idempotent, so a
+    * retry of the full night converges from any prefix. */
+  private[graft] def nightDayFamilies(spark: SparkSession, src: Sources,
+                                      stateRoot: String, days: Int, k: Int,
+                                      limit: Int = Int.MaxValue): Unit = {
     require(k >= 0 && k < days, s"night $k outside ladder of $days")
     val isLast = k == days - 1
-
-    families.foreach { f =>
+    families.take(limit).foreach { f =>
       val day = AsOf.date(f.anchor).minusDays(days.toLong).plusDays(k.toLong)
       // day k — the last night also folds the anchor-day-and-later tail
       // (the batch jobs' scans have no upper bound), as one pushable range
-      val slice = daySlice(f.src(src), f.tsCol, day, Some(day.plusDays(1)),
+      val (slice, obs) = daySliceGuarded(f.src(src), f.tsCol, day,
+        Some(day.plusDays(1)),
         if (isLast) Some(AsOf.date(f.anchor)) else None)
       MergeByKey.overwritePartitions(
         f.summarize(slice), s"$stateRoot/${f.name}", f.partCol)
+      // nightly p_day re-validation rider: the write above already scanned
+      // the day's partitions; fail the night loud if any scanned row
+      // violates the event-day convention (see daySliceGuarded)
+      verifyPdayGuard(f.name, f.tsCol, obs)
     }
+  }
 
+  /** The user-family half of `night`: the additive fold, committed behind
+    * the version-name marker (exactly-once; see object scaladoc). */
+  private[graft] def nightUserFold(spark: SparkSession, src: Sources,
+                                   stateRoot: String, days: Int,
+                                   k: Int): Unit = {
+    require(k >= 0 && k < days, s"night $k outside ladder of $days")
+    val isLast = k == days - 1
     val uRoot = userStateRoot(stateRoot)
     val day = AsOf.date(AsOf.orders).minusDays(days.toLong).plusDays(k.toLong)
     val marker = s"v$day${if (isLast) "-final" else ""}"
@@ -252,7 +331,23 @@ object IncrementalNightlyRunner {
     if (applied) {
       System.err.println(s"[nightly] user-state day $day already applied — skipping (exactly-once)")
     } else {
-      val slice = daySlice(src.transactions, "created_at", day,
+      // GAP guard (r13 ADVICE): the marker prevents RE-application but a
+      // scheduler that skipped a failed night and ran the next would fold
+      // day k onto a state missing day k−1 — permanently under-counting,
+      // with the eventual "-final" marker making it look complete. Require
+      // the PREDECESSOR marker ("pre" for night 0, v<day−1> otherwise) in
+      // the pointer-or-history, the same surface the replay check trusts.
+      // (Night k−1 is never the last night, so its marker is unsuffixed.)
+      val predecessor = if (k == 0) "pre" else s"v${day.minusDays(1L)}"
+      val predApplied =
+        MigrationRunner.currentVersion(spark, uRoot).contains(predecessor) ||
+          MigrationRunner.versionHistory(spark, uRoot).contains(predecessor)
+      require(predApplied,
+        s"night $day cannot fold: predecessor user-state '$predecessor' " +
+          "was never applied (a skipped night would silently under-count " +
+          "the additive totals forever). Re-run the missing night first — " +
+          "replays are exactly-once, so re-running the whole ladder is safe.")
+      val (slice, obs) = daySliceGuarded(src.transactions, "created_at", day,
         Some(day.plusDays(1)),
         if (isLast) Some(AsOf.date(AsOf.orders)) else None)
       // persist the fold for migrate's lifetime: its validation pass,
@@ -266,6 +361,12 @@ object IncrementalNightlyRunner {
         val report = MigrationRunner.migrate(spark, folded, uRoot, marker,
           IncrementalUserFeatures.grain)
         require(report.switched, s"user-state night $day failed: $report")
+        // nightly p_day rider on the fold's own day slice (free: migrate's
+        // validation pass already scanned it). Checked only AFTER the
+        // switchover: a violation aborts the run rather than the data —
+        // the day families above failed the night first if the landing
+        // itself is bad, since they scan the same day earlier.
+        verifyPdayGuard("user_state", "created_at", obs)
       } finally folded.unpersist()
     }
   }

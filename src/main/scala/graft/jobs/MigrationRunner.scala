@@ -151,6 +151,24 @@ object MigrationRunner {
     MigrationReport(ns, nt, ns == nt, mismatches, ok)
   }
 
+  /** Swing CURRENT at an existing version directory WITHOUT migrate's
+    * validation pass — for maintenance rewrites (compaction) whose content
+    * checks live with the caller: the rewrite is derived from the live
+    * version in the same job, so count+sample reconciliation against it
+    * would re-scan what was just written. Appends to HISTORY like any
+    * switchover, so rollback lineage stays intact. The pointer write is
+    * atomic (see writeFileAtomic): a reader resolving `current` sees the
+    * old version or the new, never a torn pointer or an absent table —
+    * this is what closes the two-rename swap's brief-absence window for
+    * pointered layouts (sinks/Compaction.compactPointered,
+    * sinks/ZOrderLayout.compactZOrderedVersioned). */
+  def publish(spark: SparkSession, storeRoot: String, name: String): Unit = {
+    require(fs(spark, storeRoot).exists(new Path(s"$storeRoot/$name")),
+      s"cannot publish '$name': $storeRoot/$name does not exist")
+    writePointerAtomic(spark, storeRoot, name)
+    appendHistory(spark, storeRoot, name)
+  }
+
   /** First version name of the form base / base-1 / base-2… that is neither
     * the live store nor an existing directory — re-running a batch with the
     * same base (e.g. the same runDate) gets a fresh version instead of

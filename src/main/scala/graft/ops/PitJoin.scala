@@ -313,8 +313,14 @@ object PitJoin {
   private def recommendCached(probes: DataFrame, key: String, probeTs: String,
                               facts: Seq[WideFact],
                               targetRowsPerTask: Long): Strategy = {
-    val k = (probes.queryExecution.analyzed.semanticHash() +:
-      facts.map(_.df.queryExecution.analyzed.semanticHash()))
+    // each fact's OWN key/ts column names ride the key alongside its plan
+    // hash: recommendStrategy unions per-fact (f.key, f.ts) projections, so
+    // two matrices over the SAME frames with different fact key/ts columns
+    // are different histograms and must not share a memoized Strategy
+    // (r13 ADVICE)
+    val k = (probes.queryExecution.analyzed.semanticHash().toString +:
+      facts.map(f =>
+        s"${f.key}:${f.ts}:${f.df.queryExecution.analyzed.semanticHash()}"))
       .mkString(s"$key|$probeTs|$targetRowsPerTask|", ",", "")
     strategyCache.computeIfAbsent(k,
       _ => recommendStrategy(probes, key, probeTs, facts, targetRowsPerTask))

@@ -129,4 +129,95 @@ class CompactionSpec extends SparkSpec {
       spark.read.parquet(base2).select("id", "payload").collect()
         .map(_.toString).sorted.toSeq)
   }
+
+  // ---- pointered layout (r13 verdict #4: close the absent window) ----
+
+  test("pointered layout: init/read round-trip, compaction reduces files, re-run no-op") {
+    val (flat, df) = mkFragmented()
+    val base = Files.createTempDirectory("graft-pointered").toString
+    Compaction.initPointered(spark, flat, base, "partition_date")
+
+    val got = Compaction.readPointered(spark, base, "partition_date")
+      .select("id", "payload", "partition_date")
+      .collect().map(_.toString).sorted
+    assert(got.toSeq == df.collect().map(_.toString).sorted.toSeq,
+      "pointered round-trip changed content")
+
+    // fragment INSIDE the pointered stores (the init rewrite owes no file
+    // count): publish an 8-file version per partition, as appends would
+    (1 to 4).foreach { d =>
+      val store = s"$base/partition_date=2024-01-0$d"
+      graft.jobs.MigrationRunner.current(spark, store).repartition(8)
+        .write.parquet(s"$store/frag")
+      graft.jobs.MigrationRunner.publish(spark, store, "frag")
+    }
+    val before = Compaction.statsPointered(spark, base, "partition_date")
+    assert(before.size == 4 && before.forall(_.files == 8), s"$before")
+    val rewrites = Compaction.compactPointered(spark, base, "partition_date",
+      1L << 30)
+    assert(rewrites.size == 4 && rewrites.forall(_.filesAfter == 1), s"$rewrites")
+    assert(Compaction.statsPointered(spark, base, "partition_date")
+      .forall(_.files == 1))
+    assert(Compaction.compactPointered(spark, base, "partition_date",
+      1L << 30).isEmpty, "re-run must be a no-op")
+    // content still intact through the pointer swings
+    val got2 = Compaction.readPointered(spark, base, "partition_date")
+      .select("id", "payload", "partition_date")
+      .collect().map(_.toString).sorted
+    assert(got2.toSeq == df.collect().map(_.toString).sorted.toSeq)
+    // partition pruning survives: a filter on the partition column
+    // constant-folds the other branches away
+    assert(Compaction.readPointered(spark, base, "partition_date")
+      .filter(col("partition_date") === "2024-01-02").count() == 100L)
+  }
+
+  test("pointered compaction NEVER exposes an absent partition to a racing reader") {
+    import spark.implicits._
+    val (flat, _) = mkFragmented()
+    val base = Files.createTempDirectory("graft-pointered-race").toString
+    Compaction.initPointered(spark, flat, base, "partition_date")
+    val expect = Compaction.readPointered(spark, base, "partition_date")
+      .filter(col("partition_date") === "2024-01-02").count()
+
+    @volatile var stop = false
+    @volatile var failure: Option[String] = None
+    @volatile var reads = 0
+    val reader = new Thread(() => {
+      try {
+        while (!stop) {
+          val n = Compaction.readPointered(spark, base, "partition_date")
+            .filter(col("partition_date") === "2024-01-02").count()
+          if (n != expect) {
+            failure = Some(s"racing reader saw $n rows, expected $expect")
+            stop = true
+          }
+          reads += 1
+        }
+      } catch {
+        case e: Throwable =>
+          failure = Some(s"racing reader threw: ${e.getMessage}")
+      }
+    })
+    reader.start()
+    try {
+      // three rounds: re-fragment a partition (publish an 8-file version),
+      // then compact it back — each round swings the pointer twice
+      (0 until 3).foreach { round =>
+        val store = s"$base/partition_date=2024-01-02"
+        val name = graft.jobs.MigrationRunner
+          .freshVersionName(spark, store, s"refrag-$round")
+        graft.jobs.MigrationRunner.current(spark, store).repartition(8)
+          .write.parquet(s"$store/$name")
+        graft.jobs.MigrationRunner.publish(spark, store, name)
+        val r = Compaction.compactPointered(spark, base, "partition_date",
+          1L << 30)
+        assert(r.exists(_.value == "2024-01-02"), s"round $round: $r")
+      }
+    } finally {
+      stop = true
+      reader.join(30000)
+    }
+    assert(failure.isEmpty, failure.getOrElse(""))
+    assert(reads >= 3, s"reader only completed $reads reads — race not exercised")
+  }
 }

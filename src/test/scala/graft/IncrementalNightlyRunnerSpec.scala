@@ -101,6 +101,138 @@ class IncrementalNightlyRunnerSpec extends SparkSpec {
       "features changed after a bootstrap re-run on a laddered state root")
   }
 
+  test("a night whose PREDECESSOR never applied fails loud (gap guard, r13 ADVICE)") {
+    // the marker prevents re-application, not gaps: a scheduler that skips
+    // a failed night and runs the next would fold day k onto a state
+    // missing day k−1 — permanently under-counting, with "-final" making
+    // the state look complete. night() must require the predecessor marker.
+    val stateRoot = freshDir("nightly-gap")
+    val src = Nightly.Sources.fromDir(spark, sf0001)
+    val days = 3
+    Nightly.bootstrap(spark, src, stateRoot, days)
+    Nightly.night(spark, src, stateRoot, days, 0)
+    // night 1 "failed" (never ran); the scheduler moves on to night 2
+    val e = intercept[IllegalArgumentException] {
+      Nightly.night(spark, src, stateRoot, days, 2)
+    }
+    assert(e.getMessage.contains("predecessor"), e.getMessage)
+    // and the gap is RECOVERABLE: run the missing night, then the rest
+    Nightly.night(spark, src, stateRoot, days, 1)
+    Nightly.night(spark, src, stateRoot, days, 2)
+    val (uf, _, _) = Nightly.features(spark, src, stateRoot)
+    assert(rows(uf) == rows(UserFeaturesJob.compute(
+      Roles.transactions(spark, sf0001), Roles.users(spark, sf0001), AsOf.orders)),
+      "user features after gap recovery diverge from full recompute")
+  }
+
+  // ---- crash soak (VERDICT r13 next #3): every kill point must converge ----
+
+  private def fullRecompute(): (Seq[Seq[String]], Seq[Seq[String]], Seq[Seq[String]]) = (
+    rows(UserFeaturesJob.compute(
+      Roles.transactions(spark, sf0001), Roles.users(spark, sf0001), AsOf.orders)),
+    rows(TransactionFeaturesJob.compute(
+      Roles.transactions(spark, sf0001), Roles.users(spark, sf0001), AsOf.orders)),
+    rows(RiskFeaturesJob(spark, sf0001)))
+
+  private def assertConverged(stateRoot: String, src: Nightly.Sources,
+                              tag: String): Unit = {
+    val (uf, tf, rf) = Nightly.features(spark, src, stateRoot)
+    val (eu, et, er) = fullRecompute()
+    assert(rows(uf) == eu, s"$tag: user features diverge from full recompute")
+    assert(rows(tf) == et, s"$tag: tx features diverge from full recompute")
+    assert(rows(rf) == er, s"$tag: risk features diverge from full recompute")
+  }
+
+  test("crash soak: a night killed BETWEEN day-family partition writes converges on retry") {
+    val stateRoot = freshDir("nightly-crash-fam")
+    val src = Nightly.Sources.fromDir(spark, sf0001)
+    val days = 3
+    Nightly.bootstrap(spark, src, stateRoot, days)
+    Nightly.night(spark, src, stateRoot, days, 0)
+    // night 1 dies after writing only the first two families' day partitions
+    Nightly.nightDayFamilies(spark, src, stateRoot, days, 1, limit = 2)
+    // the scheduler retries the WHOLE night: the two written partitions
+    // overwrite themselves, the remaining four write fresh, the user fold
+    // applies once
+    Nightly.night(spark, src, stateRoot, days, 1)
+    Nightly.night(spark, src, stateRoot, days, 2)
+    assertConverged(stateRoot, src, "killed-between-family-writes")
+  }
+
+  test("crash soak: a night killed mid-migrate BEFORE the pointer swap does not double-fold") {
+    val stateRoot = freshDir("nightly-crash-migrate")
+    val src = Nightly.Sources.fromDir(spark, sf0001)
+    val days = 3
+    Nightly.bootstrap(spark, src, stateRoot, days)
+    Nightly.night(spark, src, stateRoot, days, 0)
+    Nightly.nightDayFamilies(spark, src, stateRoot, days, 1)
+    // migrate crashed after writing the target version DIRECTORY but before
+    // the pointer swap: the marker-named dir exists (and is garbage — a
+    // partial write), CURRENT and HISTORY never saw it
+    val day1 = AsOf.date(AsOf.orders).minusDays(days.toLong).plusDays(1L)
+    import spark.implicits._
+    Seq((0L, "partial")).toDF("user_id", "junk")
+      .write.mode("overwrite").parquet(s"$stateRoot/user_state/v$day1")
+    assert(!MigrationRunner.versionHistory(spark, s"$stateRoot/user_state")
+      .contains(s"v$day1"), "crash sim is wrong: marker reached history")
+    // the retry must treat the night as UNAPPLIED (pointer/history are the
+    // truth, not directory existence), overwrite the partial dir, fold
+    // exactly once, and swap
+    Nightly.night(spark, src, stateRoot, days, 1)
+    Nightly.night(spark, src, stateRoot, days, 2)
+    assertConverged(stateRoot, src, "killed-mid-migrate")
+  }
+
+  test("crash soak: bootstrap re-run over a state crashed MID-NIGHT neither resets nor double-folds") {
+    val stateRoot = freshDir("nightly-crash-boot")
+    val src = Nightly.Sources.fromDir(spark, sf0001)
+    val days = 3
+    Nightly.bootstrap(spark, src, stateRoot, days)
+    Nightly.night(spark, src, stateRoot, days, 0)
+    // night 1 crashed with day families written but the user fold NOT run
+    Nightly.nightDayFamilies(spark, src, stateRoot, days, 1)
+    val marker = MigrationRunner.currentVersion(spark, s"$stateRoot/user_state")
+    // the operator's recovery move: re-run bootstrap (idempotent), replay
+    // the whole ladder from the top
+    Nightly.bootstrap(spark, src, stateRoot, days)
+    assert(MigrationRunner.currentVersion(spark, s"$stateRoot/user_state") == marker,
+      "bootstrap re-run over a crashed-mid-night state reset the user pointer")
+    (0 until days).foreach(k => Nightly.night(spark, src, stateRoot, days, k))
+    assertConverged(stateRoot, src, "bootstrap-after-mid-night-crash")
+  }
+
+  test("nightly p_day rider: a landing corrupted AFTER bootstrap fails its night loud (r13 verdict #5)") {
+    // bootstrap validates the whole landing once; this pins the NIGHTLY
+    // re-validation — the observe() rider on each night's day slice
+    val root = freshDir("nightly-rider")
+    val flat = Nightly.Sources.fromDir(spark, sf0001)
+    val txPath = s"$root/tx"
+    val land = flat.copy(transactions =
+      Nightly.landEventDay(flat.transactions, "created_at", txPath))
+    val stateRoot = freshDir("nightly-rider-state")
+    val days = 3
+    Nightly.bootstrap(spark, land, stateRoot, days)
+    Nightly.night(spark, land, stateRoot, days, 0)
+
+    // the landing's semantics change after bootstrap: day 1's partition is
+    // re-landed with DRIFTED event times (arrival-day relabeling) — p_day
+    // no longer equals to_date(created_at) inside that partition
+    val day1 = java.sql.Date.valueOf(
+      AsOf.date(AsOf.orders).minusDays(days.toLong).plusDays(1L))
+    val corrupt = flat.transactions
+      .filter(to_date(col("created_at")) === lit(day1))
+      .withColumn("created_at", col("created_at") + expr("INTERVAL 5 DAYS"))
+      .withColumn(Nightly.LandingPartCol, lit(day1))
+    graft.sinks.MergeByKey.overwritePartitions(corrupt, txPath,
+      Nightly.LandingPartCol)
+    val fresh = land.copy(transactions = spark.read.parquet(txPath))
+
+    val e = intercept[IllegalArgumentException] {
+      Nightly.night(spark, fresh, stateRoot, days, 1)
+    }
+    assert(e.getMessage.contains("violates the p_day convention"), e.getMessage)
+  }
+
   test("bootstrap rejects a landing whose p_day is NOT the event day (arrival-day layout)") {
     // p_day is a BY-NAME convention; an arrival-day-partitioned landing
     // would silently lose late rows to daySlice's partition predicates —

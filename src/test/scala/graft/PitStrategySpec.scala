@@ -144,4 +144,25 @@ class PitStrategySpec extends SparkSpec {
       s"re-building the same matrix ran $n executions — the strategy " +
         "histogram must be cached per (frames, key, ts, target) identity")
   }
+
+  test("a different fact ts column is a DIFFERENT cache identity (r13 ADVICE)") {
+    // recommendStrategy consumes each fact's own (key, ts) projection, so
+    // two matrices over the same frames with different fact ts columns are
+    // different histograms — the memo must consult again, not serve the
+    // first build's Strategy
+    val p = probes(20000L, hot = true)
+    val f = facts(2000L, hot = true)
+      .withColumn("fact_ts2", col("fact_ts") + expr("INTERVAL 1 HOUR"))
+    def build(ts: String) =
+      PitJoin.trainingMatrixWide(p, "user_id", "probe_ts", "probe_id",
+        Seq(PitJoin.WideFact(f, "user_id", ts, "fact_id", Seq("score"),
+          expr("INTERVAL 90 DAYS"))), autoTargetRowsPerTask = 778L)
+    build("fact_ts").count() // prime the (fact_ts) identity
+    val firstAlt = sqlExecutionsDuring { build("fact_ts2").count(): Unit }
+    val repeatAlt = sqlExecutionsDuring { build("fact_ts2").count(): Unit }
+    assert(firstAlt > repeatAlt,
+      s"first build with the alternate ts ran $firstAlt executions vs " +
+        s"$repeatAlt on its cached repeat — the histogram consult did not " +
+        "run, so the alternate ts shared the original's cache identity")
+  }
 }

@@ -16,6 +16,24 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def is_oom(e):
+    # DuckDB OOMs raise duckdb.OutOfMemoryException and stringify as
+    # "Out of Memory Error: could not allocate ..." — match type name and
+    # message. (r13 ADVICE: the old `"OutOfMemory" in str(e)` guard matched
+    # NEITHER form, so the automatic decomposed-CC fallback was dead code
+    # and a big-rung CC oracle that OOMed spurious-FAILed as 'exec error'.
+    # tools/test_check_oom.py pins both the classifier and the fallback
+    # actually firing under a forced tiny memory_limit.)
+    return (type(e).__name__ == "OutOfMemoryException"
+            or "Out of Memory" in str(e))
+
+
+def should_decompose(e, sql):
+    """THE fallback predicate: re-adjudicate via decomposed_cc exactly when
+    the oracle died of memory AND is a transitive-closure query."""
+    return is_oom(e) and "reach(" in sql
+
+
 def canon_rows(rows, ncols):
     def key(r):
         return tuple((x is None, str(x)) for x in r)
@@ -100,7 +118,7 @@ def main(sf_dir, out_dir):
                     # ran the query without spill) — re-adjudicate with
                     # the edge list from DuckDB + an independent
                     # union-find over it (VERDICT r12 next #5)
-                    if "OutOfMemory" not in str(e) or "reach(" not in sql:
+                    if not should_decompose(e, sql):
                         raise
                     o_cols, o_rows = decomposed_cc(con, sql, name)
                     method = " [cc-decomposed after oracle OOM]"
