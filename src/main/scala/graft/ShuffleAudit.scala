@@ -37,7 +37,10 @@ object ShuffleAudit {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_BASE", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.Sessions.local(cpus)
-    val filter = args.headOption.getOrElse("")
+    // comma-list of name substrings (empty = the whole board): big rungs
+    // audit a targeted subset, and one substring cannot name one
+    val filters = args.headOption.getOrElse("").split(",")
+      .map(_.trim).filter(_.nonEmpty).toSeq
     Bench.warmAll(spark, base)
     Bench.warmAll(spark, target)
 
@@ -66,7 +69,7 @@ object ShuffleAudit {
     val NoiseFloor = 64L << 10
     var failed = List.empty[String]
     val rows = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      if (!name.contains(filter)) None
+      if (filters.nonEmpty && !filters.exists(name.contains)) None
       else try {
         val b = once(fn, base)
         val t = once(fn, target)
