@@ -76,6 +76,20 @@ object SparkEntry {
     // bucketed CLUSTER BY user_id layout (S2 at 100 TB without the cache)
     "point_lookup_clustered" -> ((s, dir) =>
       canon(sinks.BucketedLayout.pointLookupClustered(s, dir, LookupIds.point))),
+    // the POINTERED day-partitioned warehouse (r14: compaction with no
+    // absent window): read path resolves per-partition CURRENT pointers
+    // post-compaction; partition pruning happens by constant-folding the
+    // union branches (CompactionSpec pins the records)
+    "warehouse_pointered_day" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{count, lit}
+      canon(sinks.Compaction.readPointered(s,
+          sinks.Compaction.pointeredEventsWarehouse(s, dir), "p_day", "date")
+        .filter(col("p_day") === lit(java.sql.Date.valueOf("2024-01-10")))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.ops.Ops.orZeroD(
+            graft.ops.Ops.sumMoney(lit(true), col("value"))).as("total_value")))
+    }),
     "ordered_export"       -> ((s, dir) => serving.Lookups.orderedExport(s, dir)),
     "percentiles"          -> ((s, dir) => serving.Lookups.percentiles(s, dir)),
     "equi_depth_histogram" -> ((s, dir) => DataQualityJob.equiDepthHistogram(s, dir)),
@@ -268,6 +282,7 @@ object SparkEntry {
     "batch_lookup"         -> OracleSql.pointLookup(LookupIds.batch),
     // the clustered layout must serve byte-identical rows to the flat path
     "point_lookup_clustered" -> OracleSql.pointLookup(LookupIds.point),
+    "warehouse_pointered_day" -> OracleSql.warehousePointeredDay,
     "ordered_export"       -> OracleSql.orderedExport,
     "percentiles"          -> OracleSql.percentiles,
     "equi_depth_histogram" -> OracleSql.equiDepthHistogram(),

@@ -1092,6 +1092,18 @@ object OracleSql {
        |LEFT JOIN (SELECT * FROM r3 WHERE rn = 1) r3 ON p.probe_id = r3.probe_id""".stripMargin
   }
 
+  /** warehouse_pointered_day: one day's per-user aggregate. The engine
+    * side reads through the POINTERED day-partitioned warehouse
+    * (sinks/Compaction.readPointered over per-partition pointer stores,
+    * post-compaction); the oracle is the plain semantic query — layout
+    * indirection must never change results. */
+  val warehousePointeredDay: String =
+    s"""SELECT user_id, COUNT(*) AS n_events,
+       |  COALESCE(${sumMoney("TRUE", "value")}, 0.0) AS total_value
+       |FROM events
+       |WHERE CAST(ts AS DATE) = DATE '2024-01-10'
+       |GROUP BY 1""".stripMargin
+
   val tumblingCounts: String =
     s"""SELECT user_id,
        |  strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,

@@ -205,6 +205,37 @@ object Compaction {
       PartitionStat(value, files.size, files.map(_.getLen).sum)
     }
 
+  // one pointered events warehouse per source dir per JVM — FeatureCache
+  // lifetime discipline: dies with the session, never stale across code
+  // changes; scale dirs never alias (keyed by dir)
+  private val pointeredWarehouses =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Day-partitioned POINTERED events warehouse for `dir`, built once per
+    * JVM: events land day-partitioned but deliberately FRAGMENTED (a hash
+    * repartition makes every writer task hit every day — the small-file
+    * accretion a real landing produces), convert to the pointered layout,
+    * then one compaction round rewrites every partition user-sorted and
+    * SWINGS its pointer — so the adjudicated read path (the
+    * warehouse_pointered_day board query) resolves post-swing pointers,
+    * the layout as it looks mid-lifecycle, not a pristine v1. */
+  def pointeredEventsWarehouse(spark: SparkSession, dir: String): String =
+    pointeredWarehouses.computeIfAbsent(dir, { _ =>
+      import org.apache.spark.sql.functions.{col, to_date}
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-pointered-wh").toString
+      val ev = graft.core.Tables.events(spark, dir)
+        .withColumn("p_day", to_date(col("ts")))
+      MergeByKey.overwritePartitions(ev.repartition(4), s"$base/flat", "p_day")
+      initPointered(spark, s"$base/flat", s"$base/pointered", "p_day")
+      val rewrites = compactPointered(spark, s"$base/pointered", "p_day",
+        1L << 30, layoutSort = Seq(col("user_id")))
+      require(rewrites.nonEmpty,
+        "pointered warehouse fixture failed to fragment — the board query " +
+          "would adjudicate a never-compacted layout")
+      s"$base/pointered"
+    })
+
   /** Pointered compaction: rewrite each planned partition's live version
     * into a fresh version of the SAME partition store and swing its
     * pointer — atomic per partition, no rename dance, no absence. Old
@@ -217,6 +248,7 @@ object Compaction {
     val before = statsPointered(spark, path, partitionCol)
     plan(before, targetBytes).map { case (value, k) =>
       val store = s"$path/$partitionCol=$value"
+      val prevLive = graft.jobs.MigrationRunner.currentVersion(spark, store)
       val name = graft.jobs.MigrationRunner.freshVersionName(spark, store, "v1")
       val frame = graft.jobs.MigrationRunner.current(spark, store)
       val rewritten =
@@ -230,10 +262,13 @@ object Compaction {
       // just before a swing finish their scan undisturbed; a reader would
       // have to stall across THREE swings of the same partition to lose
       // its version — longer-lived readers need time-based retention,
-      // which is a policy knob, not a correctness gap). Crash leftovers —
-      // written but never published — are not in HISTORY and get reaped.
+      // which is a policy knob, not a correctness gap). The pre-publish
+      // live version is kept EXPLICITLY too, not only via history — a
+      // store whose HISTORY predates its pointer must never reap what a
+      // racing reader just resolved. Crash leftovers — written but never
+      // published — are in neither set and get reaped.
       val keep = graft.jobs.MigrationRunner.versionHistory(spark, store)
-        .takeRight(3).toSet + name
+        .takeRight(3).toSet + name ++ prevLive
       val storePath = new Path(store)
       val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.listStatus(storePath).filter(_.isDirectory).map(_.getPath)

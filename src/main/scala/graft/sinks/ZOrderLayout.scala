@@ -177,18 +177,20 @@ object ZOrderLayout {
                                storeRoot: String, ca: String, cb: String,
                                files: Int = 16, bits: Int = 21): Unit = {
     import org.apache.hadoop.fs.Path
-    require(graft.jobs.MigrationRunner.currentVersion(spark, storeRoot).nonEmpty,
-      s"no versioned z-store under $storeRoot")
+    val prevLive = graft.jobs.MigrationRunner.currentVersion(spark, storeRoot)
+    require(prevLive.nonEmpty, s"no versioned z-store under $storeRoot")
     val name = graft.jobs.MigrationRunner.freshVersionName(spark, storeRoot, "z")
     writeZOrdered(readVersioned(spark, storeRoot), s"$storeRoot/$name",
       ca, cb, files, bits)
     graft.jobs.MigrationRunner.publish(spark, storeRoot, name)
     // reap by switchover HISTORY: keep the live version plus the two most
     // recently superseded (a reader would have to stall across three
-    // swings to lose its resolved version); crash leftovers — written but
-    // never published — are not in HISTORY and get reaped.
+    // swings to lose its resolved version), and the pre-publish live
+    // EXPLICITLY (a store whose HISTORY predates its pointer must never
+    // reap what a racing reader just resolved); crash leftovers — written
+    // but never published — are in neither set and get reaped.
     val keep = graft.jobs.MigrationRunner.versionHistory(spark, storeRoot)
-      .takeRight(3).toSet + name
+      .takeRight(3).toSet + name ++ prevLive
     val root = new Path(storeRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(root).filter(_.isDirectory)

@@ -171,6 +171,26 @@ class CompactionSpec extends SparkSpec {
       .filter(col("partition_date") === "2024-01-02").count() == 100L)
   }
 
+  test("records pin: a partition filter through readPointered prunes to that partition") {
+    // the pointered reader is a union of per-partition frames, each with a
+    // LITERAL partition value — a filter on the partition column must
+    // constant-fold the other branches to empty relations, so the probe
+    // physically reads ONE partition's rows, not the table
+    val (flat, _) = mkFragmented()
+    val base = Files.createTempDirectory("graft-pointered-prune").toString
+    Compaction.initPointered(spark, flat, base, "partition_date")
+    val total = Compaction.readPointered(spark, base, "partition_date").count()
+    val sm = core.StageMetrics.attach(spark)
+    def probe() = Compaction.readPointered(spark, base, "partition_date")
+      .filter(col("partition_date") === "2024-01-02").count()
+    val expect = probe() // warm + the expected row count
+    val recs = sm.measure { probe(): Unit }.inputRecords
+    assert(recs <= total / 3,
+      s"pointered partition probe decoded $recs of $total records — the " +
+        "union branches are not constant-folding away")
+    assert(expect == 100L)
+  }
+
   test("pointered compaction NEVER exposes an absent partition to a racing reader") {
     import spark.implicits._
     val (flat, _) = mkFragmented()
