@@ -219,6 +219,32 @@ object Compaction {
       PartitionStat(value, files.size, files.map(_.getLen).sum)
     }
 
+  /** Retention for the pointered layout — the MergeByKey.expirePartitions
+    * analog: drop partition STORES (pointer + every version) whose value
+    * parses as a date older than `retentionDays` before the caller-
+    * supplied `asOf` anchor (never now(); reproducible runs). A store
+    * delete is one recursive directory remove — metadata-only, no data
+    * rewrite, and because readers list partition dirs BEFORE resolving
+    * pointers, a reader racing the expiry either sees the store (and its
+    * still-intact live version — expiry deletes the whole store at once,
+    * pointer last would be meaningless here since the partition itself is
+    * leaving) or doesn't list it at all. Returns the expired values. */
+  def expirePointered(spark: SparkSession, path: String, partitionCol: String,
+                      asOf: java.time.LocalDate,
+                      retentionDays: Int): Seq[String] = {
+    val cutoff = asOf.minusDays(retentionDays.toLong)
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    partitionStores(spark, path, partitionCol).flatMap { case (value, store) =>
+      scala.util.Try(java.time.LocalDate.parse(value)).toOption
+        .filter(_.isBefore(cutoff))
+        // report only stores the filesystem actually dropped — a false
+        // delete (permissions, races) must not show up in the audit
+        .filter(_ => fs.delete(new Path(store), true))
+        .map(_ => value)
+    }
+  }
+
   // one pointered events warehouse per source dir per JVM — FeatureCache
   // lifetime discipline: dies with the session, never stale across code
   // changes; scale dirs never alias (keyed by dir)

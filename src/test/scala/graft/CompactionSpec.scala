@@ -191,6 +191,22 @@ class CompactionSpec extends SparkSpec {
     assert(expect == 100L)
   }
 
+  test("pointered retention drops whole stores before the cutoff; survivors read intact") {
+    val (flat, _) = mkFragmented() // partitions 2024-01-01 .. 2024-01-04
+    val base = Files.createTempDirectory("graft-pointered-exp").toString
+    Compaction.initPointered(spark, flat, base, "partition_date")
+    val expired = Compaction.expirePointered(spark, base, "partition_date",
+      java.time.LocalDate.parse("2024-01-05"), retentionDays = 2)
+    assert(expired == Seq("2024-01-01", "2024-01-02"), s"$expired")
+    val left = Compaction.readPointered(spark, base, "partition_date")
+    assert(left.select("partition_date").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("2024-01-03", "2024-01-04"))
+    assert(left.count() == 200L, "surviving partitions lost rows")
+    // idempotent: a re-run expires nothing further
+    assert(Compaction.expirePointered(spark, base, "partition_date",
+      java.time.LocalDate.parse("2024-01-05"), 2).isEmpty)
+  }
+
   test("pointered compaction NEVER exposes an absent partition to a racing reader") {
     import spark.implicits._
     val (flat, _) = mkFragmented()
