@@ -106,6 +106,88 @@ object MigrationRunner {
   private def sampled(df: DataFrame, keys: Seq[String]): DataFrame =
     df.filter(pmod(hash(keys.map(col): _*), lit(37)) === 0)
 
+  // ---- per-store maintenance mutex ----
+  // WRITERS to a pointer store (migrate's copy+switchover, compaction's
+  // rewrite+publish+reap, rollback's pointer move) assume they are the
+  // only maintainer: the compaction reap deletes every version directory
+  // outside its keep set — which includes a CONCURRENT writer's complete-
+  // but-not-yet-published version — and HISTORY appends are read-modify-
+  // write, so two concurrent switchovers can lose a lineage line. At
+  // cluster scale "two maintainers" is one double-fired scheduler away,
+  // so the maintenance entry points serialize on a per-store lock file
+  // instead of documenting the hazard. READERS never touch the lock —
+  // the atomic pointer is what protects them.
+  //
+  // The lock is an exclusive-create: atomic on HDFS (server-side create
+  // with overwrite=false) and on local disk (java.io.File.createNewFile,
+  // a true O_CREAT|O_EXCL — the Hadoop local FS's default createNewFile
+  // is a non-atomic exists-then-create, so the file:// scheme goes
+  // through java.io directly). Contention and crash leftovers FAIL LOUD
+  // (this engine keeps wall-clock out of the data path, so there is no
+  // TTL to expire a dead maintainer's lock): the operator verifies no
+  // maintainer is live, then clears it with breakMaintenanceLock — the
+  // same explicit-recovery contract as z-compaction's unverifiable-state
+  // rejection.
+
+  private def lockPath(root: String) = new Path(s"$root/MAINTENANCE.lock")
+
+  private def tryCreateExclusive(f: FileSystem, p: Path,
+                                 content: String): Boolean = {
+    val isLocal = Option(f.getUri.getScheme).forall(_ == "file")
+    val created =
+      if (isLocal) {
+        val raw = f match {
+          case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+          case other => other
+        }
+        val local = new java.io.File(raw.makeQualified(p).toUri.getPath)
+        Option(local.getParentFile).foreach(_.mkdirs())
+        local.createNewFile()
+      } else {
+        try { f.create(p, false).close(); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.io.IOException if f.exists(p) => false
+        }
+      }
+    if (created) {
+      // the owner tag is advisory (for the contention message); existence
+      // is the mutex, so the non-atomic content write after create is fine
+      val out = f.create(p, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    created
+  }
+
+  /** Run `body` as `storeRoot`'s exclusive maintainer. Throws (loud, with
+    * the holder's tag and the remediation) if another maintainer holds the
+    * lock; always releases on exit, crash-by-exception included. */
+  def withMaintenanceLock[T](spark: SparkSession, storeRoot: String,
+                             owner: String)(body: => T): T = {
+    val f = fs(spark, storeRoot)
+    f.mkdirs(new Path(storeRoot))
+    val p = lockPath(storeRoot)
+    if (!tryCreateExclusive(f, p, owner)) {
+      val holder =
+        try {
+          val in = f.open(p)
+          try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => "<unreadable>" }
+      sys.error(
+        s"maintenance lock at $p is held by '$holder' — refusing to run " +
+          s"'$owner' concurrently (a second maintainer could reap the " +
+          "holder's in-flight version or lose a HISTORY line). If the " +
+          "holder crashed without releasing, verify no maintainer is " +
+          "live, then MigrationRunner.breakMaintenanceLock.")
+    }
+    try body finally f.delete(p, false)
+  }
+
+  /** Explicit recovery from a dead maintainer's leftover lock. Returns
+    * whether a lock existed. */
+  def breakMaintenanceLock(spark: SparkSession, storeRoot: String): Boolean =
+    fs(spark, storeRoot).delete(lockPath(storeRoot), false)
+
   def migrate(spark: SparkSession, sourceDf: DataFrame, storeRoot: String,
               targetName: String, key: String): MigrationReport =
     migrate(spark, sourceDf, storeRoot, targetName, Seq(key))
@@ -113,7 +195,8 @@ object MigrationRunner {
   /** Composite-key form: the unique key may be a grain of several columns
     * (e.g. an incremental state table at (user_id, payment_method)). */
   def migrate(spark: SparkSession, sourceDf: DataFrame, storeRoot: String,
-              targetName: String, keys: Seq[String]): MigrationReport = {
+              targetName: String, keys: Seq[String]): MigrationReport =
+   withMaintenanceLock(spark, storeRoot, s"migrate $targetName") {
     require(keys.nonEmpty, "migrate needs at least one key column")
     readPointer(spark, storeRoot).foreach(live =>
       require(live != targetName,
@@ -149,7 +232,7 @@ object MigrationRunner {
       appendHistory(spark, storeRoot, targetName)
     } else fs(spark, storeRoot).delete(new Path(targetPath), true)
     MigrationReport(ns, nt, ns == nt, mismatches, ok)
-  }
+   }
 
   /** Swing CURRENT at an existing version directory WITHOUT migrate's
     * validation pass — for maintenance rewrites (compaction) whose content
@@ -161,7 +244,10 @@ object MigrationRunner {
     * old version or the new, never a torn pointer or an absent table —
     * this is what closes the two-rename swap's brief-absence window for
     * pointered layouts (sinks/Compaction.compactPointered,
-    * sinks/ZOrderLayout.compactZOrderedVersioned). */
+    * sinks/ZOrderLayout.compactZOrderedVersioned). Deliberately does NOT
+    * take the maintenance lock: publish is the commit step of a larger
+    * maintenance action whose caller already holds it (taking it here
+    * would deadlock the non-reentrant mutex). */
   def publish(spark: SparkSession, storeRoot: String, name: String): Unit = {
     require(fs(spark, storeRoot).exists(new Path(s"$storeRoot/$name")),
       s"cannot publish '$name': $storeRoot/$name does not exist")
@@ -195,7 +281,9 @@ object MigrationRunner {
     * newest-non-live-by-mtime heuristic. Returns the version rolled back
     * to. */
   def rollback(spark: SparkSession, storeRoot: String,
-               to: Option[String] = None): String = {
+               to: Option[String] = None): String =
+   withMaintenanceLock(spark, storeRoot,
+       s"rollback${to.fold("")(" to " + _)}") {
     val live = readPointer(spark, storeRoot)
       .getOrElse(sys.error(s"no CURRENT pointer under $storeRoot — nothing to roll back"))
     val f = fs(spark, storeRoot)
@@ -222,7 +310,7 @@ object MigrationRunner {
       s"rollback target '$target' does not exist under $storeRoot")
     writePointerAtomic(spark, storeRoot, target)
     target
-  }
+   }
 
   /** The live version NAME per the CURRENT pointer, if any — the
     * switchover commits it atomically WITH the data, so a caller can use

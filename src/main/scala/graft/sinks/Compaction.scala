@@ -165,22 +165,37 @@ object Compaction {
     partitionStores(spark, flatPath, partitionCol).foreach {
       case (value, dir) =>
         val store = s"$pointeredPath/$partitionCol=$value"
-        spark.read.parquet(dir).write.mode("overwrite")
-          .parquet(s"$store/v1")
-        graft.jobs.MigrationRunner.publish(spark, store, "v1")
+        graft.jobs.MigrationRunner.withMaintenanceLock(spark, store,
+            s"initPointered $partitionCol=$value") {
+          spark.read.parquet(dir).write.mode("overwrite")
+            .parquet(s"$store/v1")
+          graft.jobs.MigrationRunner.publish(spark, store, "v1")
+        }
     }
 
   /** Resolve every partition's live version and union them back into one
     * frame with `partitionCol` restored (cast to `partitionType`, e.g.
     * "date" for a p_day layout). A filter on `partitionCol` constant-folds
     * per union branch, so partition pruning still happens — at the plan
-    * level instead of the directory listing. */
+    * level instead of the directory listing.
+    *
+    * `onlyValues` prunes at the LISTING level instead (the Hive-partition-
+    * pruning analog): a warehouse with years of day partitions is
+    * thousands of stores, and even though constant-folding later discards
+    * the cold branches, ANALYZING a thousands-branch union costs driver
+    * time per query — a caller that knows its partition values up front
+    * (point reads, day slices) should hand them here so the plan is built
+    * over just those stores. Unlisted stores are never touched, not even
+    * for pointer resolution. */
   def readPointered(spark: SparkSession, path: String, partitionCol: String,
-                    partitionType: String = "string")
+                    partitionType: String = "string",
+                    onlyValues: Option[Set[String]] = None)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.lit
     val stores = partitionStores(spark, path, partitionCol)
-    require(stores.nonEmpty, s"no $partitionCol= stores under $path")
+      .filter { case (value, _) => onlyValues.forall(_.contains(value)) }
+    require(stores.nonEmpty, s"no ${onlyValues.fold("")(v =>
+      s"selected (of ${v.size} requested) ")}$partitionCol= stores under $path")
     // one schema inference for the whole layout: the first branch infers,
     // the rest read with the schema imposed — per-branch footer inference
     // dominated plan-build time on wide layouts (measured: ~2.2 s of the
@@ -288,6 +303,8 @@ object Compaction {
     val before = statsPointered(spark, path, partitionCol)
     plan(before, targetBytes).map { case (value, k) =>
       val store = s"$path/$partitionCol=$value"
+      graft.jobs.MigrationRunner.withMaintenanceLock(spark, store,
+          s"compactPointered $partitionCol=$value") {
       val prevLive = graft.jobs.MigrationRunner.currentVersion(spark, store)
       val name = graft.jobs.MigrationRunner.freshVersionName(spark, store, "v1")
       val frame = graft.jobs.MigrationRunner.current(spark, store)
@@ -320,6 +337,7 @@ object Compaction {
       }
       Rewrite(value, before.find(_.value == value).map(_.files).getOrElse(0),
         after)
+      }
     }
   }
 }

@@ -82,7 +82,11 @@ object ZOrderLayout {
     * `compactZOrderedVersioned`, whose atomic pointer swing has no such
     * window at all. ZOrderLayoutSpec pins that both single-dimension
     * probes prune at least as well after compaction as on the fresh
-    * layout. */
+    * layout. SINGLE-MAINTAINER contract: the two-rename dance cannot be
+    * lock-file-guarded the way the versioned variant is (the lock would
+    * have to live inside the directory being renamed); schedule at most
+    * one compaction per table path — or use the versioned variant, whose
+    * maintenance lock enforces it. */
   def compactZOrdered(spark: org.apache.spark.sql.SparkSession, path: String,
                       ca: String, cb: String, files: Int = 16,
                       bits: Int = 21): Unit = {
@@ -156,9 +160,12 @@ object ZOrderLayout {
                              cb: String, files: Int = 16,
                              bits: Int = 21): Unit = {
     val spark = df.sparkSession
-    val name = graft.jobs.MigrationRunner.freshVersionName(spark, storeRoot, "z")
-    writeZOrdered(df, s"$storeRoot/$name", ca, cb, files, bits)
-    graft.jobs.MigrationRunner.publish(spark, storeRoot, name)
+    graft.jobs.MigrationRunner.withMaintenanceLock(spark, storeRoot,
+        "writeZOrderedVersioned") {
+      val name = graft.jobs.MigrationRunner.freshVersionName(spark, storeRoot, "z")
+      writeZOrdered(df, s"$storeRoot/$name", ca, cb, files, bits)
+      graft.jobs.MigrationRunner.publish(spark, storeRoot, name)
+    }
   }
 
   /** Resolve the live version of a versioned z-store. */
@@ -175,7 +182,9 @@ object ZOrderLayout {
     * pointer only ever references complete writes. */
   def compactZOrderedVersioned(spark: org.apache.spark.sql.SparkSession,
                                storeRoot: String, ca: String, cb: String,
-                               files: Int = 16, bits: Int = 21): Unit = {
+                               files: Int = 16, bits: Int = 21): Unit =
+   graft.jobs.MigrationRunner.withMaintenanceLock(spark, storeRoot,
+       "compactZOrderedVersioned") {
     import org.apache.hadoop.fs.Path
     val prevLive = graft.jobs.MigrationRunner.currentVersion(spark, storeRoot)
     require(prevLive.nonEmpty, s"no versioned z-store under $storeRoot")
@@ -196,7 +205,7 @@ object ZOrderLayout {
     fs.listStatus(root).filter(_.isDirectory)
       .map(_.getPath).filterNot(p => keep.contains(p.getName))
       .foreach(fs.delete(_, true))
-  }
+   }
 
   private def compactParams(ca: String, cb: String, files: Int,
                             bits: Int): String =

@@ -191,6 +191,40 @@ class CompactionSpec extends SparkSpec {
     assert(expect == 100L)
   }
 
+  test("onlyValues prunes at the LISTING level: unlisted stores are never touched") {
+    // a warehouse with years of day partitions is thousands of stores;
+    // constant-folding prunes the plan but the union is still ANALYZED
+    // over every branch. The listing-level prune must build the plan over
+    // just the requested stores — proven by breaking a sibling store
+    // (CURRENT pointer deleted): a reader that resolved it would throw,
+    // so success means it was never touched.
+    val (flat, df) = mkFragmented()
+    val base = Files.createTempDirectory("graft-pointered-only").toString
+    Compaction.initPointered(spark, flat, base, "partition_date")
+    val broken = new org.apache.hadoop.fs.Path(
+      s"$base/partition_date=2024-01-03/CURRENT")
+    val fs = broken.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(broken, false), "fixture: failed to break the sibling")
+
+    val got = Compaction.readPointered(spark, base, "partition_date",
+        onlyValues = Some(Set("2024-01-02")))
+      .select("id", "payload", "partition_date")
+      .collect().map(_.toString).sorted
+    val expect = df.filter(col("partition_date") === "2024-01-02")
+      .collect().map(_.toString).sorted
+    assert(got.toSeq == expect.toSeq, "listing-pruned read changed content")
+    // the unrestricted read DOES resolve every store — and throws
+    intercept[RuntimeException] {
+      Compaction.readPointered(spark, base, "partition_date").count()
+    }
+    // requesting only absent values fails loud, not empty-silently
+    val e = intercept[IllegalArgumentException] {
+      Compaction.readPointered(spark, base, "partition_date",
+        onlyValues = Some(Set("1999-01-01")))
+    }
+    assert(e.getMessage.contains("no selected"), e.getMessage)
+  }
+
   test("pointered retention drops whole stores before the cutoff; survivors read intact") {
     val (flat, _) = mkFragmented() // partitions 2024-01-01 .. 2024-01-04
     val base = Files.createTempDirectory("graft-pointered-exp").toString

@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.CountDownLatch
+
+import org.apache.spark.sql.functions.col
+
+import graft.jobs.MigrationRunner
+import graft.sinks.{Compaction, ZOrderLayout}
+
+/** The per-store maintenance mutex: pointer-store WRITERS (migrate,
+  * compaction, rollback) assume single-maintainer — the compaction reap
+  * deletes version dirs outside its keep set, which includes a CONCURRENT
+  * maintainer's complete-but-unpublished version, and HISTORY appends are
+  * read-modify-write. At cluster scale a double-fired scheduler makes two
+  * maintainers routine, so the entry points serialize on an exclusive-
+  * create lock file and fail LOUD on contention (no TTL — the engine
+  * keeps wall-clock out of the data path; a dead maintainer's lock is an
+  * explicit breakMaintenanceLock, the z-compaction unverifiable-state
+  * recovery contract). Readers never touch the lock.
+  */
+class MaintenanceLockSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore(tag: String): String =
+    Files.createTempDirectory(s"graft-lock-$tag").toString + "/store"
+
+  test("two maintainers of the same store: the second fails loud naming the holder") {
+    val store = freshStore("race")
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    @volatile var holderResult: Option[String] = None
+    val holder = new Thread(() => {
+      holderResult = Some(
+        MigrationRunner.withMaintenanceLock(spark, store, "holder-job") {
+          entered.countDown()
+          release.await()
+          "done"
+        })
+    })
+    holder.start()
+    entered.await()
+    val e = intercept[RuntimeException] {
+      MigrationRunner.withMaintenanceLock(spark, store, "second-job") { fail("must not enter") }
+    }
+    assert(e.getMessage.contains("holder-job") &&
+      e.getMessage.contains("breakMaintenanceLock"), e.getMessage)
+    release.countDown()
+    holder.join(30000)
+    assert(holderResult.contains("done"))
+    // released on exit: a later maintainer enters freely
+    assert(MigrationRunner.withMaintenanceLock(spark, store, "third") { 42 } == 42)
+  }
+
+  test("the lock releases when the body throws (crash-by-exception)") {
+    val store = freshStore("throw")
+    intercept[IllegalStateException] {
+      MigrationRunner.withMaintenanceLock(spark, store, "doomed") {
+        throw new IllegalStateException("boom")
+      }
+    }
+    assert(MigrationRunner.withMaintenanceLock(spark, store, "next") { 1 } == 1)
+  }
+
+  test("migrate refuses to run under another maintainer's lock; breakMaintenanceLock recovers") {
+    val store = freshStore("migrate")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    // a kill -9'd maintainer's leftover: the lock file with no live holder
+    val lock = new java.io.File(s"$store/MAINTENANCE.lock")
+    lock.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(lock.toPath, "dead-maintainer")
+    val e = intercept[RuntimeException] {
+      MigrationRunner.migrate(spark, df, store, "v1", "id")
+    }
+    assert(e.getMessage.contains("dead-maintainer"), e.getMessage)
+    assert(MigrationRunner.breakMaintenanceLock(spark, store))
+    val report = MigrationRunner.migrate(spark, df, store, "v1", "id")
+    assert(report.switched, s"$report")
+    // and the lock is gone after a successful migrate
+    assert(!lock.exists())
+  }
+
+  test("pointered compaction is lock-guarded per partition store") {
+    val base = Files.createTempDirectory("graft-lock-compact").toString
+    val df = (0 until 200).map(i => (i.toLong, s"2024-01-0${i % 2 + 1}"))
+      .toDF("id", "partition_date")
+    sinks.MergeByKey.overwritePartitions(df.repartition(4), s"$base/flat",
+      "partition_date")
+    Compaction.initPointered(spark, s"$base/flat", s"$base/ptr", "partition_date")
+    // fragment one store so compaction has work planned there
+    val store = s"$base/ptr/partition_date=2024-01-01"
+    MigrationRunner.withMaintenanceLock(spark, store, "refrag") {
+      MigrationRunner.current(spark, store).repartition(8)
+        .write.parquet(s"$store/frag")
+      MigrationRunner.publish(spark, store, "frag")
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$store/MAINTENANCE.lock"), "other-compactor")
+    val e = intercept[RuntimeException] {
+      Compaction.compactPointered(spark, s"$base/ptr", "partition_date", 1L << 30)
+    }
+    assert(e.getMessage.contains("other-compactor"), e.getMessage)
+    // the held store was left untouched: still fragmented, still readable
+    assert(Compaction.readPointered(spark, s"$base/ptr", "partition_date")
+      .filter(col("partition_date") === "2024-01-01").count() == 100L)
+    MigrationRunner.breakMaintenanceLock(spark, store)
+    val r = Compaction.compactPointered(spark, s"$base/ptr", "partition_date",
+      1L << 30)
+    assert(r.exists(_.value == "2024-01-01"), s"$r")
+  }
+
+  test("versioned z-store compaction is lock-guarded") {
+    val store = freshStore("zver")
+    val df = (0 until 400).map(i => (i.toLong % 16, i.toLong % 8, i * 1.0))
+      .toDF("user_id", "day", "value")
+    ZOrderLayout.writeZOrderedVersioned(df, store, "user_id", "day", files = 2)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$store/MAINTENANCE.lock"), "other-z")
+    val e = intercept[RuntimeException] {
+      ZOrderLayout.compactZOrderedVersioned(spark, store, "user_id", "day", files = 2)
+    }
+    assert(e.getMessage.contains("other-z"), e.getMessage)
+    MigrationRunner.breakMaintenanceLock(spark, store)
+    ZOrderLayout.compactZOrderedVersioned(spark, store, "user_id", "day", files = 2)
+    assert(ZOrderLayout.readVersioned(spark, store).count() == 400L)
+  }
+}
