@@ -78,12 +78,16 @@ object SparkEntry {
       canon(sinks.BucketedLayout.pointLookupClustered(s, dir, LookupIds.point))),
     // the POINTERED day-partitioned warehouse (r14: compaction with no
     // absent window): read path resolves per-partition CURRENT pointers
-    // post-compaction; partition pruning happens by constant-folding the
-    // union branches (CompactionSpec pins the records)
+    // post-compaction. r15: the day predicate prunes at the LISTING level
+    // (readPointeredWhere) — the plan is built over just the matching
+    // store, instead of analyzing every branch and letting constant-
+    // folding discard the cold ones (CompactionSpec pins the records; the
+    // plan-level filter stays as the semantic statement of the slice)
     "warehouse_pointered_day" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{count, lit}
-      canon(sinks.Compaction.readPointered(s,
-          sinks.Compaction.pointeredEventsWarehouse(s, dir), "p_day", "date")
+      canon(sinks.Compaction.readPointeredWhere(s,
+          sinks.Compaction.pointeredEventsWarehouse(s, dir), "p_day", "date")(
+          _ == "2024-01-10")
         .filter(col("p_day") === lit(java.sql.Date.valueOf("2024-01-10")))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),

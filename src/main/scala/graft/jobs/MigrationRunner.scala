@@ -122,18 +122,39 @@ object MigrationRunner {
   // with overwrite=false) and on local disk (java.io.File.createNewFile,
   // a true O_CREAT|O_EXCL — the Hadoop local FS's default createNewFile
   // is a non-atomic exists-then-create, so the file:// scheme goes
-  // through java.io directly). Contention and crash leftovers FAIL LOUD
-  // (this engine keeps wall-clock out of the data path, so there is no
-  // TTL to expire a dead maintainer's lock): the operator verifies no
-  // maintainer is live, then clears it with breakMaintenanceLock — the
-  // same explicit-recovery contract as z-compaction's unverifiable-state
-  // rejection.
+  // through java.io directly). Object-store schemes are NOT atomic here —
+  // see withMaintenanceLock's scaladoc. Contention and crash leftovers
+  // FAIL LOUD by default: the operator verifies no maintainer is live,
+  // then clears it with breakMaintenanceLock — the same explicit-recovery
+  // contract as z-compaction's unverifiable-state rejection. Unattended
+  // schedulers that cannot page a human get the OPT-IN lease policy
+  // instead: the lock carries its acquire stamp, and
+  // breakMaintenanceLockIfStale breaks only provably-old locks against a
+  // caller-supplied clock (wall-clock stays out of the data path — the
+  // stamp is operational metadata, like the serving tier's response
+  // timestamps).
 
   private def lockPath(root: String) = new Path(s"$root/MAINTENANCE.lock")
 
+  // schemes whose exclusive-create is known server-side atomic; anything
+  // else (s3a and friends implement create(overwrite=false) as a client-
+  // side exists-then-put) gets a loud once-per-scheme warning instead of a
+  // silently voided mutex
+  private val atomicExclusiveCreateSchemes = Set("file", "hdfs", "viewfs")
+  private val warnedSchemes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def tryCreateExclusive(f: FileSystem, p: Path,
                                  content: String): Boolean = {
-    val isLocal = Option(f.getUri.getScheme).forall(_ == "file")
+    val scheme = Option(f.getUri.getScheme).getOrElse("file")
+    val isLocal = scheme == "file"
+    if (!atomicExclusiveCreateSchemes(scheme) && warnedSchemes.add(scheme)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"maintenance lock on scheme '$scheme': exclusive-create may not " +
+          "be atomic there (object stores emulate create(overwrite=false) " +
+          "client-side) — two maintainers can both acquire. Use HDFS/local " +
+          "for pointer stores, or an external lock service.")
+    }
     val created =
       if (isLocal) {
         val raw = f match {
@@ -151,42 +172,117 @@ object MigrationRunner {
         }
       }
     if (created) {
-      // the owner tag is advisory (for the contention message); existence
-      // is the mutex, so the non-atomic content write after create is fine
-      val out = f.create(p, true)
-      try out.write(content.getBytes("UTF-8")) finally out.close()
+      // the owner+stamp content is advisory (contention message, stale-
+      // lease adjudication); existence is the mutex. All-or-nothing: if
+      // the content write fails after the exclusive create succeeded, the
+      // just-created empty lock is removed before rethrowing — a transient
+      // IO error must not leave a lock that blocks all future maintenance
+      // until a manual break (ADVICE r14).
+      try {
+        val out = f.create(p, true)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          try f.delete(p, false)
+          catch { case scala.util.control.NonFatal(_) => () }
+          throw e
+      }
     }
     created
   }
 
+  /** Lock content: line 1 the owner tag, line 2 `acquired=<ISO instant>`.
+    * The stamp is OPERATIONAL metadata only (lease adjudication for dead
+    * maintainers; it never flows into query results, so the no-now()
+    * data-path discipline is untouched — same standing as the serving
+    * tier's response timestamps). */
+  private def lockContent(owner: String): String =
+    s"$owner\nacquired=${java.time.Instant.now()}"
+
+  private def readLock(f: FileSystem, p: Path): Option[(String, Option[java.time.Instant])] =
+    try {
+      val in = f.open(p)
+      val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val lines = raw.linesIterator.toSeq
+      val stamp = lines.collectFirst {
+        case l if l.startsWith("acquired=") =>
+          scala.util.Try(java.time.Instant.parse(l.stripPrefix("acquired=")))
+            .toOption
+      }.flatten
+      Some(lines.headOption.getOrElse("").trim -> stamp)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Run `body` as `storeRoot`'s exclusive maintainer. Throws (loud, with
     * the holder's tag and the remediation) if another maintainer holds the
-    * lock; always releases on exit, crash-by-exception included. */
+    * lock; always releases on exit, crash-by-exception included.
+    *
+    * Atomicity scope: the exclusive-create mutex is atomic on HDFS
+    * (server-side create with overwrite=false) and local disk (O_CREAT|
+    * O_EXCL via java.io). On object stores (s3a, gcs, abfs) the same call
+    * is a client-side exists-then-put, so two concurrent maintainers can
+    * both "acquire" — exactly where clustered double-fires are likely.
+    * Unrecognized schemes get a loud log warning; run pointer-store
+    * maintenance from HDFS/local paths, or front it with a real lock
+    * service. */
   def withMaintenanceLock[T](spark: SparkSession, storeRoot: String,
-                             owner: String)(body: => T): T = {
+                             owner: String)(body: => T): T =
+    withMaintenanceLockIfFree(spark, storeRoot, owner)(body).getOrElse {
+      val f = fs(spark, storeRoot)
+      val p = lockPath(storeRoot)
+      val (holder, since) = readLock(f, p).getOrElse("<unreadable>" -> None)
+      sys.error(
+        s"maintenance lock at $p is held by '$holder'" +
+          since.fold("")(s => s" (acquired $s)") +
+          s" — refusing to run '$owner' concurrently (a second maintainer " +
+          "could reap the holder's in-flight version or lose a HISTORY " +
+          "line). If the holder crashed without releasing, verify no " +
+          "maintainer is live, then MigrationRunner.breakMaintenanceLock " +
+          "(or breakMaintenanceLockIfStale under a lease policy).")
+    }
+
+  /** Acquire-if-free variant for sweeping maintainers (retention): runs
+    * `body` under the store's lock and returns Some(result), or returns
+    * None WITHOUT running it when another maintainer holds the lock — the
+    * sweep skips the busy store and retries it next run instead of
+    * aborting mid-sweep. Release semantics match withMaintenanceLock. */
+  def withMaintenanceLockIfFree[T](spark: SparkSession, storeRoot: String,
+                                   owner: String)(body: => T): Option[T] = {
     val f = fs(spark, storeRoot)
     f.mkdirs(new Path(storeRoot))
     val p = lockPath(storeRoot)
-    if (!tryCreateExclusive(f, p, owner)) {
-      val holder =
-        try {
-          val in = f.open(p)
-          try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
-        } catch { case scala.util.control.NonFatal(_) => "<unreadable>" }
-      sys.error(
-        s"maintenance lock at $p is held by '$holder' — refusing to run " +
-          s"'$owner' concurrently (a second maintainer could reap the " +
-          "holder's in-flight version or lose a HISTORY line). If the " +
-          "holder crashed without releasing, verify no maintainer is " +
-          "live, then MigrationRunner.breakMaintenanceLock.")
-    }
-    try body finally f.delete(p, false)
+    if (!tryCreateExclusive(f, p, lockContent(owner))) None
+    else Some(try body finally f.delete(p, false))
   }
 
   /** Explicit recovery from a dead maintainer's leftover lock. Returns
     * whether a lock existed. */
   def breakMaintenanceLock(spark: SparkSession, storeRoot: String): Boolean =
     fs(spark, storeRoot).delete(lockPath(storeRoot), false)
+
+  /** Lease-policy recovery for UNATTENDED schedulers: break the store's
+    * lock only if its acquire stamp is older than `olderThan` before
+    * `now` (caller-supplied clock — tests pin it; a runner passes its real
+    * clock). Returns true iff a lock was broken. Refuses (false) when the
+    * lock is fresh, has no parseable stamp (pre-stamp or hand-written
+    * locks — age unverifiable, so the manual breakMaintenanceLock contract
+    * applies), or doesn't exist.
+    *
+    * Caveat (same as any lease): a maintainer that is merely SLOW, not
+    * dead, loses its lock at the lease boundary — size `olderThan` well
+    * above the longest legitimate maintenance run, and keep the manual
+    * verify-no-live-maintainer path for anything ambiguous. */
+  def breakMaintenanceLockIfStale(spark: SparkSession, storeRoot: String,
+                                  olderThan: java.time.Duration,
+                                  now: java.time.Instant): Boolean = {
+    val f = fs(spark, storeRoot)
+    val p = lockPath(storeRoot)
+    if (!f.exists(p)) false
+    else readLock(f, p).flatMap(_._2) match {
+      case Some(stamp) if java.time.Duration.between(stamp, now)
+          .compareTo(olderThan) > 0 => f.delete(p, false)
+      case _ => false
+    }
+  }
 
   def migrate(spark: SparkSession, sourceDf: DataFrame, storeRoot: String,
               targetName: String, key: String): MigrationReport =

@@ -186,34 +186,106 @@ object Compaction {
     * time per query — a caller that knows its partition values up front
     * (point reads, day slices) should hand them here so the plan is built
     * over just those stores. Unlisted stores are never touched, not even
-    * for pointer resolution. */
+    * for pointer resolution. EVERY requested value must resolve to a
+    * store: a typo'd or expired day in a multi-day slice fails loud
+    * naming the missing values instead of silently dropping that day's
+    * data from the result (ADVICE r14 — the silent-narrow contract was a
+    * correctness trap). Callers that want skip-what's-absent semantics
+    * use `readPointeredWhere`, whose predicate form makes the narrowing
+    * explicit. */
   def readPointered(spark: SparkSession, path: String, partitionCol: String,
                     partitionType: String = "string",
                     onlyValues: Option[Set[String]] = None)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.lit
     val stores = partitionStores(spark, path, partitionCol)
       .filter { case (value, _) => onlyValues.forall(_.contains(value)) }
+    onlyValues.foreach { req =>
+      val missing = req -- stores.map(_._1).toSet
+      require(missing.isEmpty,
+        s"requested $partitionCol values have no store under $path: " +
+          missing.toSeq.sorted.mkString(", "))
+    }
     require(stores.nonEmpty, s"no ${onlyValues.fold("")(v =>
       s"selected (of ${v.size} requested) ")}$partitionCol= stores under $path")
+    // onlyValues callers demanded these exact values — a store expiring
+    // between listing and resolution fails loud, same as absent-at-listing
+    unionStores(spark, stores, partitionCol, partitionType,
+      missingOk = onlyValues.isEmpty)
+  }
+
+  /** Predicate-driven listing-level pruning (VERDICT r14 next #4): derive
+    * the store list from `valuePred` over the LISTED partition values
+    * BEFORE plan construction, so a day/date-range read over a years-deep
+    * warehouse builds its union over just the matching stores instead of
+    * paying driver plan-analysis for thousands of branches that constant-
+    * folding would only later discard. Partition values are directory
+    * names (ISO dates for p_day layouts, so lexicographic compare is date
+    * order). Matching zero stores fails loud; values absent from the
+    * listing are simply not matched — the predicate form makes that
+    * explicit, unlike onlyValues' all-must-resolve contract. */
+  def readPointeredWhere(spark: SparkSession, path: String,
+                         partitionCol: String, partitionType: String)
+                        (valuePred: String => Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    val stores = partitionStores(spark, path, partitionCol)
+      .filter { case (value, _) => valuePred(value) }
+    require(stores.nonEmpty,
+      s"partition predicate matched no $partitionCol= store under $path")
+    unionStores(spark, stores, partitionCol, partitionType, missingOk = true)
+  }
+
+  /** `missingOk`: a store whose directory VANISHED between the listing and
+    * pointer resolution was expired by a concurrent retention sweep —
+    * expiry removes the whole store with one atomic rename (see
+    * expirePointered), so "directory gone" is exactly "would not have been
+    * listed a moment later" and the branch is skipped. A store whose
+    * directory EXISTS but has no CURRENT is corrupt and always fails loud
+    * (atomic-rename expiry can never produce that state). */
+  private def unionStores(spark: SparkSession, stores: Seq[(String, String)],
+                          partitionCol: String, partitionType: String,
+                          missingOk: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.lit
     // one schema inference for the whole layout: the first branch infers,
     // the rest read with the schema imposed — per-branch footer inference
     // dominated plan-build time on wide layouts (measured: ~2.2 s of the
     // board query's 2.4 s at 30 partitions). Partitions share one schema
     // by construction (one writer, one source frame).
     var schema: Option[org.apache.spark.sql.types.StructType] = None
-    val parts = stores.map { case (value, store) =>
-      val name = graft.jobs.MigrationRunner.currentVersion(spark, store)
-        .getOrElse(sys.error(s"no CURRENT pointer in partition store $store"))
-      val df = schema match {
-        case Some(s) => spark.read.schema(s).parquet(s"$store/$name")
+    val parts = stores.flatMap { case (value, store) =>
+      graft.jobs.MigrationRunner.currentVersion(spark, store) match {
         case None =>
-          val d = spark.read.parquet(s"$store/$name")
-          schema = Some(d.schema)
-          d
+          val storePath = new Path(store)
+          val fs = storePath
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (missingOk && !fs.exists(storePath)) None // expired mid-plan
+          else sys.error(s"no CURRENT pointer in partition store $store")
+        case Some(name) =>
+          // the parquet load lists files eagerly, so a store expired
+          // between pointer resolution and here surfaces as path-not-
+          // found — same race, same resolution: skip iff the store
+          // directory is gone, rethrow anything else
+          try {
+            val df = schema match {
+              case Some(s) => spark.read.schema(s).parquet(s"$store/$name")
+              case None =>
+                val d = spark.read.parquet(s"$store/$name")
+                schema = Some(d.schema)
+                d
+            }
+            Some(df.withColumn(partitionCol, lit(value).cast(partitionType)))
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              val storePath = new Path(store)
+              val fs = storePath
+                .getFileSystem(spark.sparkContext.hadoopConfiguration)
+              if (missingOk && !fs.exists(storePath)) None
+              else throw e
+          }
       }
-      df.withColumn(partitionCol, lit(value).cast(partitionType))
     }
+    require(parts.nonEmpty,
+      s"every listed $partitionCol= store expired before plan construction")
     parts.reduce(_ unionByName _)
   }
 
@@ -243,19 +315,60 @@ object Compaction {
     * pointers, a reader racing the expiry either sees the store (and its
     * still-intact live version — expiry deletes the whole store at once,
     * pointer last would be meaningless here since the partition itself is
-    * leaving) or doesn't list it at all. Returns the expired values. */
+    * leaving) or doesn't list it at all. Returns the expired values.
+    *
+    * Two r15 hardenings (VERDICT/ADVICE r14):
+    *
+    *   - Expiry is a maintenance WRITER: it must not race a live
+    *     compactor on the same store — removing the store would take the
+    *     compactor's in-flight version AND its lock file with it, and the
+    *     compactor's subsequent publish would recreate CURRENT,
+    *     resurrecting a retention-expired partition. Each removal runs
+    *     under the store's maintenance lock, acquire-if-free: a store
+    *     whose lock is held is SKIPPED this sweep (not reported expired)
+    *     and picked up by the next retention run, while the rest of the
+    *     sweep proceeds — fail-loud would abort remaining expired days
+    *     over one busy store.
+    *   - Removal is one ATOMIC RENAME to a hidden tomb (then the tomb is
+    *     deleted): a racing reader observes the store fully present or
+    *     fully absent, never a half-deleted store (a recursive delete
+    *     can drop CURRENT before the directory, which a reader could not
+    *     tell from corruption). readPointered treats store-vanished-
+    *     mid-plan as not-listed and skips the branch. The remaining
+    *     honest caveat: a reader EXECUTING a scan of the expiring
+    *     partition's files fails loud (never silent partial rows) —
+    *     reading data past its retention cutoff is a policy conflict,
+    *     not a race to hide. Crash-leftover tombs are reaped at the next
+    *     sweep's start; tombs are dot-hidden, so listings and bare
+    *     parquet reads never see them. */
   def expirePointered(spark: SparkSession, path: String, partitionCol: String,
                       asOf: java.time.LocalDate,
                       retentionDays: Int): Seq[String] = {
     val cutoff = asOf.minusDays(retentionDays.toLong)
-    val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombPrefix = s".expired-$partitionCol="
+    // reap crash leftovers: a sweep that died between rename and tomb
+    // delete left a hidden tomb; any later sweep finishes the job
+    if (fs.exists(root))
+      fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(tombPrefix))
+        .foreach(s => fs.delete(s.getPath, true))
     partitionStores(spark, path, partitionCol).flatMap { case (value, store) =>
       scala.util.Try(java.time.LocalDate.parse(value)).toOption
         .filter(_.isBefore(cutoff))
-        // report only stores the filesystem actually dropped — a false
-        // delete (permissions, races) must not show up in the audit
-        .filter(_ => fs.delete(new Path(store), true))
+        // report only stores actually removed — a lock held by a live
+        // maintainer (skip) or a failed rename must not enter the audit
+        .filter { _ =>
+          graft.jobs.MigrationRunner.withMaintenanceLockIfFree(spark, store,
+            s"expirePointered $partitionCol=$value") {
+            val tomb = new Path(root, s"$tombPrefix$value")
+            if (fs.exists(tomb)) fs.delete(tomb, true)
+            val removed = fs.rename(new Path(store), tomb)
+            if (removed) fs.delete(tomb, true)
+            removed
+          }.contains(true)
+        }
         .map(_ => value)
     }
   }

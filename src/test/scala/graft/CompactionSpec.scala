@@ -222,7 +222,45 @@ class CompactionSpec extends SparkSpec {
       Compaction.readPointered(spark, base, "partition_date",
         onlyValues = Some(Set("1999-01-01")))
     }
-    assert(e.getMessage.contains("no selected"), e.getMessage)
+    assert(e.getMessage.contains("1999-01-01"), e.getMessage)
+    // PARTIALLY absent fails loud too, naming the missing values — a
+    // typo'd or expired day in a multi-day slice must not silently drop
+    // that day's data from the result (ADVICE r14)
+    val e2 = intercept[IllegalArgumentException] {
+      Compaction.readPointered(spark, base, "partition_date",
+        onlyValues = Some(Set("2024-01-02", "1999-01-01")))
+    }
+    assert(e2.getMessage.contains("1999-01-01") &&
+      !e2.getMessage.contains("2024-01-02"), e2.getMessage)
+  }
+
+  test("readPointeredWhere derives the store list from the predicate before plan construction") {
+    // same broken-sibling proof as onlyValues: a store whose CURRENT is
+    // gone would throw on pointer resolution, so a successful predicate
+    // read means non-matching stores were never touched
+    val (flat, df) = mkFragmented()
+    val base = Files.createTempDirectory("graft-pointered-where").toString
+    Compaction.initPointered(spark, flat, base, "partition_date")
+    val broken = new org.apache.hadoop.fs.Path(
+      s"$base/partition_date=2024-01-04/CURRENT")
+    val fs = broken.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(broken, false), "fixture: failed to break the sibling")
+
+    // date-RANGE predicate: partition values are ISO dates, lexicographic
+    // compare is date order
+    val got = Compaction.readPointeredWhere(spark, base, "partition_date",
+        "string")(v => v >= "2024-01-01" && v <= "2024-01-02")
+      .select("id", "payload", "partition_date")
+      .collect().map(_.toString).sorted
+    val expect = df.filter(col("partition_date") <= "2024-01-02")
+      .collect().map(_.toString).sorted
+    assert(got.toSeq == expect.toSeq, "predicate-pruned read changed content")
+    // matching nothing fails loud, not empty-silently
+    val e = intercept[IllegalArgumentException] {
+      Compaction.readPointeredWhere(spark, base, "partition_date",
+        "string")(_ => false)
+    }
+    assert(e.getMessage.contains("matched no"), e.getMessage)
   }
 
   test("pointered retention drops whole stores before the cutoff; survivors read intact") {
@@ -289,5 +327,65 @@ class CompactionSpec extends SparkSpec {
     }
     assert(failure.isEmpty, failure.getOrElse(""))
     assert(reads >= 3, s"reader only completed $reads reads — race not exercised")
+  }
+
+  test("pointered expiry NEVER disturbs a racing reader of surviving partitions") {
+    // VERDICT r14 #8: the retention scaladoc claims list-before-resolve
+    // plus the atomic tomb rename make expiry reader-safe — pin it the
+    // same way as the compaction race: a reader loops FULL readPointered
+    // (so its plan construction lists and resolves the expiring stores
+    // too) while expiry repeatedly removes freshly-landed old-day stores.
+    val (flat, _) = mkFragmented() // survivors 2024-01-01..04, 100 rows each
+    val base = Files.createTempDirectory("graft-pointered-exp-race").toString
+    Compaction.initPointered(spark, flat, base, "partition_date")
+    import spark.implicits._
+    val land = (0 until 50).map(i => (i.toLong, s"old-$i")).toDF("id", "payload")
+
+    @volatile var stop = false
+    @volatile var failure: Option[String] = None
+    @volatile var reads = 0
+    val reader = new Thread(() => {
+      try {
+        while (!stop) {
+          val n = Compaction.readPointered(spark, base, "partition_date")
+            .filter(col("partition_date") === "2024-01-03").count()
+          if (n != 100L) {
+            failure = Some(s"racing reader saw $n rows, expected 100")
+            stop = true
+          }
+          reads += 1
+        }
+      } catch {
+        case e: Throwable =>
+          failure = Some(s"racing reader threw: ${e.getMessage}")
+      }
+    })
+    reader.start()
+    try {
+      (1 to 4).foreach { round =>
+        // land an already-expired day ATOMICALLY (complete store built
+        // hidden, renamed into place — a lander that builds in place
+        // would itself expose a CURRENT-less store to the reader)
+        val value = s"2023-12-0$round"
+        val tmp = s"$base/.landing-$round"
+        land.write.parquet(s"$tmp/v1")
+        graft.jobs.MigrationRunner.publish(spark, tmp, "v1")
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        assert(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(s"$base/partition_date=$value")))
+        val expired = Compaction.expirePointered(spark, base,
+          "partition_date", java.time.LocalDate.parse("2024-01-05"),
+          retentionDays = 10) // cutoff 2023-12-26: only the landed day goes
+        assert(expired == Seq(value), s"round $round: $expired")
+      }
+    } finally {
+      stop = true
+      reader.join(30000)
+    }
+    assert(failure.isEmpty, failure.getOrElse(""))
+    assert(reads >= 3, s"reader only completed $reads reads — race not exercised")
+    // survivors fully intact after the sweeps
+    assert(Compaction.readPointered(spark, base, "partition_date").count() == 400L)
   }
 }

@@ -45,6 +45,9 @@ class MaintenanceLockSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("holder-job") &&
       e.getMessage.contains("breakMaintenanceLock"), e.getMessage)
+    // engine-acquired locks carry their acquire stamp (lease adjudication)
+    // and the contention message surfaces it
+    assert(e.getMessage.contains("(acquired "), e.getMessage)
     release.countDown()
     holder.join(30000)
     assert(holderResult.contains("done"))
@@ -107,6 +110,90 @@ class MaintenanceLockSpec extends SparkSpec {
     val r = Compaction.compactPointered(spark, s"$base/ptr", "partition_date",
       1L << 30)
     assert(r.exists(_.value == "2024-01-01"), s"$r")
+  }
+
+  test("retention skips a lock-held store and expires it once the maintainer releases") {
+    // VERDICT r14 #1: expiry racing a live compactor must not delete the
+    // store mid-rewrite (the compactor's publish would resurrect the
+    // expired partition). Expiry is acquire-if-free: the held store is
+    // skipped this sweep, the rest of the sweep proceeds, and the next
+    // run picks it up.
+    val base = Files.createTempDirectory("graft-lock-expire").toString
+    val df = (0 until 200).map(i => (i.toLong, s"2024-01-0${i % 2 + 1}"))
+      .toDF("id", "partition_date")
+    sinks.MergeByKey.overwritePartitions(df.repartition(4), s"$base/flat",
+      "partition_date")
+    Compaction.initPointered(spark, s"$base/flat", s"$base/ptr", "partition_date")
+    val held = s"$base/ptr/partition_date=2024-01-01"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$held/MAINTENANCE.lock"), "live-compactor")
+    // cutoff 2024-01-03: both partitions are retention-expired, but only
+    // the unlocked one goes
+    val first = Compaction.expirePointered(spark, s"$base/ptr",
+      "partition_date", java.time.LocalDate.parse("2024-01-05"), 2)
+    assert(first == Seq("2024-01-02"), s"$first")
+    // the held store is untouched and still fully readable
+    assert(Compaction.readPointered(spark, s"$base/ptr", "partition_date")
+      .filter(col("partition_date") === "2024-01-01").count() == 100L)
+    assert(new java.io.File(s"$held/MAINTENANCE.lock").exists(),
+      "expiry must not have removed the live maintainer's lock")
+    MigrationRunner.breakMaintenanceLock(spark, held)
+    val second = Compaction.expirePointered(spark, s"$base/ptr",
+      "partition_date", java.time.LocalDate.parse("2024-01-05"), 2)
+    assert(second == Seq("2024-01-01"), s"$second")
+  }
+
+  test("an expiry-held lock blocks a racing compactor loud (the converse direction)") {
+    val base = Files.createTempDirectory("graft-lock-expire2").toString
+    val df = (0 until 100).map(i => (i.toLong, "2024-01-01"))
+      .toDF("id", "partition_date")
+    sinks.MergeByKey.overwritePartitions(df.repartition(4), s"$base/flat",
+      "partition_date")
+    Compaction.initPointered(spark, s"$base/flat", s"$base/ptr", "partition_date")
+    val store = s"$base/ptr/partition_date=2024-01-01"
+    // fragment so compaction has work planned
+    MigrationRunner.withMaintenanceLock(spark, store, "refrag") {
+      MigrationRunner.current(spark, store).repartition(8)
+        .write.parquet(s"$store/frag")
+      MigrationRunner.publish(spark, store, "frag")
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$store/MAINTENANCE.lock"),
+      "expirePointered partition_date=2024-01-01")
+    val e = intercept[RuntimeException] {
+      Compaction.compactPointered(spark, s"$base/ptr", "partition_date", 1L << 30)
+    }
+    assert(e.getMessage.contains("expirePointered"), e.getMessage)
+  }
+
+  test("breakMaintenanceLockIfStale breaks only provably-old stamped locks") {
+    import java.time.{Duration, Instant}
+    val store = freshStore("lease")
+    val now = Instant.parse("2026-01-02T00:00:00Z")
+    // no lock at all → nothing to break
+    assert(!MigrationRunner.breakMaintenanceLockIfStale(spark, store,
+      Duration.ofHours(6), now))
+    // a crashed maintainer's stamped lock, 24h old vs a 6h lease
+    val lock = new java.io.File(s"$store/MAINTENANCE.lock")
+    lock.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(lock.toPath,
+      "crashed-job\nacquired=2026-01-01T00:00:00Z")
+    // FRESH relative to an earlier clock: refuses, lock still blocks
+    assert(!MigrationRunner.breakMaintenanceLockIfStale(spark, store,
+      Duration.ofHours(6), Instant.parse("2026-01-01T03:00:00Z")))
+    intercept[RuntimeException] {
+      MigrationRunner.withMaintenanceLock(spark, store, "blocked") { fail("must not enter") }
+    }
+    // provably past the lease: broken, maintenance proceeds
+    assert(MigrationRunner.breakMaintenanceLockIfStale(spark, store,
+      Duration.ofHours(6), now))
+    assert(MigrationRunner.withMaintenanceLock(spark, store, "recovered") { 7 } == 7)
+    // a stamp-less (hand-written / pre-stamp) lock has unverifiable age:
+    // the lease REFUSES and the manual break contract applies
+    java.nio.file.Files.writeString(lock.toPath, "dead-no-stamp")
+    assert(!MigrationRunner.breakMaintenanceLockIfStale(spark, store,
+      Duration.ofHours(6), now))
+    assert(MigrationRunner.breakMaintenanceLock(spark, store))
   }
 
   test("versioned z-store compaction is lock-guarded") {
