@@ -159,19 +159,55 @@ object Compaction {
 
   /** Convert a flat `partitionCol=value` layout into the pointered layout:
     * each partition's data becomes version v1 of its own pointer store.
-    * The source is read, not moved. */
+    * The source is read, not moved. Idempotent over a crash mid-init:
+    * already-landed stores are skipped (a store is only ever exposed
+    * complete — see landPointered — so existing means done). */
   def initPointered(spark: SparkSession, flatPath: String,
-                    pointeredPath: String, partitionCol: String): Unit =
+                    pointeredPath: String, partitionCol: String): Unit = {
+    val fs = new Path(pointeredPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     partitionStores(spark, flatPath, partitionCol).foreach {
       case (value, dir) =>
-        val store = s"$pointeredPath/$partitionCol=$value"
-        graft.jobs.MigrationRunner.withMaintenanceLock(spark, store,
-            s"initPointered $partitionCol=$value") {
-          spark.read.parquet(dir).write.mode("overwrite")
-            .parquet(s"$store/v1")
-          graft.jobs.MigrationRunner.publish(spark, store, "v1")
-        }
+        if (!fs.exists(new Path(s"$pointeredPath/$partitionCol=$value")))
+          landPointered(spark, spark.read.parquet(dir), pointeredPath,
+            partitionCol, value)
     }
+  }
+
+  /** Land `df` as a NEW partition store ATOMICALLY (r15): the store is
+    * built COMPLETE (v1 + CURRENT + HISTORY) under a hidden dot-sibling,
+    * then one atomic rename exposes it — a racing reader lists the
+    * partition fully present or not at all, never a CURRENT-less store
+    * under construction (building in place would expose exactly that,
+    * and readers treat dir-without-CURRENT as corruption, loudly). The
+    * mirror image of expirePointered's tomb rename: store birth and
+    * death are both single renames.
+    *
+    * Concurrency: the hidden build dir is deterministic per value, and
+    * the build runs under ITS maintenance lock — a doubled lander fails
+    * loud at acquisition (or, past the release, at the target-exists
+    * check before the rename). A crash mid-build leaves only the hidden
+    * dir: invisible to readers, rebuilt from scratch (mode=overwrite) by
+    * the next landing of the same value. */
+  def landPointered(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
+                    pointeredPath: String, partitionCol: String,
+                    value: String): Unit = {
+    val store = new Path(s"$pointeredPath/$partitionCol=$value")
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(store),
+      s"$store already exists — land new data via merge/compaction paths, " +
+        "not a second landing")
+    val hidden = s"$pointeredPath/.landing-$partitionCol=$value"
+    graft.jobs.MigrationRunner.withMaintenanceLock(spark, hidden,
+        s"landPointered $partitionCol=$value") {
+      df.write.mode("overwrite").parquet(s"$hidden/v1")
+      graft.jobs.MigrationRunner.publish(spark, hidden, "v1")
+    } // lock (inside the hidden dir) is released before the rename
+    require(!fs.exists(store),
+      s"$store appeared while landing — doubled lander, refusing the swap")
+    require(fs.rename(new Path(hidden), store),
+      s"landing rename failed: $hidden -> $store")
+  }
 
   /** Resolve every partition's live version and union them back into one
     * frame with `partitionCol` restored (cast to `partitionType`, e.g.
@@ -408,16 +444,28 @@ object Compaction {
     * into a fresh version of the SAME partition store and swing its
     * pointer — atomic per partition, no rename dance, no absence. Old
     * generations (and crash leftovers — versions written but never
-    * published) are reaped down to {new live, previous live}. */
+    * published) are reaped down to {new live, previous live}.
+    *
+    * `skipHeld` (r15): interactive runs keep the default fail-loud-on-
+    * contention; an UNATTENDED sweep (maintainPointered) passes true so
+    * one store held by another maintainer is skipped — left for the next
+    * sweep — instead of aborting the remaining partitions' rewrites. */
   def compactPointered(spark: SparkSession, path: String,
                        partitionCol: String, targetBytes: Long,
-                       layoutSort: Seq[org.apache.spark.sql.Column] = Nil)
+                       layoutSort: Seq[org.apache.spark.sql.Column] = Nil,
+                       skipHeld: Boolean = false)
       : Seq[Rewrite] = {
     val before = statsPointered(spark, path, partitionCol)
-    plan(before, targetBytes).map { case (value, k) =>
+    plan(before, targetBytes).flatMap { case (value, k) =>
       val store = s"$path/$partitionCol=$value"
-      graft.jobs.MigrationRunner.withMaintenanceLock(spark, store,
-          s"compactPointered $partitionCol=$value") {
+      val run: (=> Rewrite) => Option[Rewrite] =
+        if (skipHeld)
+          body => graft.jobs.MigrationRunner.withMaintenanceLockIfFree(
+            spark, store, s"compactPointered $partitionCol=$value")(body)
+        else
+          body => Some(graft.jobs.MigrationRunner.withMaintenanceLock(
+            spark, store, s"compactPointered $partitionCol=$value")(body))
+      run {
       val prevLive = graft.jobs.MigrationRunner.currentVersion(spark, store)
       val name = graft.jobs.MigrationRunner.freshVersionName(spark, store, "v1")
       val frame = graft.jobs.MigrationRunner.current(spark, store)
@@ -452,5 +500,59 @@ object Compaction {
         after)
       }
     }
+  }
+
+  /** What one unattended maintenance sweep did — every count audited, so
+    * a scheduler's logs carry the whole story: `locksBroken` lists stores
+    * whose provably-stale lock the lease policy cleared, `rewrites` the
+    * compactions performed, `expired` the partitions retention removed.
+    * Stores skipped because a LIVE maintainer held them simply don't
+    * appear (they are next sweep's work). */
+  final case class MaintenanceReport(locksBroken: Seq[String],
+                                     rewrites: Seq[Rewrite],
+                                     expired: Seq[String])
+
+  /** The UNATTENDED nightly maintenance entry point (VERDICT r14 next
+    * #5): one call = stale-lock recovery → retention → compaction over a
+    * pointered warehouse (retention FIRST: a partition past its cutoff
+    * must not be rewritten just to be deleted — at warehouse scale the
+    * expiring tail is exactly where small-file debt accumulates), with
+    * the liveness policy a scheduler needs and an interactive operator
+    * doesn't:
+    *
+    *   - `staleLockLease` (the policy knob): locks whose acquire stamp is
+    *     older than the lease against `now` are broken before the sweep
+    *     (a maintainer that crashed without releasing must not wedge the
+    *     warehouse until a human runs breakMaintenanceLock). Size it well
+    *     above the longest legitimate maintenance run — a SLOW maintainer
+    *     past the lease loses its lock (the inherent lease trade, stated
+    *     on breakMaintenanceLockIfStale). None = no lease: held stores
+    *     are skipped and a human clears leftovers, the interactive
+    *     contract.
+    *   - compaction runs skipHeld: a store still held (fresh lock, live
+    *     maintainer) is left for the next sweep, never aborts the sweep.
+    *   - retention (expirePointered) already skips held stores.
+    *
+    * `now` is caller-supplied (the scheduler's real clock; tests pin it)
+    * — wall-clock never enters the data path, only lock adjudication. */
+  def maintainPointered(spark: SparkSession, path: String,
+                        partitionCol: String, targetBytes: Long,
+                        asOf: java.time.LocalDate, retentionDays: Int,
+                        layoutSort: Seq[org.apache.spark.sql.Column] = Nil,
+                        staleLockLease: Option[java.time.Duration] = None,
+                        now: () => java.time.Instant =
+                          () => java.time.Instant.now()): MaintenanceReport = {
+    val broken = staleLockLease.fold(Seq.empty[String]) { lease =>
+      val instant = now()
+      partitionStores(spark, path, partitionCol).collect {
+        case (value, store) if graft.jobs.MigrationRunner
+            .breakMaintenanceLockIfStale(spark, store, lease, instant) => value
+      }
+    }
+    val expired = expirePointered(spark, path, partitionCol, asOf,
+      retentionDays)
+    val rewrites = compactPointered(spark, path, partitionCol, targetBytes,
+      layoutSort, skipHeld = true)
+    MaintenanceReport(broken, rewrites, expired)
   }
 }

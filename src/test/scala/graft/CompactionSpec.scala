@@ -329,6 +329,77 @@ class CompactionSpec extends SparkSpec {
     assert(reads >= 3, s"reader only completed $reads reads — race not exercised")
   }
 
+  test("landPointered exposes a store atomically; doubled landing fails loud") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-pointered-land").toString
+    // first store lands into an EMPTY warehouse root
+    val a = (0 until 60).map(i => (i.toLong, s"a$i")).toDF("id", "payload")
+    Compaction.landPointered(spark, a, base, "partition_date", "2024-02-01")
+    assert(Compaction.readPointered(spark, base, "partition_date")
+      .count() == 60L)
+    // the hidden build dir is gone (renamed into place, not copied)
+    assert(!new java.io.File(
+      s"$base/.landing-partition_date=2024-02-01").exists())
+    // landing the same value again is a doubled lander: loud
+    val e = intercept[IllegalArgumentException] {
+      Compaction.landPointered(spark, a, base, "partition_date", "2024-02-01")
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    // a second DAY lands fine and both read back
+    Compaction.landPointered(spark, a, base, "partition_date", "2024-02-02")
+    assert(Compaction.readPointered(spark, base, "partition_date")
+      .count() == 120L)
+    // crash-leftover hidden dir (build completed, rename never ran):
+    // relanding the value rebuilds and exposes it
+    val c = (0 until 30).map(i => (i.toLong, s"c$i")).toDF("id", "payload")
+    c.write.parquet(s"$base/.landing-partition_date=2024-02-03/v1")
+    Compaction.landPointered(spark, c, base, "partition_date", "2024-02-03")
+    assert(Compaction.readPointered(spark, base, "partition_date",
+      onlyValues = Some(Set("2024-02-03"))).count() == 30L)
+  }
+
+  test("pointered LANDING never disturbs a racing reader of existing partitions") {
+    import spark.implicits._
+    val (flat, _) = mkFragmented()
+    val base = Files.createTempDirectory("graft-pointered-land-race").toString
+    Compaction.initPointered(spark, flat, base, "partition_date")
+    val land = (0 until 50).map(i => (i.toLong, s"new-$i")).toDF("id", "payload")
+
+    @volatile var stop = false
+    @volatile var failure: Option[String] = None
+    @volatile var reads = 0
+    val reader = new Thread(() => {
+      try {
+        while (!stop) {
+          val n = Compaction.readPointered(spark, base, "partition_date")
+            .filter(col("partition_date") === "2024-01-02").count()
+          if (n != 100L) {
+            failure = Some(s"racing reader saw $n rows, expected 100")
+            stop = true
+          }
+          reads += 1
+        }
+      } catch {
+        case e: Throwable =>
+          failure = Some(s"racing reader threw: ${e.getMessage}")
+      }
+    })
+    reader.start()
+    try {
+      (1 to 4).foreach { round =>
+        Compaction.landPointered(spark, land, base, "partition_date",
+          s"2024-02-0$round")
+      }
+    } finally {
+      stop = true
+      reader.join(30000)
+    }
+    assert(failure.isEmpty, failure.getOrElse(""))
+    assert(reads >= 3, s"reader only completed $reads reads — race not exercised")
+    assert(Compaction.readPointered(spark, base, "partition_date")
+      .count() == 600L) // 4x100 original + 4x50 landed
+  }
+
   test("pointered expiry NEVER disturbs a racing reader of surviving partitions") {
     // VERDICT r14 #8: the retention scaladoc claims list-before-resolve
     // plus the atomic tomb rename make expiry reader-safe — pin it the
@@ -363,17 +434,11 @@ class CompactionSpec extends SparkSpec {
     reader.start()
     try {
       (1 to 4).foreach { round =>
-        // land an already-expired day ATOMICALLY (complete store built
-        // hidden, renamed into place — a lander that builds in place
+        // land an already-expired day ATOMICALLY via the library's own
+        // hidden-build-then-rename path (a lander that builds in place
         // would itself expose a CURRENT-less store to the reader)
         val value = s"2023-12-0$round"
-        val tmp = s"$base/.landing-$round"
-        land.write.parquet(s"$tmp/v1")
-        graft.jobs.MigrationRunner.publish(spark, tmp, "v1")
-        val fs = new org.apache.hadoop.fs.Path(base)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        assert(fs.rename(new org.apache.hadoop.fs.Path(tmp),
-          new org.apache.hadoop.fs.Path(s"$base/partition_date=$value")))
+        Compaction.landPointered(spark, land, base, "partition_date", value)
         val expired = Compaction.expirePointered(spark, base,
           "partition_date", java.time.LocalDate.parse("2024-01-05"),
           retentionDays = 10) // cutoff 2023-12-26: only the landed day goes
