@@ -185,10 +185,15 @@ object Compaction {
     *
     * Concurrency: the hidden build dir is deterministic per value, and
     * the build runs under ITS maintenance lock — a doubled lander fails
-    * loud at acquisition (or, past the release, at the target-exists
-    * check before the rename). A crash mid-build leaves only the hidden
-    * dir: invisible to readers, rebuilt from scratch (mode=overwrite) by
-    * the next landing of the same value. */
+    * loud at acquisition, at the target-exists check, or at the rename
+    * itself. The exposure rename goes through FileContext WITHOUT the
+    * OVERWRITE option, which throws if the destination exists —
+    * FileSystem.rename on HDFS would instead MOVE the source INSIDE an
+    * existing destination directory (POSIX-mv semantics), silently
+    * nesting the loser's build into the winner's store; the no-clobber
+    * contract closes that check-then-rename window. A crash mid-build
+    * leaves only the hidden dir: invisible to readers, rebuilt from
+    * scratch (mode=overwrite) by the next landing of the same value. */
   def landPointered(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
                     pointeredPath: String, partitionCol: String,
                     value: String): Unit = {
@@ -203,10 +208,15 @@ object Compaction {
       df.write.mode("overwrite").parquet(s"$hidden/v1")
       graft.jobs.MigrationRunner.publish(spark, hidden, "v1")
     } // lock (inside the hidden dir) is released before the rename
-    require(!fs.exists(store),
-      s"$store appeared while landing — doubled lander, refusing the swap")
-    require(fs.rename(new Path(hidden), store),
-      s"landing rename failed: $hidden -> $store")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.makeQualified(store).toUri, spark.sparkContext.hadoopConfiguration)
+    try fc.rename(fs.makeQualified(new Path(hidden)), fs.makeQualified(store))
+    catch {
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.io.FileNotFoundException) =>
+        sys.error(s"landing swap lost a race: $hidden -> $store (" +
+          s"${e.getMessage}) — doubled lander, the winner's store stands")
+    }
   }
 
   /** Resolve every partition's live version and union them back into one
