@@ -199,18 +199,47 @@ object MigrationRunner {
   private def lockContent(owner: String): String =
     s"$owner\nacquired=${java.time.Instant.now()}"
 
-  private def readLock(f: FileSystem, p: Path): Option[(String, Option[java.time.Instant])] =
+  private def readLockRaw(f: FileSystem, p: Path): Option[String] =
     try {
       val in = f.open(p)
-      val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      val lines = raw.linesIterator.toSeq
-      val stamp = lines.collectFirst {
-        case l if l.startsWith("acquired=") =>
-          scala.util.Try(java.time.Instant.parse(l.stripPrefix("acquired=")))
-            .toOption
-      }.flatten
-      Some(lines.headOption.getOrElse("").trim -> stamp)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def parseLock(raw: String): (String, Option[java.time.Instant]) = {
+    val lines = raw.linesIterator.toSeq
+    val stamp = lines.collectFirst {
+      case l if l.startsWith("acquired=") =>
+        scala.util.Try(java.time.Instant.parse(l.stripPrefix("acquired=")))
+          .toOption
+    }.flatten
+    lines.headOption.getOrElse("").trim -> stamp
+  }
+
+  private def readLock(f: FileSystem, p: Path): Option[(String, Option[java.time.Instant])] =
+    readLockRaw(f, p).map(parseLock)
+
+  /** Observability counter for the delete-if-mine release: bumped every
+    * time a releasing holder finds a FOREIGN lock where its own should be
+    * — i.e. its lease was broken and another maintainer took over while it
+    * was still running. The loud log at the release site is the holder's
+    * you-exceeded-the-lease signal; this counter lets tests pin that the
+    * signal fired. */
+  private[graft] val foreignLocksAtRelease =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Delete `p` only if its content still equals `expected` — the shared
+    * guard under both the delete-if-mine release and the stale-lease break.
+    * The re-read immediately before the delete NARROWS (does not eliminate:
+    * the filesystem offers no compare-and-delete) the read-then-delete
+    * window in which a concurrent lease break plus a fresh acquisition
+    * could swap the file under us; with the window down to two adjacent
+    * metadata ops, exploiting it takes a second sweep breaking the SAME
+    * lease in the same instant — and the delete-if-mine release on the new
+    * holder still catches the cascade one step later. Returns whether the
+    * lock was deleted. */
+  private[graft] def deleteLockIfContentStill(f: FileSystem, p: Path,
+                                              expected: String): Boolean =
+    readLockRaw(f, p).contains(expected) && f.delete(p, false)
 
   /** Run `body` as `storeRoot`'s exclusive maintainer. Throws (loud, with
     * the holder's tag and the remediation) if another maintainer holds the
@@ -244,14 +273,66 @@ object MigrationRunner {
     * `body` under the store's lock and returns Some(result), or returns
     * None WITHOUT running it when another maintainer holds the lock — the
     * sweep skips the busy store and retries it next run instead of
-    * aborting mid-sweep. Release semantics match withMaintenanceLock. */
+    * aborting mid-sweep.
+    *
+    * Release is OWNERSHIP-CHECKED (r16, VERDICT r15 #2): the holder deletes
+    * the lock only if its content is still the exact owner+stamp it wrote.
+    * Without the check, a lease break cascades: sweep breaks slow holder
+    * A's lock, maintainer B acquires a fresh one, and A's unconditional
+    * `finally delete` would then remove B's lock — silently re-opening the
+    * store to a third maintainer while B is mid-rewrite. With it, A's
+    * release finds a foreign lock, leaves it alone, and logs loudly — that
+    * log is A's you-exceeded-the-lease signal (it gets no other). */
   def withMaintenanceLockIfFree[T](spark: SparkSession, storeRoot: String,
                                    owner: String)(body: => T): Option[T] = {
     val f = fs(spark, storeRoot)
     f.mkdirs(new Path(storeRoot))
+    stampMaintenanceLock(spark, storeRoot, owner).map { mine =>
+      try body
+      finally releaseMaintenanceLockIfMine(spark, storeRoot, mine): Unit
+    }
+  }
+
+  /** Exclusive-create the store's maintenance lock without a scoped body —
+    * for maintenance actions whose critical section ends at a RENAME that
+    * carries the lock file to a new path (landPointered: the lock rides the
+    * hidden build dir into the exposed store, so ownership spans the
+    * rename). Returns the exact content written (the release token for
+    * releaseMaintenanceLockIfMine), or None if another maintainer holds the
+    * lock. Prefer the scoped with* forms everywhere the lock path is
+    * stable. */
+  def stampMaintenanceLock(spark: SparkSession, storeRoot: String,
+                           owner: String): Option[String] = {
+    val f = fs(spark, storeRoot)
+    f.mkdirs(new Path(storeRoot))
+    val content = lockContent(owner)
+    if (tryCreateExclusive(f, lockPath(storeRoot), content)) Some(content)
+    else None
+  }
+
+  /** Delete-if-mine release: removes the store's lock only if its content
+    * still equals `mine` (the token stampMaintenanceLock returned). A
+    * FOREIGN lock — this holder's lease was broken and another maintainer
+    * took over — is left alone and logged loudly; returns whether the lock
+    * was ours and released. */
+  def releaseMaintenanceLockIfMine(spark: SparkSession, storeRoot: String,
+                                   mine: String): Boolean = {
+    val f = fs(spark, storeRoot)
     val p = lockPath(storeRoot)
-    if (!tryCreateExclusive(f, p, lockContent(owner))) None
-    else Some(try body finally f.delete(p, false))
+    val released = deleteLockIfContentStill(f, p, mine)
+    if (!released) {
+      foreignLocksAtRelease.incrementAndGet()
+      val holder = readLock(f, p).map { case (o, s) =>
+        s"'$o'" + s.fold("")(i => s" (acquired $i)")
+      }.getOrElse("<gone or unreadable>")
+      org.slf4j.LoggerFactory.getLogger(getClass).error(
+        s"maintenance lock at $p is no longer this holder's " +
+          s"('${parseLock(mine)._1}'): the lease was broken mid-run and the " +
+          s"lock now belongs to $holder. This maintainer exceeded the lease " +
+          "— its work may have overlapped the new holder's; leaving the " +
+          "foreign lock in place.")
+    }
+    released
   }
 
   /** Explicit recovery from a dead maintainer's leftover lock. Returns
@@ -270,17 +351,28 @@ object MigrationRunner {
     * Caveat (same as any lease): a maintainer that is merely SLOW, not
     * dead, loses its lock at the lease boundary — size `olderThan` well
     * above the longest legitimate maintenance run, and keep the manual
-    * verify-no-live-maintainer path for anything ambiguous. */
+    * verify-no-live-maintainer path for anything ambiguous.
+    *
+    * The break deletes only if the lock's CONTENT is unchanged since the
+    * staleness read (ADVICE r15): between reading the stale stamp and the
+    * delete, another sweep could break the same lock and a new maintainer
+    * acquire a fresh one — an unconditional delete would then remove the
+    * FRESH lock, re-opening the store mid-rewrite. The content re-read
+    * narrows that window to two adjacent metadata ops (see
+    * deleteLockIfContentStill for why it cannot be eliminated here, and
+    * why the delete-if-mine release catches the residue). */
   def breakMaintenanceLockIfStale(spark: SparkSession, storeRoot: String,
                                   olderThan: java.time.Duration,
                                   now: java.time.Instant): Boolean = {
     val f = fs(spark, storeRoot)
     val p = lockPath(storeRoot)
-    if (!f.exists(p)) false
-    else readLock(f, p).flatMap(_._2) match {
-      case Some(stamp) if java.time.Duration.between(stamp, now)
-          .compareTo(olderThan) > 0 => f.delete(p, false)
-      case _ => false
+    readLockRaw(f, p) match {
+      case Some(raw) => parseLock(raw)._2 match {
+        case Some(stamp) if java.time.Duration.between(stamp, now)
+            .compareTo(olderThan) > 0 => deleteLockIfContentStill(f, p, raw)
+        case _ => false
+      }
+      case None => false
     }
   }
 

@@ -160,19 +160,42 @@ object Compaction {
   /** Convert a flat `partitionCol=value` layout into the pointered layout:
     * each partition's data becomes version v1 of its own pointer store.
     * The source is read, not moved. Idempotent over a crash mid-init:
-    * already-landed stores are skipped (a store is only ever exposed
-    * complete — see landPointered — so existing means done). */
+    * already-landed stores are skipped — landPointered only ever exposes a
+    * COMPLETE store (atomic rename), so existing-with-CURRENT means done.
+    * A store directory WITHOUT a CURRENT pointer cannot be this init's own
+    * leftover (atomic exposure can't produce it) — it is a pre-atomic-
+    * landing remnant or external corruption, and skipping it would leave a
+    * permanently unreadable partition behind a "successful" init (ADVICE
+    * r15), so it fails loud with the remediation instead: inspect the
+    * remnant, delete it, and re-run (init rebuilds that value from the
+    * flat source). */
   def initPointered(spark: SparkSession, flatPath: String,
                     pointeredPath: String, partitionCol: String): Unit = {
     val fs = new Path(pointeredPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     partitionStores(spark, flatPath, partitionCol).foreach {
       case (value, dir) =>
-        if (!fs.exists(new Path(s"$pointeredPath/$partitionCol=$value")))
+        val store = s"$pointeredPath/$partitionCol=$value"
+        if (!fs.exists(new Path(store)))
           landPointered(spark, spark.read.parquet(dir), pointeredPath,
             partitionCol, value)
+        else if (graft.jobs.MigrationRunner.currentVersion(spark, store).isEmpty)
+          sys.error(s"$store exists but has no CURRENT pointer — not a " +
+            "landed store (atomic landing cannot leave this state); a " +
+            "pre-atomic-landing remnant or external corruption. Inspect " +
+            "and delete the directory, then re-run initPointered to " +
+            "rebuild that value from the flat source.")
     }
   }
+
+  /** Dot-hidden prefix of every landing build dir; maintainPointered's
+    * janitor keys its crashed-lander sweep on it. */
+  private[graft] val LandingPrefix = ".landing-"
+
+  /** Race-pin injection point (tests only): runs after the build completes
+    * and before the exposure rename — the window in which a doubled lander
+    * must lose to the no-clobber rename, never corrupt the winner. */
+  private[graft] var beforeExposeHook: () => Unit = () => ()
 
   /** Land `df` as a NEW partition store ATOMICALLY (r15): the store is
     * built COMPLETE (v1 + CURRENT + HISTORY) under a hidden dot-sibling,
@@ -183,17 +206,35 @@ object Compaction {
     * mirror image of expirePointered's tomb rename: store birth and
     * death are both single renames.
     *
-    * Concurrency: the hidden build dir is deterministic per value, and
-    * the build runs under ITS maintenance lock — a doubled lander fails
-    * loud at acquisition, at the target-exists check, or at the rename
-    * itself. The exposure rename goes through FileContext WITHOUT the
-    * OVERWRITE option, which throws if the destination exists —
-    * FileSystem.rename on HDFS would instead MOVE the source INSIDE an
+    * Concurrency (r16, ADVICE r15): the hidden build dir is UNIQUE PER
+    * ATTEMPT (a nonce suffix), so concurrent landers of the same value
+    * never share a build dir and the no-clobber exposure rename is the
+    * SOLE arbiter — the r15 deterministic-dir design let a doubled lander
+    * re-acquire the shared dir after the winner released its lock but
+    * before it renamed, and mode=overwrite then deleted the winner's v1
+    * out from under its own exposure. The rename goes through FileContext
+    * WITHOUT the OVERWRITE option, which throws if the destination exists
+    * — FileSystem.rename on HDFS would instead MOVE the source INSIDE an
     * existing destination directory (POSIX-mv semantics), silently
-    * nesting the loser's build into the winner's store; the no-clobber
-    * contract closes that check-then-rename window. A crash mid-build
-    * leaves only the hidden dir: invisible to readers, rebuilt from
-    * scratch (mode=overwrite) by the next landing of the same value. */
+    * nesting the loser's build into the winner's store. The loser fails
+    * loud and deletes its own (private) build dir; the winner's store
+    * stands.
+    *
+    * Ownership spans the exposure: the build dir carries a stamped
+    * MAINTENANCE.lock from first write to PAST the rename (the lock rides
+    * the rename into the exposed store, then is released delete-if-mine) —
+    * so there is no instant at which the store is exposed but unowned, and
+    * maintenance sweeps racing a just-landed store see a fresh lock and
+    * skip it.
+    *
+    * Crash recovery, every window: crash-by-exception mid-build deletes
+    * its own hidden dir before rethrowing; a HARD-killed lander leaves a
+    * uniquely-named hidden dir (invisible to readers, never in any later
+    * lander's way — relanding the value just works, with a fresh dir)
+    * whose stamped lock lets maintainPointered's janitor reap it once the
+    * lease proves it dead; a crash between rename and lock release leaves
+    * a complete, readable store holding a stale lock, which the same
+    * lease sweep already recovers (it is a visible store). */
   def landPointered(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
                     pointeredPath: String, partitionCol: String,
                     value: String): Unit = {
@@ -202,21 +243,35 @@ object Compaction {
     require(!fs.exists(store),
       s"$store already exists — land new data via merge/compaction paths, " +
         "not a second landing")
-    val hidden = s"$pointeredPath/.landing-$partitionCol=$value"
-    graft.jobs.MigrationRunner.withMaintenanceLock(spark, hidden,
-        s"landPointered $partitionCol=$value") {
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val hidden = s"$pointeredPath/$LandingPrefix$partitionCol=$value.$nonce"
+    // stamp first, build second: any leftover dir a hard kill can leave
+    // carries an adjudicable acquire stamp for the janitor's lease
+    val stamp = graft.jobs.MigrationRunner.stampMaintenanceLock(spark, hidden,
+        s"landPointered $partitionCol=$value")
+      .getOrElse(sys.error(s"fresh landing dir $hidden already locked — " +
+        "nonce collision, retry the landing"))
+    try {
       df.write.mode("overwrite").parquet(s"$hidden/v1")
       graft.jobs.MigrationRunner.publish(spark, hidden, "v1")
-    } // lock (inside the hidden dir) is released before the rename
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        fs.delete(new Path(hidden), true) // private dir: always safe
+        throw e
+    }
+    beforeExposeHook()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       fs.makeQualified(store).toUri, spark.sparkContext.hadoopConfiguration)
     try fc.rename(fs.makeQualified(new Path(hidden)), fs.makeQualified(store))
     catch {
       case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
                 _: java.io.FileNotFoundException) =>
+        fs.delete(new Path(hidden), true) // the loser reaps its own build
         sys.error(s"landing swap lost a race: $hidden -> $store (" +
           s"${e.getMessage}) — doubled lander, the winner's store stands")
     }
+    graft.jobs.MigrationRunner
+      .releaseMaintenanceLockIfMine(spark, store.toString, stamp): Unit
   }
 
   /** Resolve every partition's live version and union them back into one
@@ -238,10 +293,29 @@ object Compaction {
     * data from the result (ADVICE r14 — the silent-narrow contract was a
     * correctness trap). Callers that want skip-what's-absent semantics
     * use `readPointeredWhere`, whose predicate form makes the narrowing
-    * explicit. */
+    * explicit.
+    *
+    * Depth guard (r16, VERDICT r15 #4): an UNPRUNED read over more than
+    * `FlatScanWarnAt` stores logs a loud warning naming the pruned paths —
+    * PointeredPlanBench measured the flat path's plan analysis at 27 s for
+    * 1000 stores vs 0.11 s pruned, a silent driver tax a caller that
+    * forgot `onlyValues`/`readPointeredWhere` on a years-deep warehouse
+    * would pay on every query. Full-scan semantics are legitimate
+    * (backfills, audits), so the guard warns rather than refuses;
+    * `flatScanWarnings` counts the firings for tests and benches.
+    *
+    * `mergeSchema = false` (default): every store's footer schema must
+    * match the first store's — a later partition that gained or retyped a
+    * column fails LOUD naming the store and fields, instead of silently
+    * null-filling it everywhere the imposed schema lacks it (see
+    * unionStores). `mergeSchema = true` opts into evolution: each branch
+    * reads with its own schema and the union aligns by name, null-filling
+    * columns absent from older partitions — at the documented price of
+    * per-branch footer inference at plan time. */
   def readPointered(spark: SparkSession, path: String, partitionCol: String,
                     partitionType: String = "string",
-                    onlyValues: Option[Set[String]] = None)
+                    onlyValues: Option[Set[String]] = None,
+                    mergeSchema: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     val stores = partitionStores(spark, path, partitionCol)
       .filter { case (value, _) => onlyValues.forall(_.contains(value)) }
@@ -253,11 +327,28 @@ object Compaction {
     }
     require(stores.nonEmpty, s"no ${onlyValues.fold("")(v =>
       s"selected (of ${v.size} requested) ")}$partitionCol= stores under $path")
+    if (onlyValues.isEmpty && stores.size > FlatScanWarnAt) {
+      flatScanWarnings.incrementAndGet()
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"readPointered over ALL ${stores.size} $partitionCol= stores under " +
+          s"$path: plan analysis over an unpruned union this deep costs " +
+          "driver seconds per query (measured ~27 s at 1000 stores). If " +
+          "the query targets specific partitions, pass onlyValues or use " +
+          "readPointeredWhere to prune at the listing level.")
+    }
     // onlyValues callers demanded these exact values — a store expiring
     // between listing and resolution fails loud, same as absent-at-listing
     unionStores(spark, stores, partitionCol, partitionType,
-      missingOk = onlyValues.isEmpty)
+      missingOk = onlyValues.isEmpty, mergeSchema = mergeSchema)
   }
+
+  /** Store count past which an unpruned readPointered logs its depth
+    * warning — ~a quarter-year of day partitions; deep enough that plan
+    * analysis costs real driver time, shallow enough to fire well before
+    * the years-deep regime where it hurts. */
+  private[graft] val FlatScanWarnAt = 100
+  private[graft] val flatScanWarnings =
+    new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Predicate-driven listing-level pruning (VERDICT r14 next #4): derive
     * the store list from `valuePred` over the LISTED partition values
@@ -270,14 +361,43 @@ object Compaction {
     * listing are simply not matched — the predicate form makes that
     * explicit, unlike onlyValues' all-must-resolve contract. */
   def readPointeredWhere(spark: SparkSession, path: String,
-                         partitionCol: String, partitionType: String)
+                         partitionCol: String, partitionType: String,
+                         mergeSchema: Boolean = false)
                         (valuePred: String => Boolean)
       : org.apache.spark.sql.DataFrame = {
     val stores = partitionStores(spark, path, partitionCol)
       .filter { case (value, _) => valuePred(value) }
     require(stores.nonEmpty,
       s"partition predicate matched no $partitionCol= store under $path")
-    unionStores(spark, stores, partitionCol, partitionType, missingOk = true)
+    unionStores(spark, stores, partitionCol, partitionType, missingOk = true,
+      mergeSchema = mergeSchema)
+  }
+
+  /** The Spark schema recorded in ONE data file's footer of `versionDir` —
+    * the cheap cross-store schema check: a direct parquet footer open (no
+    * DataSource resolution, no multi-file inference), reading the
+    * `org.apache.spark.sql.parquet.row.metadata` key every Spark writer
+    * stamps. None when the dir holds no data file (an empty version) or a
+    * non-Spark writer left no schema key — validation is skipped for that
+    * store (name-level drift still surfaces loud at the union). */
+  private def footerSchema(spark: SparkSession, versionDir: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(versionDir)
+    val fs = dir.getFileSystem(conf)
+    fs.listStatus(dir).toSeq.filter { f =>
+      val n = f.getPath.getName
+      f.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.sortBy(_.getPath.getName).headOption.flatMap { f =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+      try Option(rd.getFooter.getFileMetaData.getKeyValueMetaData
+          .get("org.apache.spark.sql.parquet.row.metadata"))
+        .flatMap(j => scala.util.Try(
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
+      finally rd.close()
+    }
   }
 
   /** `missingOk`: a store whose directory VANISHED between the listing and
@@ -286,18 +406,50 @@ object Compaction {
     * expirePointered), so "directory gone" is exactly "would not have been
     * listed a moment later" and the branch is skipped. A store whose
     * directory EXISTS but has no CURRENT is corrupt and always fails loud
-    * (atomic-rename expiry can never produce that state). */
+    * (atomic-rename expiry can never produce that state).
+    *
+    * Schema contract (r16, VERDICT r15 #3): the default path imposes the
+    * FIRST store's schema on every branch — one inference for the whole
+    * layout (per-branch inference measured ~2.2 s of the board query's
+    * 2.4 s plan build at 30 partitions). Imposition alone is a silent
+    * evolution trap: a later partition that gained a column would read it
+    * as ABSENT (and a retyped column could mis-decode), so each further
+    * store's footer schema is VALIDATED against the imposed one — a direct
+    * footer open per store, cheap next to the branch's own file listing —
+    * and drift fails loud naming the store, the fields, and the
+    * `mergeSchema` escape hatch. `mergeSchema = true` is the explicit
+    * evolution mode: per-branch inference + align-by-name union that
+    * null-fills columns a branch lacks (incompatible TYPES still fail loud
+    * at the union). */
   private def unionStores(spark: SparkSession, stores: Seq[(String, String)],
                           partitionCol: String, partitionType: String,
-                          missingOk: Boolean)
+                          missingOk: Boolean, mergeSchema: Boolean)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.lit
-    // one schema inference for the whole layout: the first branch infers,
-    // the rest read with the schema imposed — per-branch footer inference
-    // dominated plan-build time on wide layouts (measured: ~2.2 s of the
-    // board query's 2.4 s at 30 partitions). Partitions share one schema
-    // by construction (one writer, one source frame).
     var schema: Option[org.apache.spark.sql.types.StructType] = None
+    def checkAgainstImposed(value: String, versionDir: String): Unit =
+      (schema, footerSchema(spark, versionDir)) match {
+        case (Some(imposed), Some(found))
+            if !sameFields(imposed, found) =>
+          val i = imposed.map(f => f.name -> f.dataType).toMap
+          val g = found.map(f => f.name -> f.dataType).toMap
+          val missing = imposed.map(_.name).filterNot(g.contains)
+          val extra = found.map(_.name).filterNot(i.contains)
+          val retyped = found.collect {
+            case f if i.get(f.name)
+                .exists(_.catalogString != f.dataType.catalogString) =>
+              s"${f.name}: ${i(f.name).catalogString} -> ${f.dataType.catalogString}"
+          }
+          sys.error(s"partition store $partitionCol=$value schema differs " +
+            s"from the layout's first store ($versionDir):" +
+            (if (missing.nonEmpty) s" missing=[${missing.mkString(", ")}]" else "") +
+            (if (extra.nonEmpty) s" extra=[${extra.mkString(", ")}]" else "") +
+            (if (retyped.nonEmpty) s" retyped=[${retyped.mkString("; ")}]" else "") +
+            " — imposing one schema would silently null-fill or mis-read " +
+            "it. Pass mergeSchema = true to align by name (null-filling " +
+            "absent columns), or re-land the drifted partition.")
+        case _ => () // first store, matching store, or no footer to check
+      }
     val parts = stores.flatMap { case (value, store) =>
       graft.jobs.MigrationRunner.currentVersion(spark, store) match {
         case None =>
@@ -312,13 +464,17 @@ object Compaction {
           // found — same race, same resolution: skip iff the store
           // directory is gone, rethrow anything else
           try {
-            val df = schema match {
-              case Some(s) => spark.read.schema(s).parquet(s"$store/$name")
-              case None =>
-                val d = spark.read.parquet(s"$store/$name")
-                schema = Some(d.schema)
-                d
-            }
+            val df =
+              if (mergeSchema) spark.read.parquet(s"$store/$name")
+              else schema match {
+                case Some(s) =>
+                  checkAgainstImposed(value, s"$store/$name")
+                  spark.read.schema(s).parquet(s"$store/$name")
+                case None =>
+                  val d = spark.read.parquet(s"$store/$name")
+                  schema = Some(d.schema)
+                  d
+              }
             Some(df.withColumn(partitionCol, lit(value).cast(partitionType)))
           } catch {
             case scala.util.control.NonFatal(e) =>
@@ -332,8 +488,15 @@ object Compaction {
     }
     require(parts.nonEmpty,
       s"every listed $partitionCol= store expired before plan construction")
-    parts.reduce(_ unionByName _)
+    parts.reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
   }
+
+  // catalogString comparison: type-equal ignoring nullability flags
+  private def sameFields(a: org.apache.spark.sql.types.StructType,
+                         b: org.apache.spark.sql.types.StructType): Boolean =
+    a.length == b.length && a.zip(b).forall { case (x, y) =>
+      x.name == y.name && x.dataType.catalogString == y.dataType.catalogString
+    }
 
   /** `stats` over the pointered layout: one listing of each partition's
     * LIVE version dir (retained previous generations don't count — they
@@ -515,20 +678,26 @@ object Compaction {
   /** What one unattended maintenance sweep did — every count audited, so
     * a scheduler's logs carry the whole story: `locksBroken` lists stores
     * whose provably-stale lock the lease policy cleared, `rewrites` the
-    * compactions performed, `expired` the partitions retention removed.
-    * Stores skipped because a LIVE maintainer held them simply don't
-    * appear (they are next sweep's work). */
+    * compactions performed, `expired` the partitions retention removed,
+    * `landingsReaped` the crashed landers' leftover build dirs deleted
+    * (dir names), and `versionsReaped` the crash-leftover version dirs
+    * (written but never published) removed from stores compaction didn't
+    * visit, as `value/version`. Stores skipped because a LIVE maintainer
+    * held them simply don't appear (they are next sweep's work). */
   final case class MaintenanceReport(locksBroken: Seq[String],
                                      rewrites: Seq[Rewrite],
-                                     expired: Seq[String])
+                                     expired: Seq[String],
+                                     landingsReaped: Seq[String] = Nil,
+                                     versionsReaped: Seq[String] = Nil)
 
   /** The UNATTENDED nightly maintenance entry point (VERDICT r14 next
-    * #5): one call = stale-lock recovery → retention → compaction over a
-    * pointered warehouse (retention FIRST: a partition past its cutoff
-    * must not be rewritten just to be deleted — at warehouse scale the
-    * expiring tail is exactly where small-file debt accumulates), with
-    * the liveness policy a scheduler needs and an interactive operator
-    * doesn't:
+    * #5): one call = stale-lock recovery (store locks AND crashed landers'
+    * leftover build dirs, r16) → retention → crash-leftover version reap
+    * (r16) → compaction over a pointered warehouse (retention before
+    * compaction: a partition past its cutoff must not be rewritten just
+    * to be deleted — at warehouse scale the expiring tail is exactly
+    * where small-file debt accumulates), with the liveness policy a
+    * scheduler needs and an interactive operator doesn't:
     *
     *   - `staleLockLease` (the policy knob): locks whose acquire stamp is
     *     older than the lease against `now` are broken before the sweep
@@ -559,10 +728,76 @@ object Compaction {
             .breakMaintenanceLockIfStale(spark, store, lease, instant) => value
       }
     }
+    val landings = staleLockLease.fold(Seq.empty[String])(lease =>
+      reapStaleLandings(spark, path, lease, now()))
     val expired = expirePointered(spark, path, partitionCol, asOf,
       retentionDays)
+    val versions = reapUnpublishedVersions(spark, path, partitionCol)
     val rewrites = compactPointered(spark, path, partitionCol, targetBytes,
       layoutSort, skipHeld = true)
-    MaintenanceReport(broken, rewrites, expired)
+    MaintenanceReport(broken, rewrites, expired, landings, versions)
+  }
+
+  /** Crashed-LANDER recovery (r16, VERDICT r15 #1): a hard-killed
+    * landPointered leaves its uniquely-named hidden build dir behind —
+    * invisible to readers and never in a relanding's way, but disk the
+    * warehouse pays for forever if nothing reaps it. Each leftover carries
+    * the stamped lock its lander wrote FIRST, so the same lease that
+    * adjudicates dead maintainers adjudicates dead landers: a build dir
+    * whose stamp is provably past the lease is deleted whole (it was never
+    * exposed, so deletion is always safe); a fresh stamp is a LIVE lander
+    * mid-build, skipped; a dir with no readable stamp (a kill inside the
+    * stamp write itself) has unverifiable age — left for the manual
+    * contract, same as a stampless lock. Returns the reaped dir names. */
+  private def reapStaleLandings(spark: SparkSession, path: String,
+                                lease: java.time.Duration,
+                                now: java.time.Instant): Seq[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(LandingPrefix))
+      .sortBy(_.getPath.getName)
+      .filter { dir =>
+        graft.jobs.MigrationRunner.breakMaintenanceLockIfStale(spark,
+          dir.getPath.toString, lease, now) && fs.delete(dir.getPath, true)
+      }
+      .map(_.getPath.getName)
+  }
+
+  /** Crash-leftover VERSION reap for stores compaction won't visit (r16,
+    * VERDICT r15 #6): compactPointered reaps unpublished versions, but
+    * only in partitions it rewrites — a maintainer that crashed between
+    * write and publish in an already-compact store leaves its version dir
+    * until that store next fragments, which may be never. Sweep every
+    * store: under its lock (acquire-if-free — a held store is a live
+    * maintainer whose in-flight version must NOT be reaped; next sweep's
+    * work), delete version dirs outside compaction's own keep policy
+    * (live + last three switchovers). A lock-free pre-scan skips the lock
+    * churn on the (typical) all-clean warehouse. */
+  private def reapUnpublishedVersions(spark: SparkSession, path: String,
+                                      partitionCol: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def reapable(store: String): Seq[Path] = {
+      val live = graft.jobs.MigrationRunner.currentVersion(spark, store)
+        .getOrElse(sys.error(s"no CURRENT pointer in partition store $store"))
+      val keep = graft.jobs.MigrationRunner.versionHistory(spark, store)
+        .takeRight(3).toSet + live
+      val storePath = new Path(store)
+      storePath.getFileSystem(conf).listStatus(storePath).toSeq
+        .filter(_.isDirectory).map(_.getPath)
+        .filterNot(p => keep.contains(p.getName)).sortBy(_.getName)
+    }
+    partitionStores(spark, path, partitionCol).flatMap { case (value, store) =>
+      if (reapable(store).isEmpty) Nil // advisory pre-scan, no lock taken
+      else graft.jobs.MigrationRunner.withMaintenanceLockIfFree(spark, store,
+        s"maintainPointered reap $partitionCol=$value") {
+        val fs = new Path(store).getFileSystem(conf)
+        reapable(store).map { p => // re-listed under the lock: authoritative
+          fs.delete(p, true)
+          s"$value/${p.getName}"
+        }
+      }.getOrElse(Nil)
+    }
   }
 }

@@ -329,6 +329,10 @@ class CompactionSpec extends SparkSpec {
     assert(reads >= 3, s"reader only completed $reads reads — race not exercised")
   }
 
+  private def landingLeftovers(base: String): Seq[String] =
+    Option(new java.io.File(base).listFiles()).fold(Seq.empty[String])(
+      _.toSeq.map(_.getName).filter(_.startsWith(".landing-")).sorted)
+
   test("landPointered exposes a store atomically; doubled landing fails loud") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-pointered-land").toString
@@ -337,9 +341,12 @@ class CompactionSpec extends SparkSpec {
     Compaction.landPointered(spark, a, base, "partition_date", "2024-02-01")
     assert(Compaction.readPointered(spark, base, "partition_date")
       .count() == 60L)
-    // the hidden build dir is gone (renamed into place, not copied)
+    // the hidden build dir is gone (renamed into place, not copied) and
+    // the lander released the lock it carried through the rename
+    assert(landingLeftovers(base).isEmpty)
     assert(!new java.io.File(
-      s"$base/.landing-partition_date=2024-02-01").exists())
+      s"$base/partition_date=2024-02-01/MAINTENANCE.lock").exists(),
+      "landing must release the lock it carried through the exposure rename")
     // landing the same value again is a doubled lander: loud
     val e = intercept[IllegalArgumentException] {
       Compaction.landPointered(spark, a, base, "partition_date", "2024-02-01")
@@ -349,13 +356,226 @@ class CompactionSpec extends SparkSpec {
     Compaction.landPointered(spark, a, base, "partition_date", "2024-02-02")
     assert(Compaction.readPointered(spark, base, "partition_date")
       .count() == 120L)
-    // crash-leftover hidden dir (build completed, rename never ran):
-    // relanding the value rebuilds and exposes it
+    // a crashed lander's leftover build dir (uniquely named, so it is
+    // never in the way): relanding the value just works — the scaladoc's
+    // "rebuilt from scratch by the next landing", true by construction now
     val c = (0 until 30).map(i => (i.toLong, s"c$i")).toDF("id", "payload")
-    c.write.parquet(s"$base/.landing-partition_date=2024-02-03/v1")
+    c.write.parquet(s"$base/.landing-partition_date=2024-02-03.dead1234/v1")
     Compaction.landPointered(spark, c, base, "partition_date", "2024-02-03")
     assert(Compaction.readPointered(spark, base, "partition_date",
       onlyValues = Some(Set("2024-02-03"))).count() == 30L)
+    // the leftover is untouched by the relanding — it is the JANITOR's to
+    // reap (see the crashed-lander sweep pin)
+    assert(landingLeftovers(base) ==
+      Seq(".landing-partition_date=2024-02-03.dead1234"))
+    // a crash-by-exception mid-build deletes its own private dir
+    intercept[Exception] {
+      Compaction.landPointered(spark,
+        a.selectExpr("id", "raise_error('mid-build crash') as payload"),
+        base, "partition_date", "2024-02-04")
+    }
+    assert(landingLeftovers(base) ==
+      Seq(".landing-partition_date=2024-02-03.dead1234"),
+      "crash-by-exception must reap its own build dir")
+  }
+
+  test("doubled lander: the loser fails loud at the exposure rename; the winner's store is untouched (ADVICE r15)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-pointered-double").toString
+    val winner = (0 until 40).map(i => (i.toLong, s"w$i")).toDF("id", "payload")
+    val loser = (0 until 25).map(i => (i.toLong, s"l$i")).toDF("id", "payload")
+    // both landers pass the exists-check; the slow one pauses with its
+    // build COMPLETE, just before its exposure rename — the exact window
+    // in which the r15 shared-build-dir design corrupted the winner
+    val built = new java.util.concurrent.CountDownLatch(1)
+    val go = new java.util.concurrent.CountDownLatch(1)
+    val pausedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var loserError: Option[Throwable] = None
+    Compaction.beforeExposeHook = () =>
+      if (pausedOnce.compareAndSet(false, true)) {
+        built.countDown(); go.await()
+      }
+    try {
+      val slow = new Thread(() => {
+        try Compaction.landPointered(spark, loser, base, "partition_date",
+          "2024-02-01")
+        catch { case t: Throwable => loserError = Some(t) }
+      })
+      slow.start()
+      built.await()
+      Compaction.landPointered(spark, winner, base, "partition_date",
+        "2024-02-01") // the winner exposes while the loser is paused
+      go.countDown()
+      slow.join(30000)
+    } finally Compaction.beforeExposeHook = () => ()
+    assert(loserError.exists(_.getMessage.contains("doubled lander")),
+      s"loser must fail loud: $loserError")
+    // the winner's store stands, with the WINNER's rows — not the loser's,
+    // not a mix, and CURRENT resolves a complete version
+    val got = Compaction.readPointered(spark, base, "partition_date")
+    assert(got.count() == 40L)
+    assert(got.filter(col("payload").startsWith("l")).count() == 0L,
+      "loser rows leaked into the winner's store")
+    // the loser reaped its own build dir on the way out
+    assert(landingLeftovers(base).isEmpty, s"${landingLeftovers(base)}")
+  }
+
+  test("crashed-lander janitor: the lease sweep reaps stale leftover builds, skips live ones (VERDICT r15 #1)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-pointered-janitor").toString
+    val df = (0 until 60).map(i => (i.toLong, s"a$i")).toDF("id", "payload")
+    // a hard-killed lander's leftover: unique hidden dir, stamped lock
+    // (written FIRST, so every real leftover carries one), partial build
+    val dead = s"$base/.landing-partition_date=2024-02-01.deadbeef"
+    new java.io.File(dead).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dead/MAINTENANCE.lock"),
+      "landPointered partition_date=2024-02-01\nacquired=2024-03-01T00:00:00Z")
+    df.limit(10).write.parquet(s"$dead/v1")
+    // relanding the wedged value works immediately — no human, no sweep
+    Compaction.landPointered(spark, df, base, "partition_date", "2024-02-01")
+    assert(Compaction.readPointered(spark, base, "partition_date")
+      .count() == 60L)
+    // a LIVE lander mid-build: fresh stamp relative to the sweep clock
+    val live = s"$base/.landing-partition_date=2024-02-02.cafe0001"
+    new java.io.File(live).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$live/MAINTENANCE.lock"),
+      "landPointered partition_date=2024-02-02\nacquired=2024-03-04T23:50:00Z")
+    // a stampless leftover: age unverifiable -> manual contract, never swept
+    val stampless = s"$base/.landing-partition_date=2024-02-03.00000000"
+    new java.io.File(stampless).mkdirs()
+
+    // no lease -> no landing sweep at all (interactive contract)
+    val noLease = Compaction.maintainPointered(spark, base, "partition_date",
+      targetBytes = 1L << 30, asOf = java.time.LocalDate.parse("2024-03-05"),
+      retentionDays = 365)
+    assert(noLease.landingsReaped.isEmpty && landingLeftovers(base).size == 3,
+      s"$noLease")
+
+    val sweep = Compaction.maintainPointered(spark, base, "partition_date",
+      targetBytes = 1L << 30, asOf = java.time.LocalDate.parse("2024-03-05"),
+      retentionDays = 365,
+      staleLockLease = Some(java.time.Duration.ofHours(6)),
+      now = () => java.time.Instant.parse("2024-03-05T00:00:00Z"))
+    assert(sweep.landingsReaped ==
+      Seq(".landing-partition_date=2024-02-01.deadbeef"), s"$sweep")
+    assert(landingLeftovers(base) == Seq(
+      ".landing-partition_date=2024-02-02.cafe0001",
+      ".landing-partition_date=2024-02-03.00000000"),
+      "live (fresh-stamped) and stampless leftovers must be skipped")
+    // the exposed store is untouched by the sweep
+    assert(Compaction.readPointered(spark, base, "partition_date")
+      .count() == 60L)
+  }
+
+  test("initPointered fails loud on a store dir without CURRENT (pre-atomic remnant, ADVICE r15)") {
+    val (flat, _) = mkFragmented()
+    val base = Files.createTempDirectory("graft-pointered-remnant").toString
+    // a pre-atomic-landing remnant: data present, pointer never written
+    val remnant = s"$base/partition_date=2024-01-02"
+    spark.read.parquet(s"$flat/partition_date=2024-01-02")
+      .write.parquet(s"$remnant/v1")
+    val e = intercept[RuntimeException] {
+      Compaction.initPointered(spark, flat, base, "partition_date")
+    }
+    assert(e.getMessage.contains("no CURRENT pointer") &&
+      e.getMessage.contains("re-run initPointered"), e.getMessage)
+    // remediation works: remove the remnant, re-init rebuilds everything
+    val fs = new org.apache.hadoop.fs.Path(remnant)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(remnant), true)
+    Compaction.initPointered(spark, flat, base, "partition_date")
+    assert(Compaction.readPointered(spark, base, "partition_date")
+      .count() == 400L)
+  }
+
+  test("schema drift across stores fails loud by default; mergeSchema aligns by name (VERDICT r15 #3)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-pointered-schema").toString
+    val day1 = (0 until 30).map(i => (i.toLong, s"a$i")).toDF("id", "payload")
+    Compaction.landPointered(spark, day1, base, "partition_date", "2024-01-01")
+    // a later day gains a column — real warehouses evolve
+    val day2 = (0 until 20).map(i => (i.toLong, s"b$i", i * 2))
+      .toDF("id", "payload", "extra")
+    Compaction.landPointered(spark, day2, base, "partition_date", "2024-01-02")
+
+    // default: LOUD at plan construction, naming store, field, and the
+    // escape hatch — never a silent null-fill of day 2's new column
+    val e = intercept[RuntimeException] {
+      Compaction.readPointered(spark, base, "partition_date")
+    }
+    assert(e.getMessage.contains("2024-01-02") &&
+      e.getMessage.contains("extra") && e.getMessage.contains("mergeSchema"),
+      e.getMessage)
+    val e2 = intercept[RuntimeException] {
+      Compaction.readPointeredWhere(spark, base, "partition_date",
+        "string")(_ <= "2024-01-02")
+    }
+    assert(e2.getMessage.contains("extra"), e2.getMessage)
+    // single-store slices never cross schemas: still fine
+    assert(Compaction.readPointered(spark, base, "partition_date",
+      onlyValues = Some(Set("2024-01-02"))).count() == 20L)
+
+    // explicit evolution mode: align by name, null-fill the old partition
+    val merged = Compaction.readPointered(spark, base, "partition_date",
+      mergeSchema = true)
+    assert(merged.columns.sorted.toSeq ==
+      Seq("extra", "id", "partition_date", "payload"))
+    assert(merged.count() == 50L)
+    assert(merged.filter(col("partition_date") === "2024-01-01")
+      .filter(col("extra").isNull).count() == 30L,
+      "the pre-evolution partition must null-fill the new column")
+    assert(merged.filter(col("partition_date") === "2024-01-02")
+      .agg(sum("extra")).collect()(0).getLong(0) == (0 until 20).map(_ * 2).sum)
+
+    // a RETYPED column is named as such
+    val base2 = Files.createTempDirectory("graft-pointered-retype").toString
+    Compaction.landPointered(spark, day1, base2, "partition_date", "2024-01-01")
+    val day2r = (0 until 20).map(i => (i.toLong, i.toLong))
+      .toDF("id", "payload") // payload string -> bigint
+    Compaction.landPointered(spark, day2r, base2, "partition_date", "2024-01-02")
+    val e3 = intercept[RuntimeException] {
+      Compaction.readPointered(spark, base2, "partition_date")
+    }
+    assert(e3.getMessage.contains("retyped") &&
+      e3.getMessage.contains("payload"), e3.getMessage)
+  }
+
+  test("an unpruned read past FlatScanWarnAt stores fires the depth guard; pruned paths never do (VERDICT r15 #4)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-flat-guard").toString
+    // one real store, cloned through the filesystem into N day stores —
+    // the PointeredPlanBench fixture recipe, sized just past the threshold
+    val seed = s"$base/seed"
+    Seq((1L, "x")).toDF("id", "payload").coalesce(1).write.parquet(s"$seed/v1")
+    graft.jobs.MigrationRunner.publish(spark, seed, "v1")
+    val seedDir = java.nio.file.Paths.get(seed)
+    val days = (0 to Compaction.FlatScanWarnAt).map(i => // threshold + 1
+      java.time.LocalDate.parse("2024-01-01").plusDays(i.toLong).toString)
+    days.foreach { d =>
+      val dst = java.nio.file.Paths.get(s"$base/wh/partition_date=$d")
+      java.nio.file.Files.walk(seedDir).forEach { src =>
+        val rel = seedDir.relativize(src)
+        val tgt = dst.resolve(rel.toString)
+        if (java.nio.file.Files.isDirectory(src))
+          java.nio.file.Files.createDirectories(tgt)
+        else java.nio.file.Files.copy(src, tgt)
+      }
+    }
+    val wh = s"$base/wh"
+    val before = Compaction.flatScanWarnings.get()
+    Compaction.readPointered(spark, wh, "partition_date")
+    assert(Compaction.flatScanWarnings.get() == before + 1,
+      "the unpruned read past the threshold must fire the guard")
+    // pruned paths never fire, whatever the warehouse depth
+    val mid = Compaction.flatScanWarnings.get()
+    Compaction.readPointered(spark, wh, "partition_date",
+      onlyValues = Some(Set(days.head)))
+    Compaction.readPointeredWhere(spark, wh, "partition_date",
+      "string")(_ == days.head)
+    assert(Compaction.flatScanWarnings.get() == mid,
+      "listing-pruned reads must not fire the depth guard")
   }
 
   test("pointered LANDING never disturbs a racing reader of existing partitions") {

@@ -253,6 +253,129 @@ class MaintenanceLockSpec extends SparkSpec {
       sweep2.rewrites.map(_.value) == Seq("2024-03-02"), s"$sweep2")
   }
 
+  test("a lease break cannot cascade: the slow ex-holder leaves the usurper's lock alone (VERDICT r15 #2)") {
+    import java.time.{Duration, Instant}
+    val store = freshStore("cascade")
+    val entered = new CountDownLatch(1)
+    val finish = new CountDownLatch(1)
+    @volatile var aResult: Option[Int] = None
+    val slowA = new Thread(() => {
+      aResult = MigrationRunner.withMaintenanceLockIfFree(spark, store,
+        "slow-A") { entered.countDown(); finish.await(); 1 }
+    })
+    slowA.start()
+    entered.await()
+    // the sweep judges A's (real) stamp against a clock 7h ahead of a 6h
+    // lease: provably stale by the policy's own arithmetic — A is merely
+    // slow, the documented lease trade
+    assert(MigrationRunner.breakMaintenanceLockIfStale(spark, store,
+      Duration.ofHours(6), Instant.now().plus(Duration.ofHours(7))))
+    // usurper B acquires a fresh lock and starts its own maintenance
+    val bEntered = new CountDownLatch(1)
+    val bFinish = new CountDownLatch(1)
+    @volatile var bResult: Option[Int] = None
+    val usurperB = new Thread(() => {
+      bResult = MigrationRunner.withMaintenanceLockIfFree(spark, store,
+        "usurper-B") { bEntered.countDown(); bFinish.await(); 2 }
+    })
+    usurperB.start()
+    bEntered.await()
+    val foreignBefore = MigrationRunner.foreignLocksAtRelease.get()
+    // slow A completes: with an unconditional release it would now delete
+    // B's lock, silently re-opening the store to a third maintainer — the
+    // delete-if-mine release must leave the foreign lock standing
+    finish.countDown()
+    slowA.join(30000)
+    assert(aResult.contains(1), "A's body ran to completion")
+    val lock = new java.io.File(s"$store/MAINTENANCE.lock")
+    assert(lock.exists(), "the ex-holder deleted the usurper's lock")
+    assert(java.nio.file.Files.readString(lock.toPath)
+      .startsWith("usurper-B"), "the surviving lock must be B's")
+    assert(MigrationRunner.foreignLocksAtRelease.get() >= foreignBefore + 1,
+      "A must observe the loss (the loud-log signal, pinned via its counter)")
+    // the mutex still holds: a third maintainer is excluded while B runs
+    assert(MigrationRunner.withMaintenanceLockIfFree(spark, store,
+      "third-C") { 3 }.isEmpty)
+    bFinish.countDown()
+    usurperB.join(30000)
+    assert(bResult.contains(2))
+    assert(!lock.exists(), "B's own (still-owned) release must delete its lock")
+  }
+
+  test("the stale break deletes only if the lock content is unchanged (ADVICE r15 TOCTOU narrowing)") {
+    // the mechanism both the lease break and the delete-if-mine release
+    // share: re-read immediately before delete, delete only on identity
+    val store = freshStore("toctou")
+    val lockFile = new java.io.File(s"$store/MAINTENANCE.lock")
+    lockFile.getParentFile.mkdirs()
+    val original = "old-maintainer\nacquired=2026-01-01T00:00:00Z"
+    java.nio.file.Files.writeString(lockFile.toPath, original)
+    val p = new org.apache.hadoop.fs.Path(s"$store/MAINTENANCE.lock")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // content swapped after the staleness read (a fresh maintainer's lock
+    // replaced it): the guarded delete must refuse and leave it standing
+    val fresh = "fresh-maintainer\nacquired=2026-01-02T00:00:00Z"
+    java.nio.file.Files.writeString(lockFile.toPath, fresh)
+    assert(!MigrationRunner.deleteLockIfContentStill(f, p, original))
+    assert(lockFile.exists() &&
+      java.nio.file.Files.readString(lockFile.toPath) == fresh)
+    // unchanged content: deleted
+    assert(MigrationRunner.deleteLockIfContentStill(f, p, fresh))
+    assert(!lockFile.exists())
+    // gone already: false, no throw
+    assert(!MigrationRunner.deleteLockIfContentStill(f, p, fresh))
+  }
+
+  test("maintainPointered reaps crash-leftover versions in stores compaction never visits (VERDICT r15 #6)") {
+    val base = Files.createTempDirectory("graft-maintain-reap").toString
+    val df = (0 until 200).map(i => (i.toLong, s"2024-03-0${i % 2 + 1}"))
+      .toDF("id", "partition_date")
+    sinks.MergeByKey.overwritePartitions(df.coalesce(1), s"$base/flat",
+      "partition_date")
+    Compaction.initPointered(spark, s"$base/flat", s"$base/ptr",
+      "partition_date")
+    // both stores are already compact (1 file), so compaction plans
+    // NOTHING — its own reap would never visit them. Seed each with a
+    // maintainer's crash leftover: a version written but never published.
+    val s1 = s"$base/ptr/partition_date=2024-03-01"
+    val s2 = s"$base/ptr/partition_date=2024-03-02"
+    Seq(s1, s2).foreach { s =>
+      MigrationRunner.current(spark, s).write.parquet(s"$s/orphan")
+    }
+    // a LIVE maintainer holds s2: its in-flight version must survive
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$s2/MAINTENANCE.lock"), "live-maintainer")
+
+    val sweep = Compaction.maintainPointered(spark, s"$base/ptr",
+      "partition_date", targetBytes = 1L << 30,
+      asOf = java.time.LocalDate.parse("2024-03-05"), retentionDays = 365)
+    assert(sweep.rewrites.isEmpty,
+      s"fixture must not need compaction (or the pin proves nothing): $sweep")
+    assert(sweep.versionsReaped == Seq("2024-03-01/orphan"), s"$sweep")
+    assert(!new java.io.File(s"$s1/orphan").exists())
+    assert(new java.io.File(s"$s2/orphan").exists(),
+      "a held store's in-flight version must never be reaped")
+    // live data untouched, still readable
+    assert(Compaction.readPointered(spark, s"$base/ptr", "partition_date")
+      .count() == 200L)
+    // once the live maintainer releases, the next sweep finishes
+    MigrationRunner.breakMaintenanceLock(spark, s2)
+    val sweep2 = Compaction.maintainPointered(spark, s"$base/ptr",
+      "partition_date", targetBytes = 1L << 30,
+      asOf = java.time.LocalDate.parse("2024-03-05"), retentionDays = 365)
+    assert(sweep2.versionsReaped == Seq("2024-03-02/orphan"), s"$sweep2")
+    // superseded-but-in-history versions are KEPT (the racing-reader
+    // retention window) — publish twice, reap must not touch either
+    MigrationRunner.current(spark, s1).write.parquet(s"$s1/next")
+    MigrationRunner.publish(spark, s1, "next")
+    val sweep3 = Compaction.maintainPointered(spark, s"$base/ptr",
+      "partition_date", targetBytes = 1L << 30,
+      asOf = java.time.LocalDate.parse("2024-03-05"), retentionDays = 365)
+    assert(sweep3.versionsReaped.isEmpty, s"$sweep3")
+    assert(new java.io.File(s"$s1/v1").exists(),
+      "the previous live version is in HISTORY's tail and must be kept")
+  }
+
   test("versioned z-store compaction is lock-guarded") {
     val store = freshStore("zver")
     val df = (0 until 400).map(i => (i.toLong % 16, i.toLong % 8, i * 1.0))
