@@ -34,6 +34,21 @@ def should_decompose(e, sql):
     return is_oom(e) and "reach(" in sql
 
 
+SUBSTR_F_MARK = "f AS (SELECT h, MIN("
+SUBSTR_X_MARK = "x AS (SELECT doc_id, pos, e_end, dup,"
+
+
+def should_shard_substr(e, sql):
+    """Fallback predicate for the ExactSubstr pair: the one-shot oracle's
+    window table carries an md5 string per stride-1 window, and past the
+    x60 rung the group-by/join over it exhausts DuckDB's temp disk (the
+    r15-documented out-of-core ceiling). Engage the hash-sharded oracle on
+    a memory OR disk exhaustion of a query with the substring spine."""
+    msg = str(e)
+    return ((is_oom(e) or "No space left" in msg or "out of disk" in msg.lower())
+            and SUBSTR_F_MARK in sql and SUBSTR_X_MARK in sql)
+
+
 def canon_rows(rows, ncols):
     def key(r):
         return tuple((x is None, str(x)) for x in r)
@@ -95,6 +110,9 @@ def main(sf_dir, out_dir):
     cc_forced = {q.strip() for q in
                  os.environ.get("GRAFT_CHECK_CC_DECOMPOSED", "").split(",")
                  if q.strip()}
+    substr_forced = {q.strip() for q in
+                     os.environ.get("GRAFT_CHECK_SUBSTR_SHARDED", "").split(",")
+                     if q.strip()}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         method = ""
@@ -106,6 +124,9 @@ def main(sf_dir, out_dir):
             if name in cc_forced:
                 o_cols, o_rows = decomposed_cc(con, sql, name)
                 method = " [cc-decomposed]"
+            elif name in substr_forced:
+                o_cols, o_rows = sharded_substr(con, sql, name)
+                method = " [substr-sharded]"
             else:
                 try:
                     o_rel = con.execute(sql)
@@ -118,10 +139,14 @@ def main(sf_dir, out_dir):
                     # ran the query without spill) — re-adjudicate with
                     # the edge list from DuckDB + an independent
                     # union-find over it (VERDICT r12 next #5)
-                    if not should_decompose(e, sql):
+                    if should_decompose(e, sql):
+                        o_cols, o_rows = decomposed_cc(con, sql, name)
+                        method = " [cc-decomposed after oracle OOM]"
+                    elif should_shard_substr(e, sql):
+                        o_cols, o_rows = sharded_substr(con, sql, name)
+                        method = " [substr-sharded after oracle exhaustion]"
+                    else:
                         raise
-                    o_cols, o_rows = decomposed_cc(con, sql, name)
-                    method = " [cc-decomposed after oracle OOM]"
         except Exception as e:
             print(f"FAIL {name}: exec error: {str(e)[:200]}")
             n_fail += 1
@@ -156,6 +181,64 @@ def main(sf_dir, out_dir):
             n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     return 1 if n_fail else 0
+
+
+_substr_flags = {}  # spine text -> temp table name holding the dup flags
+
+
+def sharded_substr(con, sql, name):
+    """Hash-sharded oracle for substring_dedup / substring_clean (VERDICT
+    r15 #5). Soundness: in the one-shot oracle, the first-occurrence
+    election `f` GROUPs the window table `e` BY window hash `h`, and the
+    flag join `j` joins e to f ON h — both are keyed on h alone, so
+    partitioning the HASH SPACE (first hex digit of the md5: 16 uniform
+    buckets) and running f+j per bucket yields, for every window, exactly
+    the flag the global query computes (a bucket sees ALL windows of each
+    of its hashes, and no window belongs to two buckets). Sharding by DOC
+    would be unsound — first occurrence is a cross-document election.
+
+    Memory shape: the md5 strings are what kill the one-shot plan (one
+    32-char string per stride-1 window). Here `e` is materialized ONCE to
+    parquet (streaming write), each bucket pass reads back a 1/16 slice
+    (filter pushed to the scan), and the surviving per-window output is
+    INTS ONLY (doc_id, pos, e_end, dup) — the downstream per-doc window
+    function and aggregates never touch a hash again, which is what fits
+    them in DuckDB's out-of-core budget at x100+.
+
+    The flag table is computed once per distinct spine and shared by both
+    queries (they differ only past the `x` CTE)."""
+    import os
+    m_f = sql.find(SUBSTR_F_MARK)
+    m_x = sql.find(SUBSTR_X_MARK)
+    assert 0 < m_f < m_x, f"{name}: not the substring oracle spine"
+    with_te = sql[:m_f].rstrip().rstrip(",")   # WITH t AS (...), e AS (...)
+    fj = sql[m_f:m_x].rstrip().rstrip(",")     # f AS (...), j AS (...)
+    rest = sql[m_x:]                           # x AS (...) ... final SELECT
+    t_end = with_te.find(",\ne AS (")
+    assert with_te.startswith("WITH ") and t_end > 0, f"{name}: no t CTE"
+    t_def = with_te[len("WITH "):t_end]        # t AS (...)
+    spine = with_te + fj
+    if spine not in _substr_flags:
+        tbl = f"substr_flags_{len(_substr_flags)}"
+        tmp_e = "/tmp/graft_substr_e.parquet"
+        con.execute(f"COPY ({with_te} SELECT doc_id, pos, h FROM e) "
+                    f"TO '{tmp_e}' (FORMAT parquet)")
+        con.execute(f"CREATE TEMP TABLE {tbl} "
+                    "(doc_id BIGINT, pos BIGINT, e_end BIGINT, dup INT)")
+        for d in "0123456789abcdef":
+            con.execute(
+                f"INSERT INTO {tbl}\n"
+                f"WITH e AS (SELECT doc_id, pos, h FROM read_parquet('{tmp_e}')\n"
+                f"    WHERE substr(h, 1, 1) = '{d}'),\n"
+                f"{fj}\n"
+                "SELECT doc_id, pos, e_end, CAST(dup AS INT) FROM j")
+        os.remove(tmp_e)
+        _substr_flags[spine] = tbl
+    tbl = _substr_flags[spine]
+    final = (f"WITH {t_def},\n"
+             f"j AS (SELECT doc_id, pos, e_end, dup FROM {tbl}),\n{rest}")
+    rel = con.execute(final)
+    return [c[0] for c in rel.description], rel.fetchall()
 
 
 def decomposed_cc(con, sql, name):
