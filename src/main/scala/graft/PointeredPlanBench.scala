@@ -71,15 +71,34 @@ object PointeredPlanBench {
     planOf(Compaction.readPointered(spark, wh, "p_day", "date",
       onlyValues = Some(Set(probe))))
 
+    val guardBefore = Compaction.flatScanWarnings.get()
     val flat = planOf {
       import org.apache.spark.sql.functions.{col, lit}
       Compaction.readPointered(spark, wh, "p_day", "date")
         .filter(col("p_day") === lit(java.sql.Date.valueOf(probe)))
     }
+    // the depth guard (r16): the unpruned read past FlatScanWarnAt stores
+    // must have fired its loud warning exactly once here — the caller trap
+    // this bench measures is no longer silent
+    val guardFired = Compaction.flatScanWarnings.get() - guardBefore
+    // repeat flat read: the footer-schema validation (r16) is cached per
+    // immutable version file, so the second unpruned query pays analysis
+    // only — the delta between the two IS the per-session validation cost
+    val flatRepeat = planOf {
+      import org.apache.spark.sql.functions.{col, lit}
+      Compaction.readPointered(spark, wh, "p_day", "date")
+        .filter(col("p_day") === lit(java.sql.Date.valueOf(probe)))
+    }
+    val afterRepeat = Compaction.flatScanWarnings.get()
     val only = planOf(Compaction.readPointered(spark, wh, "p_day", "date",
       onlyValues = Some(Set(probe))))
     val where = planOf(Compaction.readPointeredWhere(spark, wh, "p_day",
       "date")(_ == probe))
+    val pruneGuards = Compaction.flatScanWarnings.get() - afterRepeat
+    require(n <= Compaction.FlatScanWarnAt || guardFired == 1,
+      s"depth guard must fire on the $n-store flat read (fired $guardFired)")
+    require(pruneGuards == 0,
+      s"depth guard must stay silent on pruned reads (fired $pruneGuards)")
 
     // correctness: both pruned paths read exactly the probe store's rows
     require(Compaction.readPointered(spark, wh, "p_day", "date",
@@ -88,8 +107,9 @@ object PointeredPlanBench {
       _ == probe).count() == 100L)
 
     println(f"""{"metric":"pointered_plan_build","stores":$n,""" +
-      f""""flat_filter_sec":$flat%.3f,"only_values_sec":$only%.3f,""" +
-      f""""where_pred_sec":$where%.3f}""")
+      f""""flat_filter_sec":$flat%.3f,"flat_repeat_sec":$flatRepeat%.3f,""" +
+      f""""only_values_sec":$only%.3f,""" +
+      f""""where_pred_sec":$where%.3f,"flat_guard_fired":$guardFired}""")
 
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(base), true)

@@ -205,6 +205,16 @@ def sharded_substr(con, sql, name):
     function and aggregates never touch a hash again, which is what fits
     them in DuckDB's out-of-core budget at x100+.
 
+    The downstream pass (the `x` running-max window and everything after
+    it) partitions, groups, and joins by doc_id ONLY, so it is in turn
+    exactly decomposable over a partition of the DOC space — run per
+    doc-shard (doc_id % N, flags filtered + the `documents` view shadowed
+    with the same predicate) and unioned. That keeps the final pass's
+    window/aggregate state at 1/N of the corpus, which is what survives
+    x300 (the unsharded final's one-shot window over the full flag table
+    is what OOMed there). N via GRAFT_CHECK_SUBSTR_DOC_SHARDS, default 16;
+    the sf0.01 equivalence run exercises both layers.
+
     The flag table is computed once per distinct spine and shared by both
     queries (they differ only past the `x` CTE)."""
     import os
@@ -220,9 +230,14 @@ def sharded_substr(con, sql, name):
     spine = with_te + fj
     if spine not in _substr_flags:
         tbl = f"substr_flags_{len(_substr_flags)}"
-        tmp_e = "/tmp/graft_substr_e.parquet"
+        # pid-unique path: two check.py processes (e.g. an sf0.01 run racing
+        # a big-rung run) must never share the materialized window table
+        tmp_e = f"/tmp/graft_substr_e_{os.getpid()}.parquet"
         con.execute(f"COPY ({with_te} SELECT doc_id, pos, h FROM e) "
                     f"TO '{tmp_e}' (FORMAT parquet)")
+        # a prior build of the same table that crashed mid-insert (e.g. the
+        # sibling query's attempt, which only caches on success) is stale
+        con.execute(f"DROP TABLE IF EXISTS {tbl}")
         con.execute(f"CREATE TEMP TABLE {tbl} "
                     "(doc_id BIGINT, pos BIGINT, e_end BIGINT, dup INT)")
         for d in "0123456789abcdef":
@@ -235,10 +250,29 @@ def sharded_substr(con, sql, name):
         os.remove(tmp_e)
         _substr_flags[spine] = tbl
     tbl = _substr_flags[spine]
-    final = (f"WITH {t_def},\n"
-             f"j AS (SELECT doc_id, pos, e_end, dup FROM {tbl}),\n{rest}")
-    rel = con.execute(final)
-    return [c[0] for c in rel.description], rel.fetchall()
+    nds = int(os.environ.get("GRAFT_CHECK_SUBSTR_DOC_SHARDS", "16"))
+    cols, rows = None, []
+    for s in range(nds):
+        # shadow the documents view for this doc shard: the temp view
+        # resolves before the base view everywhere the final pass reads
+        # the corpus (t, tok, and the final LEFT JOIN's driving scan). The
+        # body must be CATALOG-qualified — a bare main.documents resolves
+        # into the temp catalog's own main schema first, i.e. the view
+        # itself (infinite recursion)
+        cat = con.execute("SELECT current_catalog()").fetchone()[0]
+        con.execute("CREATE OR REPLACE TEMPORARY VIEW documents AS "
+                    f"SELECT * FROM {cat}.main.documents "
+                    f"WHERE doc_id % {nds} = {s}")
+        try:
+            final = (f"WITH {t_def},\n"
+                     f"j AS (SELECT doc_id, pos, e_end, dup FROM {tbl} "
+                     f"WHERE doc_id % {nds} = {s}),\n{rest}")
+            rel = con.execute(final)
+            cols = [c[0] for c in rel.description]
+            rows.extend(rel.fetchall())
+        finally:
+            con.execute("DROP VIEW documents")  # drops the TEMP shadow only
+    return cols, rows
 
 
 def decomposed_cc(con, sql, name):
