@@ -517,7 +517,8 @@ object Dedup {
     * (n_spans, dup_spans, dup_frac) that a cleaning pass uses to drop or
     * rewrite boilerplate-heavy documents.
     *
-    * Scale shape: spans shuffle as 32-char md5 hex keys, never as span
+    * Scale shape: spans shuffle as 16-byte `unhex(md5(...))` binary keys
+    * (see substringWindows on the hex→binary width cut), never as span
     * text, so shuffle width is constant regardless of span length. The
     * first-occurrence winner is a map-side-combinable MIN over the
     * (doc_id, span_idx) struct, and the dup check joins back on the same
@@ -530,7 +531,8 @@ object Dedup {
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0),
           ceil(size(col("__toks")).cast("double") / spanTokens).cast("int") - 1),
-        i => md5(concat_ws(" ", slice(col("__toks"), i * spanTokens + 1, lit(spanTokens)))))))
+        i => unhex(md5(concat_ws(" ",
+          slice(col("__toks"), i * spanTokens + 1, lit(spanTokens))))))))
       .toDF("doc_id", "span_idx", "h")
     val first = spans.groupBy("h")
       .agg(min(struct(col("doc_id"), col("span_idx"))).as("first"))
@@ -546,9 +548,18 @@ object Dedup {
   }
 
   /** (doc_id, pos, h): every overlapping `k`-token window of every doc of
-    * ≥ k tokens, hashed (md5 of the joined tokens — shuffles at constant
-    * 32-char width). The tokenize + window + hash pass is the expensive
-    * half of substringDedup, and its output is referenced twice there —
+    * ≥ k tokens, hashed — `unhex(md5(...))`, a 16-BYTE BINARY key, not the
+    * 32-char hex string (same hash, half the bytes; hex is an
+    * order-preserving byte-wise encoding, so every comparison/group/join
+    * downstream is unchanged). The window table is the single largest
+    * shuffle AND cache surface in the engine (one row per corpus token:
+    * the election groupBy ships it, the MEMORY_AND_DISK session cache
+    * holds it), so the key's width is THE scale knob — at the ×1000 rung
+    * (~1 G windows) the hex→binary cut alone removes ~16 GB from each.
+    * The hash never reaches an output (both consumers emit per-doc
+    * counts), so the oracle — which keys on DuckDB's own md5 hex — is
+    * untouched. The tokenize + window + hash pass is the expensive half
+    * of substringDedup, and its output is referenced twice there —
     * factored out so a session (or a pipeline, as a materialized corpus
     * column) computes it once. */
   def substringWindows(docs: DataFrame, k: Int): DataFrame =
@@ -557,7 +568,7 @@ object Dedup {
       .filter(size(col("__toks")) >= k)
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), size(col("__toks")) - k),
-        i => md5(concat_ws(" ", slice(col("__toks"), i + 1, lit(k)))))))
+        i => unhex(md5(concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))))))
       .toDF("doc_id", "pos", "h")
       // k rides the hash column's metadata so a consumer can detect a
       // window table built at a different k than its own argument
@@ -700,8 +711,9 @@ object Dedup {
     *
     * Scale shape: the suffix array of the paper is a single-machine
     * construction; the distributed equivalent is hash-grouping the n
-    * overlapping windows (n = corpus tokens, shuffled as 32-char md5 keys —
-    * constant width regardless of k). First-occurrence election is a
+    * overlapping windows (n = corpus tokens, shuffled as 16-byte binary
+    * md5 keys — constant width regardless of k; see substringWindows on
+    * the hex→binary cut). First-occurrence election is a
     * map-side-combinable MIN over the packed (doc_id, pos) key; only
     * hashes seen more than once survive to the join-back (a left join
     * against the small duplicated-hash table — broadcastable, so the

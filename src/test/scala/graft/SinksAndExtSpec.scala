@@ -56,6 +56,17 @@ class SinksAndExtSpec extends SparkSpec {
     assert(out(3L) == ((5L, 1L, 1L, 4L, 0.5)), s"doc3: ${out(3L)}")
   }
 
+  test("substring/span window keys shuffle as 16-byte BINARY, not hex strings") {
+    // the window table is the engine's largest shuffle+cache surface (one
+    // row per corpus token); its key width is THE scale knob — r16 cut it
+    // hex→binary (unhex(md5)), worth ~16 GB per surface at the ×1000 rung.
+    // A regression back to StringType would silently double both.
+    import org.apache.spark.sql.types.BinaryType
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    assert(Dedup.substringWindows(docs, 3).schema("h").dataType == BinaryType,
+      "substringWindows key must stay unhex(md5) binary")
+  }
+
   test("substring dedup rejects a window table built at a different k") {
     val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     val wins = Dedup.substringWindows(docs, 3)
