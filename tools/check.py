@@ -37,6 +37,48 @@ def should_decompose(e, sql):
 SUBSTR_F_MARK = "f AS (SELECT h, MIN("
 SUBSTR_X_MARK = "x AS (SELECT doc_id, pos, e_end, dup,"
 
+DSIR_D_HEAD = "WITH d AS (SELECT * FROM ("
+DSIR_D_TAIL = ") dw),\nw0 AS (SELECT doc_id, dsir_score,"
+
+
+def should_stage_dsir(e, sql):
+    """Fallback predicate for dsir_resample: the resample wraps the FULL
+    dsirWeights spine in a `d` CTE whose downstream (`w0`) is referenced
+    twice (the cumsum chain and the `t` total) — DuckDB re-executes the
+    un-materialized spine per reference, so the 1G-row bigram explosion
+    runs twice with both pipelines' temp live at once. dsir_weights alone
+    passes at the same rung; the doubled peak is what exhausts temp disk
+    at x1000. Engage the staged oracle on disk/memory exhaustion of a
+    query with the wrapped-spine shape."""
+    msg = str(e)
+    return ((is_oom(e) or "No space left" in msg or "out of disk" in msg.lower())
+            and sql.startswith(DSIR_D_HEAD) and DSIR_D_TAIL in sql)
+
+
+def staged_dsir(con, sql, name):
+    """Staged oracle for dsir_resample (same class as sharded_substr: a
+    pure materialization split, no semantic change). The inner dsirWeights
+    spine is COPY'd to parquet ONCE — that single pass is exactly the
+    dsir_weights oracle, which passes one-shot at every rung attempted —
+    and the resample (quantize + unit-hash cumsum + systematic picks over
+    one row per doc) re-reads the 5M-row weights table instead of
+    re-running the 1G-row spine per reference. Verified cell-identical to
+    the one-shot oracle at sf0.01 (tools/test_check_oom.py)."""
+    import os
+    i = sql.find(DSIR_D_TAIL)
+    assert sql.startswith(DSIR_D_HEAD) and i > 0, (
+        f"{name}: not the wrapped-dsir-spine oracle shape")
+    inner = sql[len(DSIR_D_HEAD):i]
+    rest = sql[i + len(") dw),"):]
+    tmp_d = f"/tmp/graft_dsir_d_{os.getpid()}.parquet"
+    con.execute(f"COPY ({inner}) TO '{tmp_d}' (FORMAT parquet)")
+    try:
+        rel = con.execute(
+            f"WITH d AS (SELECT * FROM read_parquet('{tmp_d}')),\n{rest}")
+        return [c[0] for c in rel.description], rel.fetchall()
+    finally:
+        os.remove(tmp_d)
+
 
 def should_shard_substr(e, sql):
     """Fallback predicate for the ExactSubstr pair: the one-shot oracle's
@@ -113,6 +155,9 @@ def main(sf_dir, out_dir):
     substr_forced = {q.strip() for q in
                      os.environ.get("GRAFT_CHECK_SUBSTR_SHARDED", "").split(",")
                      if q.strip()}
+    dsir_forced = {q.strip() for q in
+                   os.environ.get("GRAFT_CHECK_DSIR_STAGED", "").split(",")
+                   if q.strip()}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         method = ""
@@ -127,6 +172,9 @@ def main(sf_dir, out_dir):
             elif name in substr_forced:
                 o_cols, o_rows = sharded_substr(con, sql, name)
                 method = " [substr-sharded]"
+            elif name in dsir_forced:
+                o_cols, o_rows = staged_dsir(con, sql, name)
+                method = " [dsir-staged]"
             else:
                 try:
                     o_rel = con.execute(sql)
@@ -145,6 +193,9 @@ def main(sf_dir, out_dir):
                     elif should_shard_substr(e, sql):
                         o_cols, o_rows = sharded_substr(con, sql, name)
                         method = " [substr-sharded after oracle exhaustion]"
+                    elif should_stage_dsir(e, sql):
+                        o_cols, o_rows = staged_dsir(con, sql, name)
+                        method = " [dsir-staged after oracle exhaustion]"
                     else:
                         raise
         except Exception as e:

@@ -45,6 +45,16 @@ def main():
         "fallback must not swallow non-OOM oracle errors")
     assert not check.should_decompose(e, "SELECT 1"), (
         "fallback must not engage for non-transitive-closure oracles")
+    # the staged-dsir predicate (r16): fires only on exhaustion of the
+    # wrapped-spine resample shape, never on other queries or errors
+    dsir_sql = (check.DSIR_D_HEAD + "WITH t AS (SELECT doc_id, 1 FROM x)"
+                + check.DSIR_D_TAIL + " 1")
+    assert check.should_stage_dsir(e, dsir_sql), (
+        "staged-dsir predicate did not fire on a real OOM + wrapped spine")
+    assert not check.should_stage_dsir(ValueError("boom"), dsir_sql), (
+        "staged-dsir must not swallow non-exhaustion errors")
+    assert not check.should_stage_dsir(e, "SELECT 1"), (
+        "staged-dsir must not engage for other oracles")
     print("PASS test_check_oom: real DuckDB OOM classified, "
           f"predicate gated correctly ({type(e).__name__})")
 
