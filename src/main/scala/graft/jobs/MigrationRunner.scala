@@ -284,14 +284,13 @@ object MigrationRunner {
     * release finds a foreign lock, leaves it alone, and logs loudly — that
     * log is A's you-exceeded-the-lease signal (it gets no other). */
   def withMaintenanceLockIfFree[T](spark: SparkSession, storeRoot: String,
-                                   owner: String)(body: => T): Option[T] = {
-    val f = fs(spark, storeRoot)
-    f.mkdirs(new Path(storeRoot))
+                                   owner: String)(body: => T): Option[T] =
+    // stampMaintenanceLock owns directory creation — no second fs()/mkdirs
+    // round-trip here (review r16)
     stampMaintenanceLock(spark, storeRoot, owner).map { mine =>
       try body
       finally releaseMaintenanceLockIfMine(spark, storeRoot, mine): Unit
     }
-  }
 
   /** Exclusive-create the store's maintenance lock without a scoped body —
     * for maintenance actions whose critical section ends at a RENAME that
@@ -319,7 +318,15 @@ object MigrationRunner {
                                    mine: String): Boolean = {
     val f = fs(spark, storeRoot)
     val p = lockPath(storeRoot)
-    val released = deleteLockIfContentStill(f, p, mine)
+    // one retried attempt: the guard's read swallows transient IO failures
+    // as "not mine", and stranding our own still-valid lock wedges the
+    // store until a lease break while logging a MISLEADING lease-broken
+    // error (review r16). A blip heals on the retry; a genuinely foreign
+    // or vanished lock reads the same both times.
+    val released = deleteLockIfContentStill(f, p, mine) || {
+      Thread.sleep(50)
+      deleteLockIfContentStill(f, p, mine)
+    }
     if (!released) {
       foreignLocksAtRelease.incrementAndGet()
       val holder = readLock(f, p).map { case (o, s) =>
@@ -330,9 +337,53 @@ object MigrationRunner {
           s"('${parseLock(mine)._1}'): the lease was broken mid-run and the " +
           s"lock now belongs to $holder. This maintainer exceeded the lease " +
           "— its work may have overlapped the new holder's; leaving the " +
-          "foreign lock in place.")
+          "foreign lock in place. (If the holder reads <gone or unreadable> " +
+          "and no lease policy is active, the lock may merely be " +
+          "unreadable — verify before breaking.)")
     }
     released
+  }
+
+  /** Whether the store's lock is provably stale under the lease — the
+    * READ-ONLY half of breakMaintenanceLockIfStale, for sweeps that claim
+    * a stale resource by RENAME instead of by deleting the lock (the
+    * landing-dir janitor: deleting the lock first and the dir second
+    * leaves, on a crash between the two, exactly the stampless dir the
+    * janitor refuses to touch forever — review r16). Same refusals as the
+    * break: fresh, stampless, or absent locks are not stale. */
+  def maintenanceLockStale(spark: SparkSession, storeRoot: String,
+                           olderThan: java.time.Duration,
+                           now: java.time.Instant): Boolean =
+    readLock(fs(spark, storeRoot), lockPath(storeRoot)) match {
+      case Some((_, Some(stamp))) =>
+        java.time.Duration.between(stamp, now).compareTo(olderThan) > 0
+      case _ => false
+    }
+
+  /** Reap a store-root SHELL this maintainer accidentally resurrected:
+    * acquiring a lock recreates the store directory when a concurrent
+    * retention sweep expired it between the caller's listing and the
+    * acquisition (lock creation makes parent dirs — irreducible without a
+    * create-without-parents primitive on every scheme). The leftover empty
+    * dir is not benign: readers fail loud on dir-without-CURRENT and a
+    * relanding's no-clobber exposure rename refuses the occupied path
+    * (review r16). Deletes `storeRoot` iff it contains NOTHING but this
+    * holder's own lock (content == `mine`); returns whether the shell was
+    * removed — the caller then SKIPS its normal release, the lock died
+    * with the shell. A dir with any other content (a real store, a
+    * pre-atomic remnant) is left alone: the caller releases and handles
+    * it under its own contract. */
+  def reapResurrectedShell(spark: SparkSession, storeRoot: String,
+                           mine: String): Boolean = {
+    val f = fs(spark, storeRoot)
+    val root = new Path(storeRoot)
+    val entries =
+      try f.listStatus(root)
+      catch { case _: java.io.FileNotFoundException => return false }
+    entries.length == 1 &&
+      entries(0).getPath.getName == lockPath(storeRoot).getName &&
+      readLockRaw(f, entries(0).getPath).contains(mine) &&
+      f.delete(root, true)
   }
 
   /** Explicit recovery from a dead maintainer's leftover lock. Returns

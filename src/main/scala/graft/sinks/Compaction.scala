@@ -378,7 +378,13 @@ object Compaction {
   // different bytes across a store's expire/reland or compaction cycles —
   // the cache is sound for the JVM's lifetime, and repeat reads of a deep
   // warehouse pay the footer parse once per version (measured ~14 ms/store
-  // uncached at 1000 stores, PointeredPlanBench)
+  // uncached at 1000 stores, PointeredPlanBench). BOUNDED (review r16):
+  // compaction swings mint a new part-file UUID per store per night, so a
+  // resident serving JVM over a large warehouse would otherwise pin one
+  // dead-path entry per swing forever; at the cap the cache is cleared
+  // whole — a full rebuild costs ~14 ms/store once, against unbounded heap
+  // growth in exactly the always-on session the cache exists for.
+  private val FooterCacheMax = 4096
   private val footerSchemaCache = new java.util.concurrent.ConcurrentHashMap[
     String, Option[org.apache.spark.sql.types.StructType]]
 
@@ -398,6 +404,7 @@ object Compaction {
       val n = f.getPath.getName
       f.isFile && !n.startsWith("_") && !n.startsWith(".")
     }.sortBy(_.getPath.getName).headOption.flatMap { f =>
+      if (footerSchemaCache.size > FooterCacheMax) footerSchemaCache.clear()
       footerSchemaCache.computeIfAbsent(f.getPath.toString, { _ =>
         val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
@@ -502,28 +509,58 @@ object Compaction {
     parts.reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
   }
 
-  // catalogString comparison: type-equal ignoring nullability flags
+  // catalogString comparison: type-equal ignoring nullability flags.
+  // ORDER-INSENSITIVE (review r16): parquet column resolution under an
+  // imposed schema is BY NAME, so two stores that differ only in column
+  // order read identically — a positional compare would fail such a
+  // warehouse with an error naming no field at all (every missing/extra/
+  // retyped list empty). Sorted-pair compare also keeps duplicate names
+  // (pathological but representable) from slipping through a map-based
+  // check.
   private def sameFields(a: org.apache.spark.sql.types.StructType,
                          b: org.apache.spark.sql.types.StructType): Boolean =
-    a.length == b.length && a.zip(b).forall { case (x, y) =>
-      x.name == y.name && x.dataType.catalogString == y.dataType.catalogString
-    }
+    a.map(f => f.name -> f.dataType.catalogString).sortBy(_._1) ==
+      b.map(f => f.name -> f.dataType.catalogString).sortBy(_._1)
 
   /** `stats` over the pointered layout: one listing of each partition's
     * LIVE version dir (retained previous generations don't count — they
-    * are not what readers scan). */
+    * are not what readers scan). A store whose DIRECTORY vanished between
+    * the listing and here was expired by a concurrent retention sweep
+    * (atomic rename — same race, same resolution as unionStores'
+    * missingOk) and is skipped; a dir that EXISTS without CURRENT is
+    * corrupt and fails loud — except under `lenient` (the UNATTENDED
+    * sweep's mode, review r16): one remnant store must not abort a whole
+    * warehouse's maintenance, so it is skipped with a loud warning and
+    * left for the manual contract. */
   def statsPointered(spark: SparkSession, path: String,
-                     partitionCol: String): Seq[PartitionStat] =
-    partitionStores(spark, path, partitionCol).map { case (value, store) =>
-      val name = graft.jobs.MigrationRunner.currentVersion(spark, store)
-        .getOrElse(sys.error(s"no CURRENT pointer in partition store $store"))
-      val dir = new Path(s"$store/$name")
-      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val files = fs.listStatus(dir).toSeq.filter { f =>
-        val n = f.getPath.getName
-        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+                     partitionCol: String,
+                     lenient: Boolean = false): Seq[PartitionStat] =
+    partitionStores(spark, path, partitionCol).flatMap { case (value, store) =>
+      val storePath = new Path(store)
+      val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.jobs.MigrationRunner.currentVersion(spark, store) match {
+        case None =>
+          if (!fs.exists(storePath)) None // expired between listing and here
+          else if (lenient) {
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"store $store has no CURRENT pointer — skipping its stats " +
+                "(inspect manually; see initPointered on pre-atomic remnants)")
+            None
+          }
+          else sys.error(s"no CURRENT pointer in partition store $store")
+        case Some(name) =>
+          try {
+            val files = fs.listStatus(new Path(s"$store/$name")).toSeq.filter { f =>
+              val n = f.getPath.getName
+              f.isFile && !n.startsWith("_") && !n.startsWith(".")
+            }
+            Some(PartitionStat(value, files.size, files.map(_.getLen).sum))
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              if (!fs.exists(storePath)) None // expired mid-listing
+              else throw e
+          }
       }
-      PartitionStat(value, files.size, files.map(_.getLen).sum)
     }
 
   /** Retention for the pointered layout — the MergeByKey.expirePartitions
@@ -578,8 +615,13 @@ object Compaction {
       scala.util.Try(java.time.LocalDate.parse(value)).toOption
         .filter(_.isBefore(cutoff))
         // report only stores actually removed — a lock held by a live
-        // maintainer (skip) or a failed rename must not enter the audit
+        // maintainer (skip) or a failed rename must not enter the audit.
+        // The exists pre-check skips stores a CONCURRENT sweep already
+        // expired: acquiring the lock would resurrect the dir as a shell
+        // and rename that shell into the tomb — self-healing but noisy
+        // (a false foreign-lock alarm at release; review r16)
         .filter { _ =>
+          fs.exists(new Path(store)) &&
           graft.jobs.MigrationRunner.withMaintenanceLockIfFree(spark, store,
             s"expirePointered $partitionCol=$value") {
             val tomb = new Path(root, s"$tombPrefix$value")
@@ -639,16 +681,49 @@ object Compaction {
                        layoutSort: Seq[org.apache.spark.sql.Column] = Nil,
                        skipHeld: Boolean = false)
       : Seq[Rewrite] = {
-    val before = statsPointered(spark, path, partitionCol)
+    val before = statsPointered(spark, path, partitionCol, lenient = skipHeld)
     plan(before, targetBytes).flatMap { case (value, k) =>
       val store = s"$path/$partitionCol=$value"
+      val owner = s"compactPointered $partitionCol=$value"
       val run: (=> Rewrite) => Option[Rewrite] =
-        if (skipHeld)
-          body => graft.jobs.MigrationRunner.withMaintenanceLockIfFree(
-            spark, store, s"compactPointered $partitionCol=$value")(body)
+        if (skipHeld) body => {
+          // unattended sweeps tolerate a CONCURRENT sweep expiring stores
+          // out from under the plan (review r16): skip a store whose dir
+          // is already gone (acquiring would resurrect it as a shell),
+          // and if it vanishes between the check and the acquisition —
+          // currentVersion empty under OUR lock — reap the shell the
+          // acquisition just created instead of rewriting nothing into a
+          // dir readers would fail loud on and relandings could not
+          // replace (the no-clobber exposure rename refuses occupied
+          // paths). Interactive runs keep fail-loud semantics throughout.
+          val storePath = new Path(store)
+          val f = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!f.exists(storePath)) None
+          else graft.jobs.MigrationRunner
+            .stampMaintenanceLock(spark, store, owner) match {
+            case None => None // held: a live maintainer's store, next sweep's work
+            case Some(mine) =>
+              var shellReaped = false
+              try {
+                if (graft.jobs.MigrationRunner
+                    .currentVersion(spark, store).isEmpty) {
+                  shellReaped = graft.jobs.MigrationRunner
+                    .reapResurrectedShell(spark, store, mine)
+                  if (!shellReaped)
+                    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                      s"store $store has no CURRENT pointer and is not an " +
+                        "empty shell — skipping its compaction (inspect " +
+                        "manually; see initPointered on pre-atomic remnants)")
+                  None
+                } else Some(body)
+              } finally if (!shellReaped)
+                graft.jobs.MigrationRunner
+                  .releaseMaintenanceLockIfMine(spark, store, mine): Unit
+          }
+        }
         else
           body => Some(graft.jobs.MigrationRunner.withMaintenanceLock(
-            spark, store, s"compactPointered $partitionCol=$value")(body))
+            spark, store, owner)(body))
       run {
       val prevLive = graft.jobs.MigrationRunner.currentVersion(spark, store)
       val name = graft.jobs.MigrationRunner.freshVersionName(spark, store, "v1")
@@ -749,29 +824,52 @@ object Compaction {
     MaintenanceReport(broken, rewrites, expired, landings, versions)
   }
 
+  // a landing build dir claimed for deletion: renamed OUT of the landing
+  // namespace first (atomic), then deleted — a leftover under this prefix
+  // is by construction already lease-adjudicated and is deleted on sight
+  private[sinks] val ReapingPrefix = ".reaping-"
+
   /** Crashed-LANDER recovery (r16, VERDICT r15 #1): a hard-killed
     * landPointered leaves its uniquely-named hidden build dir behind —
     * invisible to readers and never in a relanding's way, but disk the
     * warehouse pays for forever if nothing reaps it. Each leftover carries
     * the stamped lock its lander wrote FIRST, so the same lease that
     * adjudicates dead maintainers adjudicates dead landers: a build dir
-    * whose stamp is provably past the lease is deleted whole (it was never
+    * whose stamp is provably past the lease is reaped (it was never
     * exposed, so deletion is always safe); a fresh stamp is a LIVE lander
     * mid-build, skipped; a dir with no readable stamp (a kill inside the
     * stamp write itself) has unverifiable age — left for the manual
-    * contract, same as a stampless lock. Returns the reaped dir names. */
+    * contract, same as a stampless lock.
+    *
+    * The reap is CLAIM-BY-RENAME, not break-then-delete (review r16): the
+    * staleness check is read-only (maintenanceLockStale), the claim is one
+    * atomic rename out of the `.landing-` namespace into `.reaping-`, and
+    * only then is the claimed dir deleted. The old two-step (delete the
+    * lock, then the dir) manufactured its own garbage on a crash between
+    * the steps: a now-STAMPLESS landing dir the lease policy refuses to
+    * touch forever. A `.reaping-` leftover, by contrast, is already
+    * adjudicated and is deleted on sight at the start of every sweep; two
+    * concurrent sweeps race the rename and the loser simply skips.
+    * Returns the reaped dir names (original landing names). */
   private def reapStaleLandings(spark: SparkSession, path: String,
                                 lease: java.time.Duration,
                                 now: java.time.Instant): Seq[String] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Nil
+    // finish any prior sweep's crash-interrupted reaps first
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(ReapingPrefix))
+      .foreach(s => fs.delete(s.getPath, true))
     fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(LandingPrefix))
       .sortBy(_.getPath.getName)
       .filter { dir =>
-        graft.jobs.MigrationRunner.breakMaintenanceLockIfStale(spark,
-          dir.getPath.toString, lease, now) && fs.delete(dir.getPath, true)
+        graft.jobs.MigrationRunner.maintenanceLockStale(spark,
+          dir.getPath.toString, lease, now) && {
+          val claimed = new Path(root, ReapingPrefix + dir.getPath.getName)
+          fs.rename(dir.getPath, claimed) && { fs.delete(claimed, true); true }
+        }
       }
       .map(_.getPath.getName)
   }
@@ -789,26 +887,80 @@ object Compaction {
   private def reapUnpublishedVersions(spark: SparkSession, path: String,
                                       partitionCol: String): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    def reapable(store: String): Seq[Path] = {
-      val live = graft.jobs.MigrationRunner.currentVersion(spark, store)
-        .getOrElse(sys.error(s"no CURRENT pointer in partition store $store"))
-      val keep = graft.jobs.MigrationRunner.versionHistory(spark, store)
-        .takeRight(3).toSet + live
+    // None = the store cannot be scanned right now: its dir VANISHED (a
+    // concurrent sweep's expiry — skip silently, it would not be listed a
+    // moment later) or it has no CURRENT (a shell or pre-atomic remnant —
+    // never abort the unattended sweep over one store; review r16, the
+    // lock-free pre-scan's sys.error aborted retention+compaction for the
+    // whole warehouse on a store expired mid-listing)
+    def reapable(store: String): Option[Seq[Path]] = {
       val storePath = new Path(store)
-      storePath.getFileSystem(conf).listStatus(storePath).toSeq
-        .filter(_.isDirectory).map(_.getPath)
-        .filterNot(p => keep.contains(p.getName)).sortBy(_.getName)
+      val f = storePath.getFileSystem(conf)
+      graft.jobs.MigrationRunner.currentVersion(spark, store).map { live =>
+        val keep = graft.jobs.MigrationRunner.versionHistory(spark, store)
+          .takeRight(3).toSet + live
+        try f.listStatus(storePath).toSeq
+          .filter(_.isDirectory).map(_.getPath)
+          .filterNot(p => keep.contains(p.getName)).sortBy(_.getName)
+        catch { case _: java.io.FileNotFoundException => Nil } // expired mid-scan
+      }
     }
     partitionStores(spark, path, partitionCol).flatMap { case (value, store) =>
-      if (reapable(store).isEmpty) Nil // advisory pre-scan, no lock taken
-      else graft.jobs.MigrationRunner.withMaintenanceLockIfFree(spark, store,
-        s"maintainPointered reap $partitionCol=$value") {
-        val fs = new Path(store).getFileSystem(conf)
-        reapable(store).map { p => // re-listed under the lock: authoritative
-          fs.delete(p, true)
-          s"$value/${p.getName}"
-        }
-      }.getOrElse(Nil)
+      reapable(store) match {
+        case None =>
+          // no CURRENT pointer. A COMPLETELY EMPTY dir is an unambiguous
+          // crash leftover (a resurrected shell whose reaping sweep died;
+          // its presence breaks readers and blocks relanding) — deleted
+          // and audited. A shell still holding a stale lock heals across
+          // the same sweep: the stale-lock pass runs first, emptying it.
+          // Anything with real content is skipped LOUDLY (the manual
+          // pre-atomic-remnant contract) — never an abort.
+          val storePath = new Path(store)
+          val f = storePath.getFileSystem(conf)
+          val entries =
+            try Some(f.listStatus(storePath))
+            catch { case _: java.io.FileNotFoundException => None }
+          entries match {
+            case Some(es) if es.isEmpty && f.delete(storePath, true) =>
+              Seq(s"$value/(empty shell)")
+            case Some(_) =>
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"store $store has no CURRENT pointer — skipping its " +
+                  "version reap (inspect manually; see initPointered on " +
+                  "pre-atomic remnants)")
+              Nil
+            case None => Nil // expired between listing and here
+          }
+        case Some(ps) if ps.isEmpty => Nil // advisory pre-scan, no lock
+        case Some(_) =>
+      graft.jobs.MigrationRunner.stampMaintenanceLock(spark, store,
+        s"maintainPointered reap $partitionCol=$value") match {
+        case None => Nil // held: live maintainer, next sweep's work
+        case Some(mine) =>
+          var shellReaped = false
+          try reapable(store) match { // re-scanned under the lock: authoritative
+            case Some(ps) =>
+              val fs = new Path(store).getFileSystem(conf)
+              ps.map { p =>
+                fs.delete(p, true)
+                s"$value/${p.getName}"
+              }
+            case None =>
+              // the store expired between pre-scan and acquisition and our
+              // lock resurrected its dir as a shell — remove it (an empty
+              // dir without CURRENT breaks readers and blocks relanding)
+              shellReaped = graft.jobs.MigrationRunner
+                .reapResurrectedShell(spark, store, mine)
+              if (!shellReaped)
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"store $store has no CURRENT pointer and is not an empty " +
+                    "shell — skipping its version reap (inspect manually)")
+              Nil
+          } finally if (!shellReaped)
+            graft.jobs.MigrationRunner
+              .releaseMaintenanceLockIfMine(spark, store, mine): Unit
+      }
+      }
     }
   }
 }

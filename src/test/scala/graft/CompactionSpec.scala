@@ -673,4 +673,82 @@ class CompactionSpec extends SparkSpec {
     // survivors fully intact after the sweeps
     assert(Compaction.readPointered(spark, base, "partition_date").count() == 400L)
   }
+
+  test("schema validation tolerates a benign column REORDER across stores (review r16)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-pointered-reorder").toString
+    val df = (0 until 30).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+    Compaction.landPointered(spark, df.select("id", "payload"), base,
+      "partition_date", "2024-01-01")
+    // same names, same types, opposite order: parquet resolution under the
+    // imposed schema is BY NAME, so this store reads identically — the old
+    // positional compare failed it with every drift list empty
+    Compaction.landPointered(spark, df.select("payload", "id"), base,
+      "partition_date", "2024-01-02")
+    val out = Compaction.readPointered(spark, base, "partition_date")
+    assert(out.count() == 60L)
+    assert(out.filter(org.apache.spark.sql.functions.col("id") === 7L)
+      .select("payload").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("p7", "p7"), "reordered store must decode by name, not position")
+  }
+
+  test("the unattended sweep survives and heals CURRENT-less stores instead of aborting (review r16)") {
+    val (flat, _) = mkFragmented()
+    val base = Files.createTempDirectory("graft-pointered-shell").toString
+    Compaction.initPointered(spark, flat, base, "partition_date")
+    // an EMPTY shell: what a crashed sweep leaves after its lock acquisition
+    // resurrected a concurrently-expired store (lock creation mkdirs) —
+    // breaks readers (dir-without-CURRENT) and blocks relanding, and the
+    // old pre-scan sys.error'd on it, aborting the WHOLE sweep
+    val shell = s"$base/partition_date=2090-01-01"
+    new java.io.File(shell).mkdirs()
+    // a NON-empty CURRENT-less remnant (pre-atomic landing): data a human
+    // must look at — skipped loudly, never deleted, never an abort
+    val remnant = s"$base/partition_date=2091-01-01"
+    spark.read.parquet(s"$flat/partition_date=2024-01-01")
+      .write.parquet(s"$remnant/v1")
+    val report = Compaction.maintainPointered(spark, base, "partition_date",
+      targetBytes = 1L << 30, asOf = java.time.LocalDate.parse("2024-03-05"),
+      retentionDays = 365)
+    assert(report.versionsReaped == Seq("2090-01-01/(empty shell)"), s"$report")
+    assert(!new java.io.File(shell).exists(), "empty shell must be healed")
+    assert(new java.io.File(s"$remnant/v1").exists(),
+      "a remnant with real content must never be auto-deleted")
+    // readers still fail LOUD on the preserved remnant (their contract)...
+    val e = intercept[RuntimeException] {
+      Compaction.readPointered(spark, base, "partition_date").count()
+    }
+    assert(e.getMessage.contains("no CURRENT pointer"), e.getMessage)
+    // ...and after the manual remediation the healed warehouse reads clean
+    // (the shell alone would have produced the same loud failure)
+    val fsR = new org.apache.hadoop.fs.Path(remnant)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsR.delete(new org.apache.hadoop.fs.Path(remnant), true)
+    assert(Compaction.readPointered(spark, base, "partition_date")
+      .count() == 400L)
+  }
+
+  test("a crash-interrupted landing reap (.reaping- leftover) is finished by the next sweep (review r16)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-pointered-reaping").toString
+    val df = (0 until 20).map(i => (i.toLong, s"a$i")).toDF("id", "payload")
+    Compaction.landPointered(spark, df, base, "partition_date", "2024-01-01")
+    // a prior sweep claimed a stale landing by rename, then died before the
+    // delete: already lease-adjudicated, so it is deleted ON SIGHT — the
+    // old break-then-delete order instead left a STAMPLESS .landing- dir
+    // here, which the lease policy refuses to touch forever
+    val claimed = s"$base/.reaping-.landing-partition_date=2024-01-02.feedbeef"
+    new java.io.File(claimed).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$claimed/junk.txt"), "partial build")
+    val sweep = Compaction.maintainPointered(spark, base, "partition_date",
+      targetBytes = 1L << 30, asOf = java.time.LocalDate.parse("2024-03-05"),
+      retentionDays = 365,
+      staleLockLease = Some(java.time.Duration.ofHours(6)),
+      now = () => java.time.Instant.parse("2024-03-05T00:00:00Z"))
+    assert(!new java.io.File(claimed).exists(),
+      ".reaping- leftovers are already adjudicated and deleted on sight")
+    assert(Compaction.readPointered(spark, base, "partition_date")
+      .count() == 20L, s"$sweep")
+  }
 }

@@ -234,7 +234,12 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 
-_substr_flags = {}  # spine text -> temp table name holding the dup flags
+# (connection id, spine text) -> temp table name holding the dup flags.
+# Keyed by CONNECTION, not just spine (review r16): temp tables live on one
+# DuckDB connection, and a second main() call in the same process (new
+# connection, identical oracle text) would otherwise cache-hit a table that
+# does not exist there and FAIL both substring queries spuriously.
+_substr_flags = {}
 
 
 def sharded_substr(con, sql, name):
@@ -278,27 +283,35 @@ def sharded_substr(con, sql, name):
     t_end = with_te.find(",\ne AS (")
     assert with_te.startswith("WITH ") and t_end > 0, f"{name}: no t CTE"
     t_def = with_te[len("WITH "):t_end]        # t AS (...)
-    spine = with_te + fj
+    spine = (id(con), with_te + fj)
     if spine not in _substr_flags:
         tbl = f"substr_flags_{len(_substr_flags)}"
         # pid-unique path: two check.py processes (e.g. an sf0.01 run racing
-        # a big-rung run) must never share the materialized window table
+        # a big-rung run) must never share the materialized window table.
+        # finally-guarded (review r16): a failed bucket INSERT — temp-disk
+        # exhaustion is this fallback's home regime — must not strand a
+        # multi-GB window parquet in /tmp for later runs to trip over.
         tmp_e = f"/tmp/graft_substr_e_{os.getpid()}.parquet"
-        con.execute(f"COPY ({with_te} SELECT doc_id, pos, h FROM e) "
-                    f"TO '{tmp_e}' (FORMAT parquet)")
-        # a prior build of the same table that crashed mid-insert (e.g. the
-        # sibling query's attempt, which only caches on success) is stale
-        con.execute(f"DROP TABLE IF EXISTS {tbl}")
-        con.execute(f"CREATE TEMP TABLE {tbl} "
-                    "(doc_id BIGINT, pos BIGINT, e_end BIGINT, dup INT)")
-        for d in "0123456789abcdef":
-            con.execute(
-                f"INSERT INTO {tbl}\n"
-                f"WITH e AS (SELECT doc_id, pos, h FROM read_parquet('{tmp_e}')\n"
-                f"    WHERE substr(h, 1, 1) = '{d}'),\n"
-                f"{fj}\n"
-                "SELECT doc_id, pos, e_end, CAST(dup AS INT) FROM j")
-        os.remove(tmp_e)
+        try:
+            con.execute(f"COPY ({with_te} SELECT doc_id, pos, h FROM e) "
+                        f"TO '{tmp_e}' (FORMAT parquet)")
+            # a prior build of the same table that crashed mid-insert (e.g.
+            # the sibling query's attempt, which only caches on success) is
+            # stale
+            con.execute(f"DROP TABLE IF EXISTS {tbl}")
+            con.execute(f"CREATE TEMP TABLE {tbl} "
+                        "(doc_id BIGINT, pos BIGINT, e_end BIGINT, dup INT)")
+            for d in "0123456789abcdef":
+                con.execute(
+                    f"INSERT INTO {tbl}\n"
+                    f"WITH e AS (SELECT doc_id, pos, h "
+                    f"FROM read_parquet('{tmp_e}')\n"
+                    f"    WHERE substr(h, 1, 1) = '{d}'),\n"
+                    f"{fj}\n"
+                    "SELECT doc_id, pos, e_end, CAST(dup AS INT) FROM j")
+        finally:
+            if os.path.exists(tmp_e):
+                os.remove(tmp_e)
         _substr_flags[spine] = tbl
     tbl = _substr_flags[spine]
     nds = int(os.environ.get("GRAFT_CHECK_SUBSTR_DOC_SHARDS", "16"))
