@@ -31,7 +31,14 @@ object FeatureCache {
       }
     }
 
-  private final case class Entry(df: DataFrame, bornAtNanos: Long)
+  // `df` is what consumers compose on: the persisted frame re-anchored on
+  // its InMemoryRelation (o.a.s.sql.graft.CachedAnchor), so every consumer
+  // query's analysis walks a one-node leaf instead of the full build
+  // lineage (measured 0.3-0.7 s/run of driver time on the incremental
+  // ladders). `handle` keeps the ORIGINAL persisted frame — unpersist must
+  // go through the plan the CacheManager registered, not the anchor.
+  private final case class Entry(df: DataFrame, handle: DataFrame,
+                                 bornAtNanos: Long)
 
   private val memo = TrieMap.empty[(String, String, String), Entry]
 
@@ -64,10 +71,11 @@ object FeatureCache {
       buildLocks.getOrElseUpdate(key, new Object).synchronized {
         // double-check: another thread may have published while we waited
         fresh().getOrElse {
-          val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+          val handle = build.persist(StorageLevel.MEMORY_AND_DISK)
+          val df = org.apache.spark.sql.graft.CachedAnchor.anchor(handle)
           memo.synchronized {
-            memo.remove(key).foreach(e => scala.util.Try(e.df.unpersist()))
-            memo.put(key, Entry(df, clock()))
+            memo.remove(key).foreach(e => scala.util.Try(e.handle.unpersist()))
+            memo.put(key, Entry(df, handle, clock()))
           }
           df
         }
@@ -77,14 +85,14 @@ object FeatureCache {
 
   /** Invalidate (explicit expiry / upstream change): unpersist + forget. */
   def invalidate(spark: SparkSession, dir: String, name: String): Unit =
-    memo.remove((idOf(spark), dir, name)).foreach(_.df.unpersist())
+    memo.remove((idOf(spark), dir, name)).foreach(_.handle.unpersist())
 
   /** Drop every entry of a session (call when stopping it) — unpersists
     * the blocks too, or they'd stay registered with no surviving handle. */
   def invalidateSession(spark: SparkSession): Unit = memo.synchronized {
     val id = idOf(spark)
     memo.keys.filter(_._1 == id).foreach(k =>
-      memo.remove(k).foreach(e => scala.util.Try(e.df.unpersist())))
+      memo.remove(k).foreach(e => scala.util.Try(e.handle.unpersist())))
     buildLocks.keys.filter(_._1 == id).foreach(buildLocks.remove)
   }
 

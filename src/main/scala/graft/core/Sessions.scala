@@ -32,6 +32,14 @@ object Sessions {
       // split flexibility. Only the engine's own clustered tables are
       // bucketed, and every read of them wants the bucket spec honored.
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      // Let AQE coalesce the FINAL stage of cached-plan materialization
+      // (off by default): every FeatureCache table is otherwise persisted
+      // at the build plan's raw shuffle partitioning (= cores), so each
+      // warm InMemoryTableScan launches `cores` near-empty tasks per
+      // consumer at small inputs. With this on, the cached partitioning is
+      // derived from the data's BYTES (AQE advisory size) — few partitions
+      // at sf0.1, hundreds at 100 TB — instead of a core-count constant.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel(logLevel)

@@ -210,4 +210,32 @@ class ServingSpec extends SparkSpec {
     // probe is exactly one SQLExecutionStart; the old per-group loop was 3
     assert(execs == 1, s"expected one fused probe execution, saw $execs")
   }
+
+  test("cache anchors consumers on the InMemoryRelation leaf; invalidate still frees the blocks") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import spark.implicits._
+    val build = graft.core.Tables.nation(spark, sf0001)
+      .groupBy($"n_regionkey").count()
+    val before = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    val cached = graft.core.FeatureCache.cached(spark, sf0001, "anchor-probe")(build)
+    try {
+      // the r16 analysis-cost contract: consumers compose on a ONE-NODE
+      // leaf, not the build lineage — every downstream Dataset's analyzer
+      // walk (join dedup, cache-lookup canonicalization) is O(consumer)
+      assert(cached.queryExecution.logical.isInstanceOf[InMemoryRelation],
+        s"cached frame should be IMR-anchored, got: ${cached.queryExecution.logical.nodeName}")
+      // same rows as the un-cached build
+      assert(cached.collect().toSet == build.collect().toSet)
+      // blocks exist once materialized...
+      cached.count()
+      val added = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet -- before
+      assert(added.nonEmpty, "materialized cache entry registered no storage RDD")
+      // ...and invalidate (which must unpersist through the ORIGINAL
+      // handle — the anchored plan is unknown to the CacheManager) frees them
+      graft.core.FeatureCache.invalidate(spark, sf0001, "anchor-probe")
+      val after = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+      assert((added -- after).sizeIs == added.size,
+        s"invalidate left cache blocks registered: ${added.intersect(after)}")
+    } finally graft.core.FeatureCache.invalidate(spark, sf0001, "anchor-probe")
+  }
 }
