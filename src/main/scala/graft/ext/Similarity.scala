@@ -342,23 +342,20 @@ object Similarity {
           decDot(x, col("__c")) /
             sqrt(decDot(x, x) * col("__nc")), 6)
           .as("cos_to_centroid"))
-    // Bottom-k election in TWO phases instead of one window partitioned by
-    // the handful of labels: a per-label window caps task parallelism at
-    // the LABEL COUNT (at corpus scale one task would sort corpus/labels
-    // rows). Phase 1 ranks within (label, salt) buckets — (cos, vec_id) is
-    // a total order over rows, so every row of the global bottom-k is also
-    // in its own bucket's bottom-k — and phase 2 ranks only the ≤ k·SALTS
-    // survivors per label. Output is identical to the single-window form
-    // by construction (AnalyticsOpsSpec pins the equality).
-    val salts = 32
-    val phase1 = scored
-      .withColumn("__salt", pmod(hash(col("vec_id")), lit(salts)))
-      .withColumn("__r1", row_number().over(
-        Window.partitionBy("label", "__salt")
-          .orderBy(col("cos_to_centroid").asc, col("vec_id").asc)))
-      .filter(col("__r1") <= k)
-      .drop("__salt", "__r1")
-    phase1
+    // Bottom-k election as ONE window (r16): Spark's rank-limit pushdown
+    // (WindowGroupLimit, 3.5+) inserts a PARTIAL group limit below the
+    // exchange — each map task keeps only its local bottom-k per label, so
+    // the shuffle carries ≤ k·maps rows per label instead of the corpus.
+    // That is exactly the property the r12 salted two-phase manufactured
+    // by hand (its phase 1 bounded what reached the per-label rank), but
+    // WITHOUT the corpus-sized (label, salt) exchange phase 1 paid: the
+    // only exchange left moves survivors. Reduce-side parallelism is still
+    // the label count, but over ≤ k·maps rows per label — never
+    // corpus/labels. (cos, vec_id) is a total order, so the output is
+    // byte-identical to the two-phase form (AnalyticsOpsSpec recomputes
+    // the salted election and pins equality; ScaleShapeSpec pins the
+    // Partial WindowGroupLimit below the exchange).
+    scored
       .withColumn("outlier_rank", row_number().over(
         Window.partitionBy("label")
           .orderBy(col("cos_to_centroid").asc, col("vec_id").asc)))

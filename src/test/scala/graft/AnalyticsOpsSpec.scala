@@ -196,13 +196,20 @@ class AnalyticsOpsSpec extends SparkSpec {
       .filter($"__f".isNull)
     assert(unflagged.join(worstKept, Seq("label"))
       .filter($"cos_to_centroid" < $"worst_flagged").count() == 0)
-    // the two-phase salted election is byte-identical to the plain
-    // single-window bottom-k it replaced (the r12 parallelism hardening):
-    // recompute the rank with one window over the full scored set and
-    // compare rows, ranks included
+    // the single-window bottom-k (r16: WindowGroupLimit makes the salted
+    // two-phase redundant — the partial group limit bounds what reaches
+    // the exchange natively) is byte-identical to the r12 salted election
+    // it replaced: recompute the two-phase form and compare rows, ranks
+    // included
+    val w = org.apache.spark.sql.expressions.Window
     val plain = all
+      .withColumn("__salt", pmod(hash($"vec_id"), lit(32)))
+      .withColumn("__r1", row_number().over(
+        w.partitionBy("label", "__salt")
+          .orderBy($"cos_to_centroid".asc, $"vec_id".asc)))
+      .filter($"__r1" <= 5)
       .withColumn("plain_rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("label")
+        w.partitionBy("label")
           .orderBy($"cos_to_centroid".asc, $"vec_id".asc)))
       .filter($"plain_rank" <= 5)
       .select($"vec_id".as("p_vec"), $"plain_rank".as("p_rank"),
@@ -213,7 +220,7 @@ class AnalyticsOpsSpec extends SparkSpec {
       $"s_vec" === $"p_vec" && $"s_rank" === $"p_rank" && $"s_cos" === $"p_cos",
       "full_outer")
       .filter($"s_vec".isNull || $"p_vec".isNull).count() == 0,
-      "salted two-phase bottom-k must equal the single-window election")
+      "single-window bottom-k must equal the salted two-phase election")
     out.unpersist()
   }
 

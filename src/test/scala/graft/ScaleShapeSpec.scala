@@ -85,6 +85,11 @@ class ScaleShapeSpec extends SparkSpec {
     // embedding_outliers: the labels x dim centroid frame broadcasts
     val eo = ext.Similarity.embeddingOutliers(emb, 5).queryExecution.executedPlan.toString
     assert(eo.contains("BroadcastHashJoin"), s"centroid join must broadcast:\n${eo.take(800)}")
+    // r16: the bottom-k election must keep its partial rank limit BELOW
+    // the exchange (the scale guarantee that replaced the salted
+    // two-phase: the shuffle carries ≤ k rows per label per map task)
+    assert(eo.contains("WindowGroupLimit"),
+      s"bottom-k election lost its partial rank-limit pushdown:\n${eo.take(800)}")
     // train_split: one narrow projection — no shuffle at all
     val ts = ext.Corpus.splitAssign(docs).queryExecution.executedPlan.toString
     assert(!ts.contains("Exchange"), s"splitAssign must not shuffle:\n${ts.take(800)}")
